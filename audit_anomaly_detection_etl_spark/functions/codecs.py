@@ -1,0 +1,154 @@
+"""Audio codec kernels: encode/decode between float PCM and byte payloads.
+
+Pure numpy, fully vectorized — these run inside Arrow-batched pandas UDFs on
+executors (no per-row Python in the hot path; each call processes one whole
+clip as a numpy array, and the UDF layer batches thousands of clips per Arrow
+batch).
+
+Codecs supported (all public formats):
+- ``pcm_s16le``  signed 16-bit little-endian linear PCM
+- ``pcm_f32le``  32-bit little-endian float PCM
+- ``ulaw``       ITU-T G.711 mu-law companding, 8 bit/sample
+- ``alaw``       ITU-T G.711 A-law companding, 8 bit/sample
+
+Canonical in-memory form is ``float32`` in [-1.0, 1.0).
+
+The reference ETL never touches binary payloads (SURVEY.md §1.2: its type
+system is str/float only); this module is the north-rule extension that gives
+the engine its audio payload validation capability
+(decoded-PCM allclose at SNR>=30dB, BASELINE.json ``input_hint``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+CODECS = ("pcm_s16le", "pcm_f32le", "ulaw", "alaw")
+
+# --- linear PCM ---------------------------------------------------------
+
+
+def _encode_s16le(pcm: np.ndarray) -> bytes:
+    x = np.clip(pcm, -1.0, 1.0 - 1.0 / 32768.0)
+    return (x * 32768.0).astype("<i2").tobytes()
+
+
+def _decode_s16le(raw: bytes) -> np.ndarray:
+    return np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+
+
+def _encode_f32le(pcm: np.ndarray) -> bytes:
+    return pcm.astype("<f4").tobytes()
+
+
+def _decode_f32le(raw: bytes) -> np.ndarray:
+    return np.frombuffer(raw, dtype="<f4").astype(np.float32)
+
+
+# --- G.711 mu-law --------------------------------------------------------
+
+_ULAW_BIAS = 0x84  # 132
+_ULAW_CLIP = 32635
+
+
+def _encode_ulaw(pcm: np.ndarray) -> bytes:
+    x = np.clip(pcm * 32768.0, -_ULAW_CLIP, _ULAW_CLIP).astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0).astype(np.int32)
+    x = np.abs(x) + _ULAW_BIAS
+    # exponent = position of highest set bit above bit 7
+    exp = (np.floor(np.log2(x)) - 7).astype(np.int32)
+    exp = np.clip(exp, 0, 7)
+    mant = (x >> (exp + 3)) & 0x0F
+    u = ~(sign | (exp << 4) | mant) & 0xFF
+    return u.astype(np.uint8).tobytes()
+
+
+def _decode_ulaw(raw: bytes) -> np.ndarray:
+    u = (~np.frombuffer(raw, dtype=np.uint8)).astype(np.int32) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + _ULAW_BIAS) << exp) - _ULAW_BIAS
+    x = np.where(sign != 0, -mag, mag)
+    return x.astype(np.float32) / 32768.0
+
+
+# --- G.711 A-law ---------------------------------------------------------
+
+
+def _encode_alaw(pcm: np.ndarray) -> bytes:
+    x = np.clip(pcm * 32768.0, -32767, 32767).astype(np.int32)
+    sign = np.where(x >= 0, 0x80, 0).astype(np.int32)
+    x = np.abs(x)
+    exp = np.zeros_like(x)
+    big = x >= 256
+    exp[big] = (np.floor(np.log2(x[big])) - 7).astype(np.int32)
+    exp = np.clip(exp, 0, 7)
+    mant = np.where(exp == 0, x >> 4, (x >> (exp + 3)) & 0x0F)
+    a = (sign | (exp << 4) | mant) ^ 0x55
+    return a.astype(np.uint8).tobytes()
+
+
+def _decode_alaw(raw: bytes) -> np.ndarray:
+    a = np.frombuffer(raw, dtype=np.uint8).astype(np.int32) ^ 0x55
+    sign = a & 0x80
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 264) << (exp - 1))
+    x = np.where(sign != 0, mag, -mag)
+    return x.astype(np.float32) / 32768.0
+
+
+_ENCODERS = {
+    "pcm_s16le": _encode_s16le,
+    "pcm_f32le": _encode_f32le,
+    "ulaw": _encode_ulaw,
+    "alaw": _encode_alaw,
+}
+_DECODERS = {
+    "pcm_s16le": _decode_s16le,
+    "pcm_f32le": _decode_f32le,
+    "ulaw": _decode_ulaw,
+    "alaw": _decode_alaw,
+}
+
+_BYTES_PER_SAMPLE = {"pcm_s16le": 2, "pcm_f32le": 4, "ulaw": 1, "alaw": 1}
+
+
+def encode(pcm: np.ndarray, codec: str) -> bytes:
+    """Encode float PCM ([-1,1), any float dtype) to payload bytes."""
+    try:
+        return _ENCODERS[codec](np.asarray(pcm, dtype=np.float64))
+    except KeyError:
+        raise ValueError(f"unknown codec: {codec!r}") from None
+
+
+def decode(raw: bytes, codec: str) -> np.ndarray:
+    """Decode payload bytes to float32 PCM. Raises ValueError on unknown codec."""
+    try:
+        return _DECODERS[codec](raw)
+    except KeyError:
+        raise ValueError(f"unknown codec: {codec!r}") from None
+
+
+def bytes_per_sample(codec: str) -> int:
+    return _BYTES_PER_SAMPLE[codec]
+
+
+def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
+    """Signal-to-noise ratio in dB of ``test`` against reference PCM.
+
+    Returns +inf for a bit-exact match, -inf for a length mismatch (a
+    truncated payload can never pass the allclose invariant).
+    """
+    ref = np.asarray(ref, dtype=np.float64)
+    test = np.asarray(test, dtype=np.float64)
+    if ref.shape != test.shape:
+        return float("-inf")
+    noise = float(np.sum((ref - test) ** 2))
+    if noise == 0.0:
+        return float("inf")
+    sig = float(np.sum(ref**2))
+    if sig == 0.0:
+        return float("-inf")
+    return 10.0 * np.log10(sig / noise)

@@ -1,0 +1,239 @@
+"""Deterministic generator for the engine's primary input table (FIXTURES.md F1).
+
+Synthesizes the Iceberg-style ``clips`` table mandated by BASELINE.json
+``input_hint`` — (clip_id:string, bytes:binary, sr_hz:int, dur_ms:int,
+codec:string, transcript:string) partitioned by ``part`` — together with:
+
+- ``clips_ref``             ground truth (pcm_ref:binary float32, transcript_ref)
+- ``hist_ref``              clean-generation equi-width histograms (drift snapshot)
+- ``violations_expected``   sidecar the generator emits so pytest can assert
+                            exact violation-row parity (SURVEY.md §5 item 2)
+
+Everything is seeded numpy — no wall-clock, no Python ``hash()`` (PYTHONHASHSEED
+-dependent); partition assignment uses crc32 so the layout is stable across
+processes, which the checkpoint/resume tests rely on.
+
+Injected violation rates follow FIXTURES.md F1:
+~0.5% duplicate clip_ids, ~1% corrupted payloads (SNR<30dB), ~0.2% unknown
+codec strings, ~0.5% null transcripts, ~0.5% transcript byte-mismatches vs the
+reference table, plus referential orphans in both directions and a heavy
+``dur_ms`` tail (a few >=20x-median clips) to exercise skew handling.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions import codecs
+from ..functions.stats import histogram_edges
+
+_WORDS = (
+    "the quick spark stream batch audio clip sample rate frame signal noise "
+    "table column schema check valid drift hash group join scan sort"
+).split()
+
+DUR_BINS = (0.0, 20000.0, 40)  # lo, hi, n_bins for dur_ms drift histograms
+SR_BINS = (0.0, 48000.0, 48)
+
+
+def part_of(clip_id: str, n_parts: int) -> int:
+    """Deterministic partition bucket (crc32, not Python hash)."""
+    return zlib.crc32(clip_id.encode()) % n_parts
+
+
+@dataclass
+class ClipTables:
+    clips: pa.Table
+    clips_ref: pa.Table
+    hist_ref: pa.Table
+    violations_expected: pa.Table
+    n_parts: int = 16
+    paths: dict = field(default_factory=dict)
+
+
+def _transcript(rng: np.random.Generator, n_tokens: int) -> str:
+    return " ".join(np.asarray(_WORDS)[rng.integers(0, len(_WORDS), n_tokens)])
+
+
+def generate_clips(
+    n_clips: int = 2000,
+    n_parts: int = 16,
+    seed: int = 42,
+    mean_dur_ms: float = 400.0,
+    drift: bool = False,
+    inject_violations: bool = True,
+) -> ClipTables:
+    rng = np.random.default_rng(seed)
+    srs = np.array([8000, 16000, 22050, 44100])
+    sr_probs = np.array([0.5, 0.3, 0.15, 0.05]) if not drift else np.array([0.1, 0.2, 0.3, 0.4])
+    codec_list = np.asarray(codecs.CODECS)
+
+    clip_ids, payloads, sr_col, dur_col, codec_col, transcripts = [], [], [], [], [], []
+    pcm_refs, transcript_refs = [], []
+    viol: list[tuple[str, str, str]] = []  # (clip_id, check, detail)
+
+    sr_choice = rng.choice(len(srs), size=n_clips, p=sr_probs)
+    # log-normal duration, heavy tail; drift shifts the location
+    mu = np.log(mean_dur_ms * (2.0 if drift else 1.0))
+    durs = np.exp(rng.normal(mu, 0.6, n_clips))
+    # skew fixture: a few extreme clips (>=20x median)
+    n_skew = max(1, n_clips // 500)
+    durs[rng.choice(n_clips, n_skew, replace=False)] = mean_dur_ms * rng.uniform(20, 40, n_skew)
+    codec_choice = rng.integers(0, len(codec_list), n_clips)
+
+    u = rng.uniform(size=(n_clips, 5)) if inject_violations else np.ones((n_clips, 5))
+
+    for i in range(n_clips):
+        cid = f"clip-{seed:04d}-{i:08d}"
+        sr = int(srs[sr_choice[i]])
+        dur_ms = int(max(40.0, durs[i]))
+        n_samp = max(1, int(round(dur_ms * sr / 1000.0)))
+        t = np.arange(n_samp, dtype=np.float64) / sr
+        f0 = 80.0 + 400.0 * rng.uniform()
+        pcm = 0.55 * np.sin(2 * np.pi * f0 * t) + 0.08 * rng.standard_normal(n_samp)
+        pcm = np.clip(pcm, -0.999, 0.999)
+        codec = str(codec_list[codec_choice[i]])
+        txt = _transcript(rng, int(rng.integers(3, 20)))
+
+        # ground truth first
+        ref_pcm = pcm.astype(np.float32)
+        ref_txt = txt
+        payload = codecs.encode(pcm, codec)
+
+        # --- violation injection -------------------------------------
+        if u[i, 0] < 0.005 and i > 0:  # duplicate clip_id
+            cid = f"clip-{seed:04d}-{(i - 1):08d}"
+            viol.append((cid, "uniqueness", "duplicate clip_id"))
+        elif u[i, 1] < 0.010:  # corrupted payload -> SNR < 30 dB
+            bad = np.clip(pcm + 0.5 * rng.standard_normal(n_samp), -0.999, 0.999)
+            payload = codecs.encode(bad, codec)
+            viol.append((cid, "payload_snr", "corrupted payload"))
+        elif u[i, 2] < 0.002:  # unknown codec string
+            codec = "opus"
+            viol.append((cid, "codec", "unknown codec"))
+        elif u[i, 3] < 0.005:  # null transcript
+            txt = None
+            viol.append((cid, "transcript_null", "null transcript"))
+        elif u[i, 4] < 0.005:  # transcript byte-mismatch vs reference
+            txt = ref_txt + " x"
+            viol.append((cid, "transcript_mismatch", "transcript differs from reference"))
+
+        clip_ids.append(cid)
+        payloads.append(payload)
+        sr_col.append(sr)
+        dur_col.append(dur_ms)
+        codec_col.append(codec)
+        transcripts.append(txt)
+        pcm_refs.append(ref_pcm.tobytes())
+        transcript_refs.append(ref_txt)
+
+    parts = [part_of(c, n_parts) for c in clip_ids]
+
+    # referential orphans, both directions (SURVEY.md J6/J7 analogue)
+    ref_ids = list(clip_ids)
+    ref_pcm_col = list(pcm_refs)
+    ref_txt_col = list(transcript_refs)
+    if inject_violations and n_clips >= 100:
+        # clips with no reference row: drop last 3 unique ids from ref side
+        drop = set()
+        for cid in reversed(clip_ids):
+            if len(drop) >= 3:
+                break
+            drop.add(cid)
+        keep = [j for j, c in enumerate(ref_ids) if c not in drop]
+        for cid in sorted(drop):
+            viol.append((cid, "referential_missing_ref", "clip has no reference row"))
+        ref_ids = [ref_ids[j] for j in keep]
+        ref_pcm_col = [ref_pcm_col[j] for j in keep]
+        ref_txt_col = [ref_txt_col[j] for j in keep]
+        # reference rows with no clip
+        for k in range(2):
+            ghost = f"clip-{seed:04d}-ghost-{k:04d}"
+            ref_ids.append(ghost)
+            ref_pcm_col.append(np.zeros(8, dtype=np.float32).tobytes())
+            ref_txt_col.append("ghost")
+            viol.append((ghost, "referential_orphan_ref", "reference row has no clip"))
+
+    clips = pa.table(
+        {
+            "clip_id": pa.array(clip_ids, pa.string()),
+            "bytes": pa.array(payloads, pa.binary()),
+            "sr_hz": pa.array(sr_col, pa.int32()),
+            "dur_ms": pa.array(dur_col, pa.int32()),
+            "codec": pa.array(codec_col, pa.string()),
+            "transcript": pa.array(transcripts, pa.string()),
+            "part": pa.array(parts, pa.int32()),
+        }
+    )
+    clips_ref = pa.table(
+        {
+            "clip_id": pa.array(ref_ids, pa.string()),
+            "pcm_ref": pa.array(ref_pcm_col, pa.binary()),
+            "transcript_ref": pa.array(ref_txt_col, pa.string()),
+            "part": pa.array([part_of(c, n_parts) for c in ref_ids], pa.int32()),
+        }
+    )
+
+    # clean-generation drift snapshot over dur_ms and sr_hz
+    hist_rows = {"col": [], "bin": [], "lo": [], "hi": [], "count": []}
+    for col_name, vals, (lo, hi, nb) in (
+        ("dur_ms", np.asarray(dur_col, dtype=np.float64), DUR_BINS),
+        ("sr_hz", np.asarray(sr_col, dtype=np.float64), SR_BINS),
+    ):
+        edges = histogram_edges(lo, hi, nb)
+        idx = np.clip(np.searchsorted(edges, vals, side="right") - 1, 0, nb - 1)
+        counts = np.bincount(idx, minlength=nb)
+        for b in range(nb):
+            hist_rows["col"].append(col_name)
+            hist_rows["bin"].append(b)
+            hist_rows["lo"].append(float(edges[b]))
+            hist_rows["hi"].append(float(edges[b + 1]))
+            hist_rows["count"].append(int(counts[b]))
+    hist_ref = pa.table(
+        {
+            "col": pa.array(hist_rows["col"], pa.string()),
+            "bin": pa.array(hist_rows["bin"], pa.int32()),
+            "lo": pa.array(hist_rows["lo"], pa.float64()),
+            "hi": pa.array(hist_rows["hi"], pa.float64()),
+            "count": pa.array(hist_rows["count"], pa.int64()),
+        }
+    )
+
+    violations_expected = pa.table(
+        {
+            "clip_id": pa.array([v[0] for v in viol], pa.string()),
+            "check": pa.array([v[1] for v in viol], pa.string()),
+            "detail": pa.array([v[2] for v in viol], pa.string()),
+        }
+    )
+    return ClipTables(clips, clips_ref, hist_ref, violations_expected, n_parts)
+
+
+def write_clip_tables(tables: ClipTables, out_dir: str) -> dict:
+    """Write as Iceberg-style partitioned parquet (hive layout, part=K dirs)."""
+    paths = {
+        "clips": os.path.join(out_dir, "clips"),
+        "clips_ref": os.path.join(out_dir, "clips_ref"),
+        "hist_ref": os.path.join(out_dir, "hist_ref.parquet"),
+        "violations_expected": os.path.join(out_dir, "violations_expected.parquet"),
+    }
+    # deterministic file names -> same seed reproduces the same snapshot_id
+    pq.write_to_dataset(
+        tables.clips, paths["clips"], partition_cols=["part"], basename_template="part-{i}.parquet"
+    )
+    pq.write_to_dataset(
+        tables.clips_ref,
+        paths["clips_ref"],
+        partition_cols=["part"],
+        basename_template="part-{i}.parquet",
+    )
+    pq.write_table(tables.hist_ref, paths["hist_ref"])
+    pq.write_table(tables.violations_expected, paths["violations_expected"])
+    tables.paths = paths
+    return paths

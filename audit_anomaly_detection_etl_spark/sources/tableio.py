@@ -1,0 +1,84 @@
+"""Thin Iceberg-style table IO over hive-partitioned parquet.
+
+No Iceberg runtime jar ships in this sandbox, so we emulate the three Iceberg
+capabilities the engine depends on (SURVEY.md §7.1 step 1):
+
+1. partition listing       -> directory scan of ``part=K`` dirs
+2. snapshot identity       -> deterministic digest of the file manifest
+                              (names + sizes), used as checkpoint lineage
+3. partition-pruned reads  -> ``spark.read.parquet(root)`` + ``where(part=...)``
+                              (Spark prunes hive partition dirs at planning)
+
+On a real cluster the same interface binds to an Iceberg catalog: partitions
+from ``table.partitions`` metadata, snapshot from ``snapshot_id``, pruned reads
+from the Iceberg source. Everything above this module is storage-agnostic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+_PART_RE = re.compile(r"^part=(\d+)$")
+
+
+@dataclass(frozen=True)
+class PartitionInfo:
+    part: int
+    n_files: int
+    total_bytes: int
+
+
+def list_partitions(root: str) -> list[PartitionInfo]:
+    """Enumerate partition directories with file-count + byte-size stats.
+
+    The byte sizes feed the skew planner (salting factor scales with
+    partition byte-size — SURVEY.md §7.3 'Skew').
+    """
+    out = []
+    for name in sorted(os.listdir(root)):
+        m = _PART_RE.match(name)
+        if not m:
+            continue
+        pdir = os.path.join(root, name)
+        files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+        total = sum(os.path.getsize(os.path.join(pdir, f)) for f in files)
+        out.append(PartitionInfo(int(m.group(1)), len(files), total))
+    return sorted(out, key=lambda p: p.part)
+
+
+def snapshot_id(root: str) -> str:
+    """Digest of the data-file manifest — the lineage token recorded per
+    checkpointed partition. Changes whenever the file manifest (names +
+    sizes) changes, i.e. on every new ingest/rewrite — matching Iceberg
+    snapshot-id semantics. Same files on disk -> same id, so a resumed run
+    can trust prior checkpoints.
+    """
+    h = hashlib.sha256()
+    for dirpath, _dirnames, filenames in sorted(os.walk(root)):
+        for f in sorted(filenames):
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                rel = os.path.relpath(p, root)
+                h.update(rel.encode())
+                h.update(str(os.path.getsize(p)).encode())
+    return h.hexdigest()[:16]
+
+
+def read_table(spark: SparkSession, root: str) -> DataFrame:
+    return spark.read.parquet(root)
+
+
+def read_partitions(spark: SparkSession, root: str, parts: list[int]) -> DataFrame:
+    """Partition-pruned read: the IN-filter on the hive partition column is
+    resolved at planning time (PartitionFilters in the scan node), so only the
+    listed ``part=K`` directories are touched.
+    """
+    df = spark.read.parquet(root)
+    from pyspark.sql import functions as F
+
+    return df.where(F.col("part").isin([int(p) for p in parts]))
