@@ -1,0 +1,130 @@
+"""Text-analysis column expressions for large-scale training-data pipelines.
+
+All builders return native Catalyst ``Column``s (JVM-side, whole-stage
+codegen — no Python UDFs), so they run at scan speed over 100 TB of text.
+Semantics are deliberately expressible in portable ANSI-ish SQL so every
+operator has a DuckDB oracle (driver correctness gate).
+
+Reference analogues: the reference's string surface (SURVEY.md §2.8 —
+split / regex substring count / contains) generalized to document-quality
+features; the per-survey substring counters (A11) become per-document token
+and marker counters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# language marker words: counts of these decide the n-gram-free heuristic
+# language id. (The synthetic corpus is a shared-vocabulary soup, so the
+# heuristic's *parity* is what tests assert, not its accuracy.)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "fast", "small"],
+    "es": ["data", "row"],
+    "de": ["table", "group"],
+    "fr": ["key", "join"],
+    "zh": ["spark", "query"],
+}
+
+# BPE-ish tokenizer regex: letter runs, digit runs, single non-space symbols
+TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+STOPWORDS = ["the", "a", "of", "to", "and"]
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokens; empty string -> empty array (not [''])."""
+    return F.filter(F.split(F.trim(text), "\\s+"), lambda w: w != F.lit(""))
+
+
+def word_count(text: Column) -> Column:
+    return F.size(words(text))
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(TOKEN_REGEX))
+
+
+def marker_count(text: Column, marker: str) -> Column:
+    return F.size(F.filter(words(F.lower(text)), lambda w: w == F.lit(marker)))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        s = None
+        for m in markers:
+            c = marker_count(text, m)
+            s = c if s is None else s + c
+        out[lang] = s
+    return out
+
+
+def predicted_lang(text: Column) -> Column:
+    """Argmax of marker scores; ties break in LANG_MARKERS key order (the
+    oracle SQL mirrors the same CASE chain)."""
+    scores = lang_scores(text)
+    best = None
+    expr = None
+    for lang, s in scores.items():
+        if best is None:
+            best, expr = s, F.lit(lang)
+        else:
+            expr = F.when(s > best, F.lit(lang)).otherwise(expr)
+            best = F.greatest(best, s)
+    return expr
+
+
+def punct_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit("[^a-zA-Z0-9\\s]"))
+
+
+def stopword_ratio(text: Column) -> Column:
+    w = words(F.lower(text))
+    stop = F.size(F.filter(w, lambda x: x.isin(STOPWORDS)))
+    return F.when(F.size(w) > 0, stop / F.size(w)).otherwise(F.lit(0.0))
+
+
+def mean_word_len(text: Column) -> Column:
+    w = words(text)
+    total = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(F.size(w) > 0, total.cast("double") / F.size(w)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length + punctuation + stopword signals.
+    Weights are arbitrary but FIXED — the oracle replicates them digit for
+    digit. Analogue of the reference's per-survey quality feature vector
+    (features_engineering pipeline)."""
+    n_words = word_count(text).cast("double")
+    length_term = F.least(n_words / F.lit(50.0), F.lit(1.0))
+    punct_term = F.greatest(
+        F.lit(0.0), F.lit(1.0) - punct_count(text).cast("double") / F.greatest(n_words, F.lit(1.0))
+    )
+    stop_term = F.least(F.lit(1.0), stopword_ratio(text) * F.lit(5.0))
+    return F.round((length_term + punct_term + stop_term) / F.lit(3.0), 6)
+
+
+def normalized_text(text: Column) -> Column:
+    return F.lower(F.regexp_replace(F.trim(text), "\\s+", " "))
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Content fingerprint over normalized text (exact-dedup key)."""
+    return F.md5(normalized_text(text))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined). Portable construction:
+    slice positions 1..len-n+1 over the word array."""
+    w = words(normalized_text(text))
+    # NB Spark sequence(1, 0) yields a DESCENDING [1, 0], not empty — guard
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)

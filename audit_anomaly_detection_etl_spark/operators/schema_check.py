@@ -1,0 +1,105 @@
+"""Declarative schema + domain-constraint checks.
+
+Reference analogue: the config-declared column map validated against a 1-row
+API probe before the pipeline runs (SURVEY.md §1.3, app_utils/kobo_tools.py:
+42-87 'missing field' violations) and the post-union column-count assertion
+(data_download/nodes.py:126-129). Here the expected schema is a Spark
+``StructType`` and the diff happens on driver metadata — zero data read —
+while *value-domain* constraints (e.g. ``codec IN (...)``, ``sr_hz > 0``)
+compile to one filter pass emitting violation rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from . import VIOLATION_COLS
+
+
+@dataclass
+class ColumnSpec:
+    name: str
+    dtype: str  # Spark simpleString, e.g. "string", "binary", "int"
+    nullable: bool = True
+    allowed: list | None = None  # value domain, compiled to isin()
+    min_value: float | None = None
+    max_value: float | None = None
+
+
+@dataclass
+class TableSchemaSpec:
+    columns: list[ColumnSpec]
+    key_col: str = "clip_id"
+    part_col: str = "part"
+    extra_predicates: dict[str, Column] = field(default_factory=dict)
+
+
+def schema_diff(actual: StructType, spec: TableSchemaSpec) -> list[dict]:
+    """Metadata-only structural diff: missing columns, type mismatches,
+    unexpected extras. Runs on the driver against catalog metadata — the
+    10^12-row table is never scanned.
+    """
+    actual_types = {f.name: f.dataType.simpleString() for f in actual.fields}
+    out = []
+    for c in spec.columns:
+        if c.name not in actual_types:
+            out.append({"column": c.name, "issue": "missing", "expected": c.dtype, "actual": None})
+        elif actual_types[c.name] != c.dtype:
+            out.append(
+                {
+                    "column": c.name,
+                    "issue": "type_mismatch",
+                    "expected": c.dtype,
+                    "actual": actual_types[c.name],
+                }
+            )
+    declared = {c.name for c in spec.columns} | {spec.part_col}
+    for name in actual_types:
+        if name not in declared:
+            out.append({"column": name, "issue": "unexpected", "expected": None, "actual": actual_types[name]})
+    return out
+
+
+def constraint_violations(df: DataFrame, spec: TableSchemaSpec) -> DataFrame:
+    """Row-level domain violations as VIOLATION_SCHEMA rows.
+
+    All predicates evaluate in one whole-stage-codegen projection over a
+    single scan; the output is the union of per-constraint violation arrays
+    exploded row-wise (no self-union of N scans).
+    """
+    checks: list[Column] = []
+    for c in spec.columns:
+        col = F.col(c.name)
+        if not c.nullable:
+            checks.append(F.when(col.isNull(), F.lit(f"{c.name}:null")))
+        if c.allowed is not None:
+            checks.append(F.when(col.isNotNull() & ~col.isin(c.allowed), F.lit(f"{c.name}:domain")))
+        if c.min_value is not None:
+            checks.append(F.when(col < F.lit(c.min_value), F.lit(f"{c.name}:below_min")))
+        if c.max_value is not None:
+            checks.append(F.when(col > F.lit(c.max_value), F.lit(f"{c.name}:above_max")))
+    for name, pred in spec.extra_predicates.items():
+        checks.append(F.when(~pred, F.lit(name)))
+    if not checks:
+        return df.sparkSession.createDataFrame([], schema="key string, check string, detail string, part int, severity double")
+
+    fails = F.array_compact(F.array(*checks))
+    return (
+        df.select(
+            F.col(spec.key_col).alias("key"),
+            F.col(spec.part_col).cast("int").alias("part"),
+            F.explode(fails).alias("detail"),
+        )
+        .select(
+            "key",
+            F.lit("schema_constraint").alias("check"),
+            "detail",
+            "part",
+            F.lit(3.0).alias("severity"),
+        )
+        .select(*VIOLATION_COLS)
+    )

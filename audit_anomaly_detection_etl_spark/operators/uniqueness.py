@@ -1,0 +1,61 @@
+"""Key-uniqueness via salted two-phase hash aggregation.
+
+Reference analogue: the survey-grain dedup ``groupby(audit_id).first()``
+(SURVEY.md A12, features_engineering/nodes.py:487-488) — single-node pandas.
+North rule mandates the distributed form: *salted hash-aggregate dedup*.
+
+Why two phases: a plain ``groupBy(key).count()`` already gets map-side
+partial aggregation, but the final shuffle still routes every partial for a
+hot key to ONE reducer. Phase 1 aggregates on ``(salt, key)`` where the salt
+is derived from the physical input split (``spark_partition_id``), bounding
+any reducer's share of a hot key to ~n_salts^-1; phase 2 re-aggregates the
+(tiny) partial counts by key. At 10^12 rows with a pathological duplicate
+key this is the difference between a straggler OOM and an even shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import VIOLATION_COLS
+
+
+def duplicate_keys(df: DataFrame, key_cols: list[str], n_salts: int = 32) -> DataFrame:
+    """Keys appearing more than once, with counts. Two-phase salted agg."""
+    salt = F.pmod(F.spark_partition_id(), F.lit(n_salts)).alias("__salt")
+    partial = df.select(*key_cols, salt).groupBy("__salt", *key_cols).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    return (
+        partial.groupBy(*key_cols)
+        .agg(F.sum("__cnt").alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def uniqueness_violations(
+    df: DataFrame,
+    key_col: str = "clip_id",
+    part_col: str = "part",
+    n_salts: int = 32,
+) -> DataFrame:
+    """VIOLATION_SCHEMA rows for duplicated keys.
+
+    The dup-key set is expected to be minuscule relative to the table, so the
+    join back to recover partitions broadcasts it (hint explicit — at
+    10^12 rows we don't want AQE to guess late).
+    """
+    dups = duplicate_keys(df, [key_col], n_salts=n_salts)
+    return (
+        df.select(F.col(key_col), F.col(part_col).cast("int").alias("part"))
+        .join(F.broadcast(dups), key_col)
+        .select(
+            F.col(key_col).alias("key"),
+            F.lit("uniqueness").alias("check"),
+            F.concat(F.lit("duplicate clip_id x"), F.col("dup_count")).alias("detail"),
+            "part",
+            F.lit(4.0).alias("severity"),
+        )
+        .select(*VIOLATION_COLS)
+    )

@@ -1,0 +1,99 @@
+"""Per-partition checkpoint, lineage, and resume planning.
+
+North-rule mandate: "each Iceberg partition's validation result is
+checkpointed with lineage + metrics rows so a killed job resumes only
+unvalidated partitions." Reference analogue: Kedro's materialized catalog
+layers + the pickle import/resume path (SURVEY.md §3.3) — results are
+*tables*, so a rerun is a query over what's missing.
+
+Design:
+- one JSON marker per (partition) under ``<ckdir>/part=K/verdict.json``,
+  written atomically (tmp + rename). A marker is only written after the
+  partition's verdict is fully computed, so a kill leaves either a complete
+  marker or none — never a torn one.
+- the marker records lineage: table snapshot_id, engine version, spec hash.
+  A marker whose snapshot/spec doesn't match the current run is *stale* and
+  the partition re-validates (data or spec changed => old verdict is void).
+- ``plan_resume`` diffs the table's partition listing against valid markers
+  and returns only pending partitions — the driver-side work is O(partitions),
+  never O(rows).
+- violation rows are written separately, hive-partitioned by ``part`` with
+  dynamic partition overwrite, so re-validating a partition replaces exactly
+  its own violations (idempotent reruns).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import asdict, dataclass
+
+from ..sources import tableio
+
+
+@dataclass
+class PartitionVerdict:
+    part: int
+    passed: bool
+    n_rows: int
+    n_violations: int
+    violations_by_check: dict
+    metrics: dict
+    snapshot_id: str
+    spec_hash: str
+    engine_version: str
+
+
+class CheckpointStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _marker_path(self, part: int) -> str:
+        return os.path.join(self.root, f"part={part}", "verdict.json")
+
+    def write(self, v: PartitionVerdict) -> None:
+        path = self._marker_path(v.part)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(asdict(v), f, sort_keys=True)
+        os.replace(tmp, path)  # atomic on POSIX
+
+    def read(self, part: int) -> PartitionVerdict | None:
+        path = self._marker_path(part)
+        if not os.path.exists(path):
+            return None
+        try:
+            with open(path) as f:
+                return PartitionVerdict(**json.load(f))
+        except (json.JSONDecodeError, TypeError):
+            return None  # torn/garbage marker -> treat as unvalidated
+
+    def completed(self, snapshot_id: str, spec_hash: str) -> dict[int, PartitionVerdict]:
+        out = {}
+        if not os.path.isdir(self.root):
+            return out
+        for name in os.listdir(self.root):
+            if not name.startswith("part="):
+                continue
+            try:
+                part = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            v = self.read(part)
+            if v and v.snapshot_id == snapshot_id and v.spec_hash == spec_hash:
+                out[part] = v
+        return out
+
+
+def plan_resume(
+    table_root: str, store: CheckpointStore, spec_hash: str
+) -> tuple[str, list[int], dict[int, PartitionVerdict]]:
+    """(snapshot_id, pending partitions, already-valid verdicts)."""
+    snap = tableio.snapshot_id(table_root)
+    parts = [p.part for p in tableio.list_partitions(table_root)]
+    done = store.completed(snap, spec_hash)
+    pending = [p for p in parts if p not in done]
+    return snap, pending, done

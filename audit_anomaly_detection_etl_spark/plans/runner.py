@@ -1,0 +1,241 @@
+"""Suite runner: one resumable validation job over a partitioned clips table.
+
+Execution model (SURVEY.md §7.1 steps 2+7):
+
+- ``plan_resume`` (driver, O(partitions)) decides which partitions still need
+  validation under the current (snapshot, spec) lineage.
+- pending partitions are processed in *waves* of ``wave_size`` partitions.
+  Each wave is ONE Spark job over a partition-pruned read; its per-partition
+  verdict markers are written only after the wave completes, so a kill
+  loses at most one wave of work and a resume re-runs exactly the
+  unmarked partitions. (On a 1000-executor cluster a wave is sized to keep
+  every executor busy — e.g. hundreds of Iceberg partitions per wave; waves
+  exist for checkpoint granularity, not parallelism.)
+- within a wave, ALL checks compose into a single violations plan (union of
+  lazy DataFrames over one cached scan) plus one metrics pass, so the clips
+  table is read once per wave for the row-level checks.
+
+Check decomposability: uniqueness and referential checks are run per-wave,
+which is correct when the table is bucket-partitioned by hash(clip_id)
+(``SuiteSpec.key_partitioned`` — duplicates and their reference rows land in
+the same partition by construction). For tables whose partition column is
+NOT a key function, set ``key_partitioned=False``: those two checks then run
+globally over the full table on every invocation (they scan only the key
+column — cheap relative to payload decode, which stays resumable).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import (
+    VIOLATION_COLS,
+    column_stats,
+    drift,
+    payload,
+    referential,
+    schema_check,
+    uniqueness,
+)
+from ..sources import tableio
+from .. import __version__
+from .checkpoint import CheckpointStore, PartitionVerdict, plan_resume
+from .spec import SuiteSpec
+
+
+@dataclass
+class SuiteResult:
+    snapshot_id: str
+    spec_hash: str
+    verdicts: dict[int, PartitionVerdict]
+    ran_parts: list[int]
+    skipped_parts: list[int]
+    schema_issues: list[dict]
+    drift_metrics: list[dict]
+    violations_path: str
+
+
+class KilledMidRun(RuntimeError):
+    """Raised by the fault injector in tests (kill/resume scenario)."""
+
+
+def _wave_violations(
+    wave_df: DataFrame, ref_df: DataFrame | None, spec: SuiteSpec
+) -> DataFrame | None:
+    parts = []
+    if "schema" in spec.checks:
+        parts.append(schema_check.constraint_violations(wave_df, spec.schema_spec))
+    if "uniqueness" in spec.checks:
+        parts.append(
+            uniqueness.uniqueness_violations(
+                wave_df,
+                key_col=spec.schema_spec.key_col,
+                part_col=spec.schema_spec.part_col,
+                n_salts=spec.uniqueness_salts,
+            )
+        )
+    if "referential" in spec.checks and ref_df is not None:
+        parts.append(
+            referential.referential_violations(
+                wave_df, ref_df, key_col=spec.schema_spec.key_col, part_col=spec.schema_spec.part_col
+            )
+        )
+    if "payload" in spec.checks and ref_df is not None:
+        parts.append(payload.payload_violations(payload.payload_report(wave_df, ref_df)))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def run_suite(
+    spark: SparkSession,
+    clips_root: str,
+    ref_root: str | None,
+    hist_ref_path: str | None,
+    checkpoint_dir: str,
+    spec: SuiteSpec | None = None,
+    wave_size: int = 8,
+    fail_after_waves: int | None = None,
+) -> SuiteResult:
+    spec = spec or SuiteSpec()
+    store = CheckpointStore(checkpoint_dir)
+    spec_hash = spec.spec_hash()
+    snap, pending, done = plan_resume(clips_root, store, spec_hash)
+
+    full = tableio.read_table(spark, clips_root)
+    schema_issues = (
+        schema_check.schema_diff(full.schema, spec.schema_spec) if "schema" in spec.checks else []
+    )
+
+    hist_ref = spark.read.parquet(hist_ref_path) if hist_ref_path else None
+    violations_path = f"{checkpoint_dir.rstrip('/')}/violations"
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    # global drift: re-evaluated on every invocation over the full table —
+    # a column-pruned scan of two int columns, negligible next to payload
+    # decode, and it must see all partitions regardless of resume state
+    global_drift: list[dict] = []
+    if "drift" in spec.checks and hist_ref is not None:
+        global_drift = drift.drift_verdicts(
+            drift.drift_metrics(full, hist_ref, spec.drift_specs),
+            psi_threshold=spec.psi_threshold,
+        )
+        for m in global_drift:
+            m["scope"] = "global"
+
+    all_drift: list[dict] = []
+    ran: list[int] = []
+    waves = [pending[i : i + wave_size] for i in range(0, len(pending), wave_size)]
+    for w_i, wave in enumerate(waves):
+        if fail_after_waves is not None and w_i >= fail_after_waves:
+            raise KilledMidRun(f"injected kill before wave {w_i} (parts {wave})")
+
+        wave_df = tableio.read_partitions(spark, clips_root, wave)
+        ref_df = tableio.read_partitions(spark, ref_root, wave) if ref_root else None
+
+        viols = _wave_violations(wave_df, ref_df, spec)
+        if viols is not None:
+            # idempotent: dynamic overwrite replaces exactly this wave's parts
+            viols.select(*VIOLATION_COLS).repartition("part").write.mode("overwrite").partitionBy(
+                "part"
+            ).parquet(violations_path)
+            viol_summary = (
+                spark.read.parquet(violations_path)
+                .where(F.col("part").isin(wave))
+                .groupBy("part", "check")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+        else:
+            viol_summary = []
+
+        n_rows = {
+            r["part"]: r["n"]
+            for r in wave_df.groupBy(spec.schema_spec.part_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+        stats_rows = (
+            column_stats.column_stats(
+                wave_df,
+                numeric_cols=["sr_hz", "dur_ms"],
+                all_cols=["sr_hz", "dur_ms", "transcript", "bytes", "codec"],
+                group_by=[spec.schema_spec.part_col],
+            ).collect()
+            if "stats" in spec.checks
+            else []
+        )
+
+        wave_drift = (
+            drift.drift_verdicts(
+                drift.drift_metrics(
+                    wave_df, hist_ref, spec.drift_specs, group_by=[spec.schema_spec.part_col]
+                ),
+                psi_threshold=spec.psi_threshold,
+            )
+            if ("drift" in spec.checks and hist_ref is not None)
+            else []
+        )
+        all_drift.extend(wave_drift)
+
+        by_part: dict[int, dict] = {p: {} for p in wave}
+        for r in viol_summary:
+            by_part.setdefault(int(r["part"]), {})[r["check"]] = int(r["n"])
+        drift_by_part: dict[int, list] = {}
+        for m in wave_drift:
+            drift_by_part.setdefault(int(m[spec.schema_spec.part_col]), []).append(m)
+
+        for p in wave:
+            checks_counts = by_part.get(p, {})
+            n_viol = sum(checks_counts.values())
+            drifted = any(m["drifted"] for m in drift_by_part.get(p, []))
+            metrics = {
+                "column_stats": [
+                    {k: r[k] for k in r.asDict() if k != spec.schema_spec.part_col}
+                    for r in stats_rows
+                    if r[spec.schema_spec.part_col] == p
+                ],
+                "drift": [
+                    {k: v for k, v in m.items() if k != spec.schema_spec.part_col}
+                    for m in drift_by_part.get(p, [])
+                ],
+            }
+            v = PartitionVerdict(
+                part=int(p),
+                passed=(n_viol == 0 and not drifted),
+                n_rows=int(n_rows.get(p, 0)),
+                n_violations=int(n_viol),
+                violations_by_check=checks_counts,
+                metrics=metrics,
+                snapshot_id=snap,
+                spec_hash=spec_hash,
+                engine_version=__version__,
+            )
+            store.write(v)
+            done[p] = v
+            ran.append(p)
+
+    return SuiteResult(
+        snapshot_id=snap,
+        spec_hash=spec_hash,
+        verdicts=done,
+        ran_parts=ran,
+        skipped_parts=[p for p in done if p not in ran],
+        schema_issues=schema_issues,
+        drift_metrics=global_drift + all_drift,
+        violations_path=violations_path,
+    )
+
+
+def ranked_violations(spark: SparkSession, violations_path: str) -> DataFrame:
+    """Global ranked violation output — the reference's sorted anomaly table
+    (SURVEY.md O1): severity desc, then key for determinism.
+    """
+    return spark.read.parquet(violations_path).orderBy(F.desc("severity"), "key", "check")

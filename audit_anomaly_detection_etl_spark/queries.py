@@ -1,0 +1,1022 @@
+"""Driver-contract query catalog: Spark DataFrame programs + DuckDB oracles.
+
+Every operator family from SURVEY.md §2 (and the training-data-pipeline
+extensions: dedup / similarity / text analysis) is exposed here as a named
+query over the driver's parquet tables, paired with an ANSI-ish SQL oracle
+that DuckDB runs on the same files. The driver compares row counts, schemas,
+and order-insensitive value hashes — so every computed column is aliased
+identically on both sides, floats are rounded at precisions where the two
+engines provably agree, and DuckDB-specific type quirks (DECIMAL inference,
+HUGEINT sums) are cast away explicitly.
+
+Cross-engine parity rules used throughout:
+- cast aggregates: DuckDB ``sum(int) -> HUGEINT`` => ``CAST(... AS BIGINT)``;
+  quantiles/medians always over ``CAST(... AS DOUBLE)`` (DECIMAL inference
+  truncates).
+- round money sums to 4dp (true values are exact multiples of 1e-4, so the
+  1e-9 fp summation noise can never cross a rounding boundary); round
+  means/ratios to 6dp (boundary-hit probability ~1e-10).
+- both engines' ``round`` on DOUBLE is round-half-away-from-zero over the
+  exact binary value — verified equivalent.
+- regexp_replace needs the ``'g'`` flag in DuckDB to match Spark's
+  replace-all default.
+- Jaccard / cosine are computed with the same sequential fold on both sides
+  (Spark ``aggregate``/``zip_with`` vs DuckDB ``list_sum(list_transform)``)
+  so doubles match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions import text as T
+from .operators import column_stats as CS
+from .operators import dedup, outliers, referential, similarity, uniqueness
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect) mirroring functions/text.py
+# ---------------------------------------------------------------------------
+
+def _sql_words(col: str) -> str:
+    # T.words: split on \s+ after trim, drop empties
+    return (
+        r"list_filter(regexp_split_to_array(trim({c}), '\s+'), x -> x != '')".format(c=col)
+    )
+
+
+def _sql_norm(col: str) -> str:
+    # T.normalized_text: lower + collapse whitespace + trim
+    return r"lower(regexp_replace(trim({c}), '\s+', ' ', 'g'))".format(c=col)
+
+
+def _sql_shingles(col: str, n: int = 3) -> str:
+    w = _sql_words(_sql_norm(col))
+    return (
+        "list_distinct(list_transform(range(1, greatest(len({w}) - {nm1}, 0) + 1), "
+        "i -> array_to_string(list_slice({w}, i, i + {nm1}), ' ')))"
+    ).format(w=w, nm1=n - 1)
+
+
+# ===========================================================================
+# §2.4 aggregations
+# ===========================================================================
+
+@q(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                          AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                     AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)  AS sum_disc_price,
+           ROUND(AVG(l_quantity), 6)                          AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6)                     AS avg_price,
+           ROUND(AVG(l_discount), 6)                          AS avg_disc,
+           COUNT(*)                                           AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary (SURVEY.md A1-class grouped aggs).
+    Filter + all aggregates happen in one hash-agg pass with map-side
+    combine; the shipdate predicate pushes into the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@q(
+    "q02_topk_revenue_join",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           STRFTIME(o_orderdate, '%Y-%m-%d')                 AS orderdate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q02(spark, sf_dir):
+    """TPC-H Q3-shaped 3-way join + top-k (SURVEY.md J-class + O1).
+    customer is the small dimension -> broadcast; the orders<->lineitem join
+    shuffles on the order key; global top-10 uses TakeOrderedAndProject (no
+    full sort materialization). Tie-break on l_orderkey for determinism."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@q(
+    "q03_group_sigma_flags",
+    """
+    SELECT e.event_id,
+           (e.value < b.m - 2 * b.s OR e.value > b.m + 2 * b.s) AS outside_sigma
+    FROM events e
+    JOIN (SELECT event_type, AVG(value) AS m, STDDEV_SAMP(value) AS s
+          FROM events GROUP BY event_type) b USING (event_type)
+    """,
+)
+def q03(spark, sf_dir):
+    """Per-group mean +- 2*sigma outlier flags (SURVEY.md A3,
+    data_processing/nodes.py:119-134). Aggregate-then-broadcast-join: the
+    detail table never shuffles."""
+    ev = _t(spark, sf_dir, "events")
+    flagged = outliers.sigma_bounds_flags(ev, "value", ["event_type"], k=2.0)
+    return flagged.select("event_id", F.col("outside_sigma"))
+
+
+@q(
+    "q04_group_iqr_flags",
+    """
+    SELECT e.event_id,
+           (e.value < b.med - 1.5 * b.iqr OR e.value > b.med + 1.5 * b.iqr) AS outside_iqr
+    FROM events e
+    JOIN (SELECT event_type,
+                 QUANTILE_CONT(CAST(value AS DOUBLE), 0.5) AS med,
+                 QUANTILE_CONT(CAST(value AS DOUBLE), 0.75)
+                   - QUANTILE_CONT(CAST(value AS DOUBLE), 0.25) AS iqr
+          FROM events GROUP BY event_type) b USING (event_type)
+    """,
+)
+def q04(spark, sf_dir):
+    """Per-group median +- 1.5*IQR flags with exact interpolated quantiles
+    (SURVEY.md A4, data_processing/nodes.py:137-148)."""
+    ev = _t(spark, sf_dir, "events")
+    return outliers.iqr_bounds_flags(ev, "value", ["event_type"], k=1.5).select(
+        "event_id", "outside_iqr"
+    )
+
+
+@q(
+    "q05_window_median_residuals",
+    """
+    SELECT user_id,
+           ROUND(AVG(res), 6)                               AS res_mean,
+           ROUND(MEDIAN(CAST(res AS DOUBLE)), 6)            AS res_median,
+           ROUND(STDDEV_SAMP(res), 6)                       AS res_stddev,
+           COUNT(*)                                         AS n
+    FROM (SELECT user_id,
+                 value - MEDIAN(CAST(value AS DOUBLE)) OVER (PARTITION BY event_type) AS res
+          FROM events)
+    GROUP BY user_id
+    """,
+)
+def q05(spark, sf_dir):
+    """Window median -> residual -> per-entity residual stats (SURVEY.md
+    A2+A5, data_processing/nodes.py:104-116 + features_engineering 27-33)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    res = ev.withColumn("res", F.col("value") - F.median("value").over(w))
+    return res.groupBy("user_id").agg(
+        F.round(F.avg("res"), 6).alias("res_mean"),
+        F.round(F.median("res"), 6).alias("res_median"),
+        F.round(F.stddev_samp("res"), 6).alias("res_stddev"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q(
+    "q06_distinct_counts",
+    """
+    SELECT user_id,
+           COUNT(DISTINCT event_type)                            AS n_types,
+           COUNT(*)                                              AS n_events,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT event_type), 6) AS events_per_type
+    FROM events GROUP BY user_id
+    """,
+)
+def q06(spark, sf_dir):
+    """Per-entity distinct count + ratio (SURVEY.md A9,
+    features_engineering/nodes.py:238-248)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("n_types"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.count(F.lit(1)).cast("double") / F.countDistinct("event_type"), 6).alias(
+            "events_per_type"
+        ),
+    )
+
+
+@q(
+    "q07_conditional_counts",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE value > 10 AND props IS NOT NULL) AS BIGINT) AS n_big,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)             AS n_errors,
+           CAST(SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT)     AS k_total
+    FROM events GROUP BY user_id
+    """,
+)
+def q07(spark, sf_dir):
+    """Conditional counts + regex extraction (SURVEY.md A10/A11,
+    features_engineering/nodes.py:279-283, 442-484)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sum(((F.col("value") > 10) & F.col("props").isNotNull()).cast("long")).alias("n_big"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
+        F.sum(F.regexp_extract("props", "[0-9]+", 0).cast("long")).alias("k_total"),
+    )
+
+
+@q(
+    "q08_global_quantile_flag",
+    """
+    SELECT o_orderpriority,
+           COUNT(*)                                        AS n_orders,
+           CAST(COUNT(*) FILTER (
+             WHERE o_totalprice < b.q1 - 1.5 * (b.q3 - b.q1)) AS BIGINT) AS n_low_outliers
+    FROM orders, (SELECT QUANTILE_CONT(CAST(o_totalprice AS DOUBLE), 0.25) AS q1,
+                         QUANTILE_CONT(CAST(o_totalprice AS DOUBLE), 0.75) AS q3
+                  FROM orders) b
+    GROUP BY o_orderpriority
+    """,
+)
+def q08(spark, sf_dir):
+    """Two-pass global quantile flag (SURVEY.md A13,
+    features_engineering/nodes.py:519-527): 1-row agg broadcast back."""
+    o = _t(spark, sf_dir, "orders")
+    flagged = outliers.global_low_quantile_flag(o, "o_totalprice", k=1.5)
+    return flagged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("low_outlier").cast("long")).alias("n_low_outliers"),
+    )
+
+
+@q(
+    "q09_minmax_normalize",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(((l_extendedprice - b.pmin) / (b.pmax - b.pmin)
+                + (l_discount - b.dmin) / (b.dmax - b.dmin)
+                + (l_tax - b.tmin) / (b.tmax - b.tmin)) / 3, 6) AS score
+    FROM lineitem,
+         (SELECT MIN(l_extendedprice) pmin, MAX(l_extendedprice) pmax,
+                 MIN(l_discount) dmin, MAX(l_discount) dmax,
+                 MIN(l_tax) tmin, MAX(l_tax) tmax
+          FROM lineitem) b
+    """,
+)
+def q09(spark, sf_dir):
+    """Global min-max normalize + row-mean score (SURVEY.md A14,
+    model_output/nodes.py:43-55)."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.groupBy().agg(
+        F.min("l_extendedprice").alias("pmin"),
+        F.max("l_extendedprice").alias("pmax"),
+        F.min("l_discount").alias("dmin"),
+        F.max("l_discount").alias("dmax"),
+        F.min("l_tax").alias("tmin"),
+        F.max("l_tax").alias("tmax"),
+    )
+    score = (
+        (F.col("l_extendedprice") - F.col("pmin")) / (F.col("pmax") - F.col("pmin"))
+        + (F.col("l_discount") - F.col("dmin")) / (F.col("dmax") - F.col("dmin"))
+        + (F.col("l_tax") - F.col("tmin")) / (F.col("tmax") - F.col("tmin"))
+    ) / 3
+    return li.crossJoin(F.broadcast(b)).select(
+        "l_orderkey", "l_linenumber", F.round(score, 6).alias("score")
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@q(
+    "q10_pivot_counts",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE event_type='click')    AS BIGINT) AS click,
+           CAST(COUNT(*) FILTER (WHERE event_type='error')    AS BIGINT) AS error,
+           CAST(COUNT(*) FILTER (WHERE event_type='purchase') AS BIGINT) AS purchase,
+           CAST(COUNT(*) FILTER (WHERE event_type='signup')   AS BIGINT) AS signup,
+           CAST(COUNT(*) FILTER (WHERE event_type='view')     AS BIGINT) AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def q10(spark, sf_dir):
+    """Count-by-2-keys + pivot (SURVEY.md A15, plot_tools.py:107-111).
+    Explicit value list avoids the extra distinct-values job."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count().na.fill(0)
+    )
+
+
+@q(
+    "q11_unpivot",
+    """
+    WITH p AS (
+      SELECT user_id,
+             CAST(COUNT(*) FILTER (WHERE event_type='click')    AS BIGINT) AS click,
+             CAST(COUNT(*) FILTER (WHERE event_type='purchase') AS BIGINT) AS purchase
+      FROM events GROUP BY user_id)
+    SELECT user_id, 'click' AS etype, click AS cnt FROM p
+    UNION ALL
+    SELECT user_id, 'purchase' AS etype, purchase AS cnt FROM p
+    """,
+)
+def q11(spark, sf_dir):
+    """Unpivot / melt (SURVEY.md A16, plot_tools.py:114-115)."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.groupBy("user_id").pivot("event_type", ["click", "purchase"]).count().na.fill(0)
+    return p.unpivot("user_id", ["click", "purchase"], "etype", "cnt")
+
+
+@q(
+    "q12_histogram",
+    """
+    SELECT CAST(LEAST(GREATEST(FLOOR((l_extendedprice - 0.0) / 5500.0), 0), 19) AS INT) AS bin,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q12(spark, sf_dir):
+    """Equi-width histogram, clamped edge bins (SURVEY.md A19,
+    plot_tools.py:61-66). Identical floor arithmetic on both engines —
+    [0, 110000) in 20 bins of 5500."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = F.least(
+        F.greatest(F.floor((F.col("l_extendedprice") - 0.0) / 5500.0), F.lit(0)), F.lit(19)
+    )
+    return li.groupBy(b.cast("int").alias("bin")).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@q(
+    "q13_descriptive_stats",
+    """
+    SELECT c_mktsegment,
+           COUNT(c_acctbal)                                        AS n,
+           ROUND(AVG(c_acctbal), 6)                                AS mean,
+           ROUND(STDDEV_SAMP(c_acctbal), 6)                        AS stddev,
+           ROUND(MIN(c_acctbal), 2)                                AS min,
+           ROUND(QUANTILE_CONT(CAST(c_acctbal AS DOUBLE), 0.25), 6) AS q25,
+           ROUND(QUANTILE_CONT(CAST(c_acctbal AS DOUBLE), 0.50), 6) AS q50,
+           ROUND(QUANTILE_CONT(CAST(c_acctbal AS DOUBLE), 0.75), 6) AS q75,
+           ROUND(MAX(c_acctbal), 2)                                AS max
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q13(spark, sf_dir):
+    """Per-group describe() (SURVEY.md A18, plot_tools.py:608)."""
+    c = _t(spark, sf_dir, "customer")
+    v = F.col("c_acctbal")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(v).alias("n"),
+        F.round(F.avg(v), 6).alias("mean"),
+        F.round(F.stddev_samp(v), 6).alias("stddev"),
+        F.round(F.min(v), 2).alias("min"),
+        F.round(F.percentile(v, F.lit(0.25)), 6).alias("q25"),
+        F.round(F.percentile(v, F.lit(0.50)), 6).alias("q50"),
+        F.round(F.percentile(v, F.lit(0.75)), 6).alias("q75"),
+        F.round(F.max(v), 2).alias("max"),
+    )
+
+
+# ===========================================================================
+# §2.3 joins / §2.7 set ops / engine checks on relational tables
+# ===========================================================================
+
+@q(
+    "q14_anti_join_orphans",
+    """
+    SELECT c_custkey AS key, 'customer_without_orders' AS side FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT o_custkey AS key, 'order_without_customer' AS side FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+)
+def q14(spark, sf_dir):
+    """Referential orphans both directions via anti-joins (SURVEY.md §2.7 +
+    north-rule referential check; operators/referential.py)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    left = referential.anti_join(c, o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey").select(
+        F.col("c_custkey").alias("key"), F.lit("customer_without_orders").alias("side")
+    )
+    right = referential.anti_join(o, c.select(F.col("c_custkey").alias("o_custkey")), "o_custkey").select(
+        F.col("o_custkey").alias("key"), F.lit("order_without_customer").alias("side")
+    )
+    return left.unionByName(right)
+
+
+@q(
+    "q15_semi_join",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def q15(spark, sf_dir):
+    """Left-semi join (missing from the reference's join zoo — SURVEY.md
+    §2.3 'Missing vs Spark's join zoo')."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_mktsegment")
+
+
+@q(
+    "q16_union_width",
+    """
+    SELECT o_orderkey AS id, o_totalprice AS amount, NULL AS segment, 'orders' AS src FROM orders
+    UNION ALL
+    SELECT c_custkey AS id, c_acctbal AS amount, c_mktsegment AS segment, 'customer' AS src
+    FROM customer
+    """,
+)
+def q16(spark, sf_dir):
+    """Union-all with schema widening (SURVEY.md S4,
+    data_download/nodes.py:124-129): unionByName(allowMissingColumns)."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"), F.col("o_totalprice").alias("amount"), F.lit("orders").alias("src")
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_acctbal").alias("amount"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("customer").alias("src"),
+    )
+    return o.unionByName(c, allowMissingColumns=True).select("id", "amount", "segment", "src")
+
+
+@q(
+    "q17_uniqueness_dups",
+    """
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1
+    """,
+)
+def q17(spark, sf_dir):
+    """Salted two-phase duplicate-key detection (north-rule uniqueness check,
+    operators/uniqueness.py; SURVEY.md A12 analogue)."""
+    o = _t(spark, sf_dir, "orders")
+    return uniqueness.duplicate_keys(o, ["o_custkey"])
+
+
+@q(
+    "q18_nested_extract",
+    """
+    SELECT vec_id,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_dim,
+           CAST(LEN(embedding) AS INT)            AS dim
+    FROM embeddings
+    """,
+)
+def q18(spark, sf_dir):
+    """Nested/array extraction (SURVEY.md P2, data_download/nodes.py:45-54)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_dim"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+@q(
+    "q19_string_funcs",
+    """
+    SELECT doc_id,
+           {words}[1]                                    AS first_word,
+           {words}[LEN({words})]                         AS last_word,
+           LENGTH(text) = n_chars                        AS n_chars_ok,
+           CAST(LEN(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numbers
+    FROM documents
+    """.format(words=_sql_words("text")),
+)
+def q19(spark, sf_dir):
+    """String function surface (SURVEY.md §2.8: split/trim/regex)."""
+    d = _t(spark, sf_dir, "documents")
+    w = T.words(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.element_at(w, 1).alias("first_word"),
+        F.element_at(w, -1).alias("last_word"),
+        (F.length("text") == F.col("n_chars")).alias("n_chars_ok"),
+        F.regexp_count("text", F.lit("[0-9]+")).cast("int").alias("n_numbers"),
+    )
+
+
+# ===========================================================================
+# training-data pipeline: deduplication family
+# ===========================================================================
+
+@q(
+    "q20_dedup_exact",
+    """
+    WITH h AS (SELECT doc_id, md5({norm}) AS text_md5 FROM documents),
+         g AS (SELECT text_md5, CAST(COUNT(*) AS BIGINT) AS dup_count,
+                      MIN(doc_id) AS canonical_id
+               FROM h GROUP BY text_md5)
+    SELECT h.doc_id, h.text_md5, g.dup_count,
+           h.doc_id = g.canonical_id AS is_canonical
+    FROM h JOIN g USING (text_md5)
+    """.format(norm=_sql_norm("text")),
+)
+def q20(spark, sf_dir):
+    """Exact dedup via normalized-content hash (operators/dedup.py;
+    SURVEY.md A12/W4 analogue, distributed)."""
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+_JACCARD_ORACLE = """
+    WITH d AS (SELECT doc_id, {sh} AS sh FROM documents),
+         dd AS (SELECT * FROM d WHERE len(sh) > 0),
+         ex AS (SELECT doc_id, UNNEST(sh) AS g FROM dd),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+                   FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         sz AS (SELECT doc_id, len(sh) AS n FROM dd)
+    SELECT doc_a, doc_b,
+           ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.05
+""".format(sh=_sql_shingles("text", 3))
+
+
+@q("q21_ngram_jaccard", _JACCARD_ORACLE)
+def q21(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs (operators/dedup.py;
+    the reference's substring-membership join J6 generalized)."""
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.05)
+
+
+def _minhash_sql() -> str:
+    sig_cols = ",\n           ".join(
+        "list_aggregate(list_transform(sh, s -> md5('{i}|' || s)), 'min') AS h{i}".format(i=i)
+        for i in range(dedup.N_HASHES)
+    )
+    band_rows = []
+    for b in range(dedup.N_BANDS):
+        cols = " || '|' || ".join(
+            f"h{b * dedup.ROWS_PER_BAND + r}" for r in range(dedup.ROWS_PER_BAND)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS bkey FROM sig"
+        )
+    bands = "\n         UNION ALL ".join(band_rows)
+    return """
+    WITH d AS (SELECT doc_id, {sh} AS sh FROM documents),
+         dd AS (SELECT * FROM d WHERE len(sh) > 0),
+         sig AS (SELECT doc_id,
+           {sig_cols}
+           FROM dd),
+         bands AS ({bands}),
+         sizes AS (SELECT band, bkey, COUNT(*) AS bn FROM bands GROUP BY 1, 2),
+         ok AS (SELECT bands.* FROM bands JOIN sizes USING (band, bkey) WHERE bn <= 1000),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM ok a JOIN ok b
+                    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           ROUND(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+                 / len(list_distinct(da.sh || db.sh)), 6) AS jaccard
+    FROM cand JOIN dd da ON da.doc_id = doc_a JOIN dd db ON db.doc_id = doc_b
+    WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+          / len(list_distinct(da.sh || db.sh)) >= 0.2
+    """.format(sh=_sql_shingles("text", 3), sig_cols=sig_cols, bands=bands)
+
+
+@q("q22_minhash_lsh", _minhash_sql())
+def q22(spark, sf_dir):
+    """MinHash + banded LSH near-dup candidates, exact-Jaccard verified
+    (operators/dedup.py). md5-lexicographic hashing makes the signature
+    reproducible in any engine — the oracle rebuilds it verbatim."""
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+def _simhash_sql() -> str:
+    digit_cols = ",\n           ".join(
+        "strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1 AS d{j}".format(p=j + 1, j=j)
+        for j in range(16)
+    )
+    sums = []
+    for k in range(64):
+        j, shift = divmod(k, 4)
+        sums.append(
+            "SUM(CASE WHEN ((d{j} >> {s}) & 1) = 1 THEN 1 ELSE -1 END) AS s{k}".format(
+                j=j, s=3 - shift, k=k
+            )
+        )
+    sum_cols = ",\n           ".join(sums)
+    bits = " || ".join(f"(CASE WHEN s{k} > 0 THEN '1' ELSE '0' END)" for k in range(64))
+    return """
+    WITH w AS (SELECT doc_id, UNNEST({words}) AS word FROM documents),
+         h AS (SELECT doc_id, substr(md5(word), 1, 16) AS hx FROM w),
+         d AS (SELECT doc_id,
+           {digit_cols}
+           FROM h),
+         s AS (SELECT doc_id,
+           {sum_cols}
+           FROM d GROUP BY doc_id)
+    SELECT doc_id, {bits} AS simhash64 FROM s
+    """.format(
+        words=_sql_words(_sql_norm("text")), digit_cols=digit_cols, sum_cols=sum_cols, bits=bits
+    )
+
+
+@q("q23_simhash", _simhash_sql())
+def q23(spark, sf_dir):
+    """64-bit SimHash fingerprints (operators/dedup.py)."""
+    return dedup.simhash_bits(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# training-data pipeline: similarity search over embeddings
+# ===========================================================================
+
+_COS_SQL = (
+    "list_sum(list_transform(range(1, {d} + 1), i -> qa[i] * qb[i])) / "
+    "(sqrt(list_sum(list_transform(range(1, {d} + 1), i -> qa[i] * qa[i]))) * "
+    "sqrt(list_sum(list_transform(range(1, {d} + 1), i -> qb[i] * qb[i]))))"
+).format(d=similarity.EMB_DIM)
+
+
+@q(
+    "q24_cosine_knn",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qa
+               FROM embeddings WHERE vec_id < 5),
+         b AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS qb
+               FROM embeddings),
+         scored AS (SELECT query_id, neighbor_id, ROUND({cos}, 6) AS cos
+                    FROM q, b WHERE neighbor_id != query_id)
+    SELECT query_id, neighbor_id, cos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """.format(cos=_COS_SQL),
+)
+def q24(spark, sf_dir):
+    """Brute-force exact cosine top-k (operators/similarity.py). Dot products
+    are sequential folds in float64 on both engines -> bit-identical."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_knn(e, e.where(F.col("vec_id") < 5), k=5)
+
+
+def _ann_sql() -> str:
+    bucket_bits = []
+    for h in similarity.HYPERPLANES:
+        lit = "[" + ", ".join(repr(x) for x in h) + "]"
+        bucket_bits.append(
+            "(CASE WHEN list_sum(list_transform(range(1, {d} + 1), i -> v[i] * ({lit})[i])) > 0 "
+            "THEN '1' ELSE '0' END)".format(d=similarity.EMB_DIM, lit=lit)
+        )
+    bucket = " || ".join(bucket_bits)
+    return """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         bk AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+         q AS (SELECT vec_id AS query_id, v AS qa, bucket FROM bk WHERE vec_id < 5),
+         b AS (SELECT vec_id AS neighbor_id, v AS qb, bucket FROM bk),
+         scored AS (SELECT query_id, neighbor_id, ROUND({cos}, 6) AS cos
+                    FROM q JOIN b USING (bucket) WHERE neighbor_id != query_id)
+    SELECT query_id, neighbor_id, cos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """.format(bucket=bucket, cos=_COS_SQL)
+
+
+@q("q25_ann_lsh", _ann_sql())
+def q25(spark, sf_dir):
+    """Random-hyperplane LSH ANN top-k (operators/similarity.py): candidates
+    share the query's sign bucket; hyperplanes are fixed literals inlined in
+    both engines."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_ann_knn(e, e.where(F.col("vec_id") < 5), k=5)
+
+
+@q(
+    "q26_embedding_neardup",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         bk AS (SELECT vec_id, v, {bucket} AS bucket FROM e)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({cos_ab}, 6) AS cos
+    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {cos_ab} >= 0.6
+    """.format(
+        bucket=" || ".join(
+            "(CASE WHEN list_sum(list_transform(range(1, {d} + 1), i -> v[i] * ({lit})[i])) > 0 "
+            "THEN '1' ELSE '0' END)".format(
+                d=similarity.EMB_DIM, lit="[" + ", ".join(repr(x) for x in h) + "]"
+            )
+            for h in similarity.HYPERPLANES
+        ),
+        cos_ab=(
+            "list_sum(list_transform(range(1, {d} + 1), i -> a.v[i] * b.v[i])) / "
+            "(sqrt(list_sum(list_transform(range(1, {d} + 1), i -> a.v[i] * a.v[i]))) * "
+            "sqrt(list_sum(list_transform(range(1, {d} + 1), i -> b.v[i] * b.v[i]))))"
+        ).format(d=similarity.EMB_DIM),
+    ),
+)
+def q26(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs inside LSH buckets
+    (operators/similarity.py)."""
+    return similarity.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.6)
+
+
+# ===========================================================================
+# training-data pipeline: text analysis
+# ===========================================================================
+
+def _langid_sql() -> str:
+    score_cols = []
+    for lang, markers in T.LANG_MARKERS.items():
+        terms = " + ".join(
+            "len(list_filter({w}, x -> x = '{m}'))".format(w=_sql_words("lower(text)"), m=m)
+            for m in markers
+        )
+        score_cols.append(f"({terms}) AS s_{lang}")
+    langs = list(T.LANG_MARKERS)
+    expr, best = f"'{langs[0]}'", f"s_{langs[0]}"
+    for lang in langs[1:]:
+        expr = f"CASE WHEN s_{lang} > {best} THEN '{lang}' ELSE {expr} END"
+        best = f"GREATEST({best}, s_{lang})"
+    return """
+    WITH s AS (SELECT doc_id, lang, {scores} FROM documents)
+    SELECT doc_id, lang AS labeled_lang, {expr} AS predicted_lang FROM s
+    """.format(scores=", ".join(score_cols), expr=expr)
+
+
+@q("q27_lang_id", _langid_sql())
+def q27(spark, sf_dir):
+    """Marker-word language id (functions/text.py). Parity of the heuristic
+    is asserted; the synthetic corpus is shared-vocabulary so accuracy is
+    not the point (SURVEY.md §5)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        T.predicted_lang(F.col("text")).alias("predicted_lang"),
+    )
+
+
+@q(
+    "q28_quality_score",
+    """
+    SELECT doc_id,
+           CAST(len({w}) AS INT) AS n_words,
+           CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS INT) AS n_punct,
+           ROUND((LEAST(len({w}) / 50.0, 1.0)
+                + GREATEST(0.0, 1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+                                      / GREATEST(len({w}), 1))
+                + LEAST(1.0, (CASE WHEN len({w}) > 0
+                              THEN CAST(len(list_filter({wl}, x -> x IN ('the','a','of','to','and'))) AS DOUBLE)
+                                   / len({wl})
+                              ELSE 0.0 END) * 5.0)) / 3.0, 6) AS quality
+    FROM documents
+    """.format(w=_sql_words("text"), wl=_sql_words("lower(text)")),
+)
+def q28(spark, sf_dir):
+    """Document quality scoring: length/punctuation/stopword composite
+    (functions/text.py; features_engineering quality-feature analogue)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.word_count(F.col("text")).alias("n_words"),
+        T.punct_count(F.col("text")).cast("int").alias("n_punct"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+@q(
+    "q29_token_count",
+    """
+    SELECT doc_id,
+           CAST(len({w}) AS INT)                                             AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{tok}')) AS INT)               AS bpe_tokens
+    FROM documents
+    """.format(w=_sql_words("text"), tok=T.TOKEN_REGEX),
+)
+def q29(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex (functions/text.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.word_count(F.col("text")).alias("ws_tokens"),
+        T.bpe_token_count(F.col("text")).cast("int").alias("bpe_tokens"),
+    )
+
+
+@q(
+    "q30_fingerprint",
+    "SELECT doc_id, md5({norm}) AS fp FROM documents".format(norm=_sql_norm("text")),
+)
+def q30(spark, sf_dir):
+    """Content fingerprint over normalized text (functions/text.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint_md5(F.col("text")).alias("fp"))
+
+
+# ===========================================================================
+# engine checks as relational queries: column stats + drift
+# ===========================================================================
+
+@q(
+    "q31_column_stats",
+    """
+    SELECT 'l_quantity' AS column,
+           ROUND(MIN(l_quantity), 6) AS min, ROUND(MAX(l_quantity), 6) AS max,
+           ROUND(AVG(l_quantity), 6) AS mean, ROUND(STDDEV_SAMP(l_quantity), 6) AS stddev,
+           ROUND(CAST(COUNT(*) - COUNT(l_quantity) AS DOUBLE) / COUNT(*), 6) AS null_rate,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice',
+           ROUND(MIN(l_extendedprice), 6), ROUND(MAX(l_extendedprice), 6),
+           ROUND(AVG(l_extendedprice), 6), ROUND(STDDEV_SAMP(l_extendedprice), 6),
+           ROUND(CAST(COUNT(*) - COUNT(l_extendedprice) AS DOUBLE) / COUNT(*), 6),
+           COUNT(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount',
+           ROUND(MIN(l_discount), 6), ROUND(MAX(l_discount), 6),
+           ROUND(AVG(l_discount), 6), ROUND(STDDEV_SAMP(l_discount), 6),
+           ROUND(CAST(COUNT(*) - COUNT(l_discount) AS DOUBLE) / COUNT(*), 6),
+           COUNT(*)
+    FROM lineitem
+    """,
+)
+def q31(spark, sf_dir):
+    """North-rule column stats (operators/column_stats.py): one agg pass,
+    every stat for every column."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = CS.column_stats(li, numeric_cols=["l_quantity", "l_extendedprice", "l_discount"])
+    return out.select(
+        "column",
+        F.round("min", 6).alias("min"),
+        F.round("max", 6).alias("max"),
+        F.round("mean", 6).alias("mean"),
+        F.round("stddev", 6).alias("stddev"),
+        F.round("null_rate", 6).alias("null_rate"),
+        "n_rows",
+    )
+
+
+@q(
+    "q32_drift_psi_ks",
+    """
+    WITH binned AS (
+      SELECT (l_returnflag = 'R') AS snap,
+             CAST(LEAST(GREATEST(FLOOR((l_extendedprice - 0.0) / 5500.0), 0), 19) AS INT) AS bin
+      FROM lineitem),
+    counts AS (
+      SELECT bin,
+             CAST(COUNT(*) FILTER (WHERE NOT snap) AS DOUBLE) AS e,
+             CAST(COUNT(*) FILTER (WHERE snap) AS DOUBLE)     AS a
+      FROM binned GROUP BY bin),
+    probs AS (
+      SELECT bin,
+             GREATEST(e / SUM(e) OVER (), 1e-9) AS pe,
+             GREATEST(a / SUM(a) OVER (), 1e-9) AS pa
+      FROM counts),
+    cdf AS (
+      SELECT SUM(pa - pe) OVER (ORDER BY bin) AS d,
+             (pa - pe) * LN(pa / pe)          AS term
+      FROM probs)
+    SELECT ROUND(SUM(term), 6) AS psi, ROUND(MAX(ABS(d)), 6) AS ks FROM cdf
+    """,
+)
+def q32(spark, sf_dir):
+    """Distribution drift: PSI + KS between two snapshots of lineitem
+    (returnflag='R' vs rest) over a 20-bin equi-width histogram — the
+    north-rule drift check expressed fully relationally (operators/drift.py
+    is the collect-to-numpy variant used by the suite runner)."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = F.least(
+        F.greatest(F.floor((F.col("l_extendedprice") - 0.0) / 5500.0), F.lit(0)), F.lit(19)
+    ).cast("int")
+    counts = (
+        li.select((F.col("l_returnflag") == "R").alias("snap"), b.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(~F.col("snap"), 1).otherwise(0)).cast("double").alias("e"),
+            F.sum(F.when(F.col("snap"), 1).otherwise(0)).cast("double").alias("a"),
+        )
+    )
+    wall = Window.partitionBy()
+    probs = counts.select(
+        "bin",
+        F.greatest(F.col("e") / F.sum("e").over(wall), F.lit(1e-9)).alias("pe"),
+        F.greatest(F.col("a") / F.sum("a").over(wall), F.lit(1e-9)).alias("pa"),
+    )
+    wcdf = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cdf = probs.select(
+        F.sum(F.col("pa") - F.col("pe")).over(wcdf).alias("d"),
+        ((F.col("pa") - F.col("pe")) * F.log(F.col("pa") / F.col("pe"))).alias("term"),
+    )
+    return cdf.agg(F.round(F.sum("term"), 6).alias("psi"), F.round(F.max(F.abs(F.col("d"))), 6).alias("ks"))
+
+
+# ===========================================================================
+# clips engine smoke (non-SQL-expressible: binary audio decode)
+# ===========================================================================
+
+@q("q33_payload_validate")
+def q33(spark, sf_dir):
+    """Audio payload validation summary on a deterministic synthesized clips
+    table (binary decode in Arrow-batched pandas UDFs — no SQL oracle
+    possible; the driver records a rows-only check, and pytest asserts exact
+    violation parity against the generator sidecar)."""
+    from .operators import payload
+    from .sources import synth
+
+    t = synth.generate_clips(n_clips=400, n_parts=8, seed=7)
+    clips = spark.createDataFrame(t.clips.to_pandas())
+    ref = spark.createDataFrame(t.clips_ref.to_pandas())
+    rep = payload.payload_report(clips, ref)
+    return rep.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("decode_ok").cast("long")).alias("n_decoded"),
+        F.sum((F.coalesce(F.col("snr_db"), F.lit(-1e9)) >= 30.0).cast("long")).alias("n_snr_ok"),
+        F.sum(F.col("transcript_ok").cast("long")).alias("n_transcript_ok"),
+    )
+
+
+def entry_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the validation engine pointed at the driver's relational
+    tables — one verdict row per check family with violation counts."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    dups = uniqueness.duplicate_keys(o, ["o_custkey"]).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("uniqueness_o_custkey").alias("check"), F.col("n"))
+    orphans = (
+        referential.anti_join(c, o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("customers_without_orders").alias("check"), F.col("n"))
+    )
+    low = (
+        outliers.global_low_quantile_flag(o, "o_totalprice")
+        .agg(F.sum(F.col("low_outlier").cast("long")).alias("n"))
+        .select(F.lit("low_price_outliers").alias("check"), F.col("n"))
+    )
+    nulls = (
+        _t(spark, sf_dir, "lineitem")
+        .agg(F.sum(F.col("l_quantity").isNull().cast("long")).alias("n"))
+        .select(F.lit("lineitem_quantity_nulls").alias("check"), F.col("n"))
+    )
+    return dups.unionByName(orphans).unionByName(low).unionByName(nulls)

@@ -75,8 +75,11 @@ def generate_clips(
     codec_list = np.asarray(codecs.CODECS)
 
     clip_ids, payloads, sr_col, dur_col, codec_col, transcripts = [], [], [], [], [], []
-    pcm_refs, transcript_refs = [], []
+    ref_ids: list[str] = []  # unique per clip_id — the ground-truth dimension
+    ref_pcm_col: list[bytes] = []
+    ref_txt_col: list[str] = []
     viol: list[tuple[str, str, str]] = []  # (clip_id, check, detail)
+    last_clean: int | None = None  # index of last violation-free row (dup source)
 
     sr_choice = rng.choice(len(srs), size=n_clips, p=sr_probs)
     # log-normal duration, heavy tail; drift shifts the location
@@ -90,6 +93,20 @@ def generate_clips(
     u = rng.uniform(size=(n_clips, 5)) if inject_violations else np.ones((n_clips, 5))
 
     for i in range(n_clips):
+        # duplicate-ingest violation: replay the last clean row verbatim
+        # (same id, bytes, transcript) so the only check it trips is
+        # uniqueness — no ref row is added (ref stays unique per clip_id)
+        if inject_violations and u[i, 0] < 0.005 and last_clean is not None:
+            j = last_clean
+            clip_ids.append(clip_ids[j])
+            payloads.append(payloads[j])
+            sr_col.append(sr_col[j])
+            dur_col.append(dur_col[j])
+            codec_col.append(codec_col[j])
+            transcripts.append(transcripts[j])
+            viol.append((clip_ids[j], "uniqueness", "duplicate clip_id"))
+            continue
+
         cid = f"clip-{seed:04d}-{i:08d}"
         sr = int(srs[sr_choice[i]])
         dur_ms = int(max(40.0, durs[i]))
@@ -107,10 +124,8 @@ def generate_clips(
         payload = codecs.encode(pcm, codec)
 
         # --- violation injection -------------------------------------
-        if u[i, 0] < 0.005 and i > 0:  # duplicate clip_id
-            cid = f"clip-{seed:04d}-{(i - 1):08d}"
-            viol.append((cid, "uniqueness", "duplicate clip_id"))
-        elif u[i, 1] < 0.010:  # corrupted payload -> SNR < 30 dB
+        dirty = True
+        if u[i, 1] < 0.010:  # corrupted payload -> SNR < 30 dB
             bad = np.clip(pcm + 0.5 * rng.standard_normal(n_samp), -0.999, 0.999)
             payload = codecs.encode(bad, codec)
             viol.append((cid, "payload_snr", "corrupted payload"))
@@ -123,6 +138,8 @@ def generate_clips(
         elif u[i, 4] < 0.005:  # transcript byte-mismatch vs reference
             txt = ref_txt + " x"
             viol.append((cid, "transcript_mismatch", "transcript differs from reference"))
+        else:
+            dirty = False
 
         clip_ids.append(cid)
         payloads.append(payload)
@@ -130,22 +147,26 @@ def generate_clips(
         dur_col.append(dur_ms)
         codec_col.append(codec)
         transcripts.append(txt)
-        pcm_refs.append(ref_pcm.tobytes())
-        transcript_refs.append(ref_txt)
+        ref_ids.append(cid)
+        ref_pcm_col.append(ref_pcm.tobytes())
+        ref_txt_col.append(ref_txt)
+        if not dirty:
+            last_clean = len(clip_ids) - 1
 
     parts = [part_of(c, n_parts) for c in clip_ids]
 
     # referential orphans, both directions (SURVEY.md J6/J7 analogue)
-    ref_ids = list(clip_ids)
-    ref_pcm_col = list(pcm_refs)
-    ref_txt_col = list(transcript_refs)
     if inject_violations and n_clips >= 100:
-        # clips with no reference row: drop last 3 unique ids from ref side
+        # clips with no reference row: drop last 3 *clean* unique ids from the
+        # ref side (a dirty clip without a ref would make its payload
+        # violation unobservable, breaking sidecar parity)
+        viol_ids = {v[0] for v in viol}
         drop = set()
         for cid in reversed(clip_ids):
             if len(drop) >= 3:
                 break
-            drop.add(cid)
+            if cid not in viol_ids:
+                drop.add(cid)
         keep = [j for j, c in enumerate(ref_ids) if c not in drop]
         for cid in sorted(drop):
             viol.append((cid, "referential_missing_ref", "clip has no reference row"))

@@ -1,0 +1,106 @@
+"""spark-submit entry point for the validation engine.
+
+Usage (north-rule deployment shape):
+
+    spark-submit --py-files dist/engine.zip jobs/validate.py \
+        --data /path/clips --ref /path/clips_ref --hist-ref /path/hist_ref.parquet \
+        --checkpoint /path/ck --master local[8]
+
+Or directly: ``python jobs/validate.py --synth 2000 --checkpoint /tmp/ck``
+(synthesizes a deterministic table first — useful for smoke runs and the
+two-parallelism scaling benchmark).
+
+Prints a JSON summary: per-partition verdicts, violation counts by check,
+drift metrics, throughput (clips/sec).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from audit_anomaly_detection_etl_spark.plans.runner import ranked_violations, run_suite
+from audit_anomaly_detection_etl_spark.plans.spec import SuiteSpec
+from audit_anomaly_detection_etl_spark.session import get_spark
+
+
+def main(argv: list[str] | None = None) -> dict:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", help="clips table root (hive-partitioned parquet)")
+    ap.add_argument("--ref", help="clips_ref table root")
+    ap.add_argument("--hist-ref", dest="hist_ref", help="reference histogram parquet")
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--wave-size", type=int, default=8)
+    ap.add_argument("--synth", type=int, default=0, help="synthesize N clips under --checkpoint/data")
+    ap.add_argument("--synth-seed", type=int, default=42)
+    ap.add_argument("--synth-dur-ms", type=float, default=400.0)
+    ap.add_argument("--top", type=int, default=10, help="print top-N ranked violations")
+    args = ap.parse_args(argv)
+
+    if args.synth:
+        from audit_anomaly_detection_etl_spark.sources import synth
+
+        data_dir = os.path.join(args.checkpoint, "data")
+        if not os.path.isdir(os.path.join(data_dir, "clips")):
+            t = synth.generate_clips(
+                n_clips=args.synth, seed=args.synth_seed, mean_dur_ms=args.synth_dur_ms
+            )
+            synth.write_clip_tables(t, data_dir)
+        args.data = os.path.join(data_dir, "clips")
+        args.ref = os.path.join(data_dir, "clips_ref")
+        args.hist_ref = os.path.join(data_dir, "hist_ref.parquet")
+
+    if not args.data:
+        ap.error("--data required (or --synth N)")
+
+    spark = get_spark(master=args.master)
+    t0 = time.time()
+    res = run_suite(
+        spark,
+        clips_root=args.data,
+        ref_root=args.ref,
+        hist_ref_path=args.hist_ref,
+        checkpoint_dir=args.checkpoint,
+        spec=SuiteSpec(),
+        wave_size=args.wave_size,
+    )
+    elapsed = time.time() - t0
+    n_rows = sum(v.n_rows for v in res.verdicts.values() if v.part in set(res.ran_parts))
+    top = [
+        r.asDict() for r in ranked_violations(spark, res.violations_path).limit(args.top).collect()
+    ]
+    summary = {
+        "snapshot_id": res.snapshot_id,
+        "spec_hash": res.spec_hash,
+        "parts_total": len(res.verdicts),
+        "parts_ran": len(res.ran_parts),
+        "parts_resumed_skip": len(res.skipped_parts),
+        "passed": sum(1 for v in res.verdicts.values() if v.passed),
+        "failed": sum(1 for v in res.verdicts.values() if not v.passed),
+        "violations_by_check": _sum_by_check(res),
+        "schema_issues": res.schema_issues,
+        "rows_validated": n_rows,
+        "elapsed_sec": round(elapsed, 3),
+        "clips_per_sec": round(n_rows / elapsed, 1) if elapsed > 0 else None,
+        "top_violations": top,
+    }
+    print(json.dumps(summary))
+    return summary
+
+
+def _sum_by_check(res) -> dict:
+    out: dict[str, int] = {}
+    for v in res.verdicts.values():
+        for c, n in v.violations_by_check.items():
+            out[c] = out.get(c, 0) + n
+    return out
+
+
+if __name__ == "__main__":
+    main()

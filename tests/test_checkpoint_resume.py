@@ -1,0 +1,146 @@
+"""End-to-end suite runner: verdicts, kill/resume, idempotency, determinism.
+
+SURVEY.md §5 items 4-5: kill after k partitions -> rerun validates only the
+remainder and final verdicts are identical; same seed + different parallelism
+-> identical verdict + violation tables.
+"""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from audit_anomaly_detection_etl_spark.plans import checkpoint as ck
+from audit_anomaly_detection_etl_spark.plans.runner import KilledMidRun, ranked_violations, run_suite
+from audit_anomaly_detection_etl_spark.plans.spec import SuiteSpec
+
+
+def _run(spark, clip_dir, ckdir, **kw):
+    return run_suite(
+        spark,
+        clips_root=os.path.join(clip_dir, "clips"),
+        ref_root=os.path.join(clip_dir, "clips_ref"),
+        hist_ref_path=os.path.join(clip_dir, "hist_ref.parquet"),
+        checkpoint_dir=str(ckdir),
+        **kw,
+    )
+
+
+def _expected(clip_dir):
+    return pq.read_table(os.path.join(clip_dir, "violations_expected.parquet")).to_pandas()
+
+
+def test_full_run_verdicts_and_violation_parity(spark, clip_dir, tmp_path):
+    res = _run(spark, clip_dir, tmp_path / "ck")
+    assert len(res.verdicts) == 16 and len(res.ran_parts) == 16
+    assert res.schema_issues == []
+
+    exp = _expected(clip_dir)
+    v = ranked_violations(spark, res.violations_path).toPandas()
+    # exact violation-row parity vs generator sidecar (key, check-family)
+    # sets; an unknown codec is caught twice (schema domain check + payload
+    # decode) — both normalize to the sidecar's 'codec' family
+    fam = v.check.where(~((v.check == "schema_constraint") & (v.detail == "codec:domain")), "codec")
+    assert set(zip(v.key, fam)) == set(zip(exp.clip_id, exp.check))
+    # ranked: severity monotone non-increasing
+    assert v.severity.is_monotonic_decreasing
+
+    # partition verdicts: a part fails iff it owns >=1 violation
+    bad_parts = set(v[v.part.notna()].part.astype(int))
+    for p, verdict in res.verdicts.items():
+        assert verdict.passed == (p not in bad_parts), p
+        assert verdict.snapshot_id == res.snapshot_id
+        assert verdict.metrics["column_stats"], "metrics rows recorded"
+        assert verdict.metrics["drift"], "drift metrics recorded"
+    # drift: clean generation must not trip PSI in any partition
+    assert all(not m["drifted"] for m in res.drift_metrics)
+
+
+def test_kill_then_resume_runs_only_pending(spark, clip_dir, tmp_path):
+    ckdir = tmp_path / "ck2"
+    with pytest.raises(KilledMidRun):
+        _run(spark, clip_dir, ckdir, wave_size=4, fail_after_waves=2)
+    store = ck.CheckpointStore(str(ckdir))
+    # 2 waves x 4 parts checkpointed before the kill
+    done_before = len(os.listdir(ckdir)) - 1  # minus violations dir
+    assert done_before == 8
+
+    res = _run(spark, clip_dir, ckdir, wave_size=4)
+    assert sorted(res.ran_parts + res.skipped_parts) == list(range(16))
+    assert len(res.skipped_parts) == 8 and len(res.ran_parts) == 8
+
+    # final state identical to an uninterrupted run
+    clean = _run(spark, clip_dir, tmp_path / "ck3")
+    for p in range(16):
+        a, b = res.verdicts[p], clean.verdicts[p]
+        assert (a.passed, a.n_rows, a.n_violations, a.violations_by_check) == (
+            b.passed,
+            b.n_rows,
+            b.n_violations,
+            b.violations_by_check,
+        )
+    va = ranked_violations(spark, res.violations_path).toPandas()
+    vb = ranked_violations(spark, clean.violations_path).toPandas()
+    assert sorted(map(tuple, va[["key", "check"]].values)) == sorted(
+        map(tuple, vb[["key", "check"]].values)
+    )
+
+
+def test_rerun_is_noop_and_idempotent(spark, clip_dir, tmp_path):
+    ckdir = tmp_path / "ck4"
+    first = _run(spark, clip_dir, ckdir)
+    again = _run(spark, clip_dir, ckdir)
+    assert again.ran_parts == [] and len(again.skipped_parts) == 16
+    assert {p: v.n_violations for p, v in again.verdicts.items()} == {
+        p: v.n_violations for p, v in first.verdicts.items()
+    }
+
+
+def test_spec_change_invalidates_checkpoints(spark, clip_dir, tmp_path):
+    ckdir = tmp_path / "ck5"
+    _run(spark, clip_dir, ckdir)
+    looser = SuiteSpec(psi_threshold=0.5)
+    res = _run(spark, clip_dir, ckdir, spec=looser)
+    assert len(res.ran_parts) == 16, "new spec hash must re-validate everything"
+
+
+def test_determinism_across_parallelism(clip_dir, tmp_path):
+    """Same input at local[2] vs local[4] -> identical verdicts + violations.
+
+    Runs the real spark-submit entry (jobs/validate.py) in two subprocesses —
+    separate JVMs, different parallelism and shuffle layouts.
+    """
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    outs = []
+    for i, master in enumerate(["local[2]", "local[4]"]):
+        ckdir = tmp_path / f"det{i}"
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(repo, "jobs", "validate.py"),
+                "--data", os.path.join(clip_dir, "clips"),
+                "--ref", os.path.join(clip_dir, "clips_ref"),
+                "--hist-ref", os.path.join(clip_dir, "hist_ref.parquet"),
+                "--checkpoint", str(ckdir),
+                "--master", master,
+            ],
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        summary = json.loads(proc.stdout.strip().splitlines()[-1])
+        viols = pq.read_table(str(ckdir / "violations")).to_pandas()
+        outs.append(
+            (
+                summary["passed"],
+                summary["failed"],
+                summary["violations_by_check"],
+                sorted(map(tuple, viols[["key", "check"]].values)),
+            )
+        )
+    assert outs[0] == outs[1]
