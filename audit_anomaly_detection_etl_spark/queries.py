@@ -212,7 +212,7 @@ def q04(spark, sf_dir):
     "q05_window_median_residuals",
     """
     SELECT user_id,
-           ROUND(AVG(res), 6)                               AS res_mean,
+           ROUND(SUM(res), 4)                               AS res_sum,
            ROUND(MEDIAN(CAST(res AS DOUBLE)), 6)            AS res_median,
            ROUND(STDDEV_SAMP(res), 6)                       AS res_stddev,
            COUNT(*)                                         AS n
@@ -224,12 +224,20 @@ def q04(spark, sf_dir):
 )
 def q05(spark, sf_dir):
     """Window median -> residual -> per-entity residual stats (SURVEY.md
-    A2+A5, data_processing/nodes.py:104-116 + features_engineering 27-33)."""
+    A2+A5, data_processing/nodes.py:104-116 + features_engineering 27-33).
+
+    Cross-engine note: the output is the residual SUM, not the mean — the
+    true sum terminates at 3 decimal digits (2dp values minus a 3dp
+    interpolated median), so rounding at 4dp never sits on a half-boundary;
+    the mean's denominator adds factors of n and produced exact 6dp-half
+    values (e.g. 23.9650625) that Spark's BigDecimal round and DuckDB's
+    multiply-round disagreed on by 1 ulp.
+    """
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("event_type")
     res = ev.withColumn("res", F.col("value") - F.median("value").over(w))
     return res.groupBy("user_id").agg(
-        F.round(F.avg("res"), 6).alias("res_mean"),
+        F.round(F.sum("res"), 4).alias("res_sum"),
         F.round(F.median("res"), 6).alias("res_median"),
         F.round(F.stddev_samp("res"), 6).alias("res_stddev"),
         F.count(F.lit(1)).alias("n"),

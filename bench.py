@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` plus the clips
+validation suite (the north-rule job: schema/uniqueness/referential/drift/
+payload over a deterministic synthesized partitioned clips table), and prints
+ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys: ``clips_per_sec`` (north-rule throughput), ``cpus``.
+
+Modes (positional arg): ``all`` (default) | ``queries`` | ``clips``.
+``clips`` mode is what scripts/bench_scaling.py runs at two parallelism
+levels for the scaling-efficiency evidence.
+
+Every query is forced through a ``noop``-format write so the full plan
+executes (a bare ``count()`` would let Catalyst prune computed columns).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# one representative per operator family; the full catalog runs in the
+# driver's correctness gate — bench tracks the throughput-relevant ones
+HEADLINE = [
+    "q01_pricing_summary",      # filtered hash-agg (TPC-H Q1 shape)
+    "q02_topk_revenue_join",    # 3-way join + top-k
+    "q05_window_median_residuals",  # window median + reagg
+    "q09_minmax_normalize",     # global agg broadcast back over detail
+    "q12_histogram",            # equi-width histogram
+    "q14_anti_join_orphans",    # referential anti-joins
+    "q17_uniqueness_dups",      # salted two-phase dedup
+    "q20_dedup_exact",          # normalized-hash exact dedup
+    "q22_minhash_lsh",          # MinHash+LSH near-dup
+    "q24_cosine_knn",           # brute-force cosine top-k
+    "q31_column_stats",         # one-pass column stats
+    "q32_drift_psi_ks",         # PSI/KS drift, fully relational
+]
+
+
+def _force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        # warm the input file listing/schema inference out of the first query
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+    return timings
+
+
+def bench_clips(spark, n_clips: int, n_parts: int, workdir: str) -> dict:
+    from audit_anomaly_detection_etl_spark.plans.runner import run_suite
+    from audit_anomaly_detection_etl_spark.sources import synth
+
+    data_dir = os.path.join(workdir, "clips_data")
+    gen_t0 = time.perf_counter()
+    tables = synth.generate_clips(n_clips=n_clips, n_parts=n_parts, seed=42)
+    paths = synth.write_clip_tables(tables, data_dir)
+    gen_s = time.perf_counter() - gen_t0
+    print(f"  clips synth+write ({n_clips} clips): {gen_s:.1f}s", file=sys.stderr)
+
+    ckpt = os.path.join(workdir, "ckpt")
+    t0 = time.perf_counter()
+    res = run_suite(
+        spark,
+        clips_root=paths["clips"],
+        ref_root=paths["clips_ref"],
+        hist_ref_path=paths["hist_ref"],
+        checkpoint_dir=ckpt,
+        wave_size=n_parts,  # one wave: benchmark steady-state, not checkpoint cadence
+    )
+    suite_s = time.perf_counter() - t0
+    n_rows = sum(v.n_rows for v in res.verdicts.values())
+    return {
+        "suite_sec": round(suite_s, 3),
+        "clips": n_rows,
+        "clips_per_sec": round(n_rows / suite_s, 1),
+        "n_parts": n_parts,
+        "n_violations": sum(v.n_violations for v in res.verdicts.values()),
+    }
+
+
+def main() -> None:
+    mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_clips = int(os.environ.get("SPARK_GRAFT_CLIPS", "8000"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from audit_anomaly_detection_etl_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    clips_info: dict = {}
+    workdir = tempfile.mkdtemp(prefix="bench_clips_")
+    try:
+        if mode in ("all", "queries"):
+            timings = bench_queries(spark, sf_dir)
+        if mode in ("all", "clips"):
+            clips_info = bench_clips(spark, n_clips, n_parts=max(16, cpus), workdir=workdir)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    total = round(sum(timings.values()) + clips_info.get("suite_sec", 0.0), 3)
+    out = {
+        "metric": "headline_queries+clips_validation_suite",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+    }
+    out.update(clips_info)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
