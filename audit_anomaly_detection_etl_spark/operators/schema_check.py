@@ -38,6 +38,26 @@ class TableSchemaSpec:
     extra_predicates: dict[str, Column] = field(default_factory=dict)
 
 
+def format_columns(
+    df: DataFrame,
+    mapping: dict[str, tuple[str, str]],
+    keep_others: bool = False,
+) -> DataFrame:
+    """Config-driven rename + cast + optional projection in ONE ``select``
+    (SURVEY.md P1, data_processing/nodes.py:14-47: the reference runs three
+    separate passes — rename, astype, drop; Catalyst fuses ours into the
+    scan projection, so only the mapped columns are ever read when
+    ``keep_others=False``).
+
+    ``mapping``: ``{new_name: (source_name, spark_dtype)}``.
+    """
+    cols = [F.col(src).cast(dtype).alias(new) for new, (src, dtype) in mapping.items()]
+    if keep_others:
+        mapped_srcs = {src for src, _ in mapping.values()}
+        cols += [F.col(c) for c in df.columns if c not in mapped_srcs]
+    return df.select(*cols)
+
+
 def schema_diff(actual: StructType, spec: TableSchemaSpec) -> list[dict]:
     """Metadata-only structural diff: missing columns, type mismatches,
     unexpected extras. Runs on the driver against catalog metadata — the

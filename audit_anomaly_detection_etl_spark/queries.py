@@ -35,7 +35,8 @@ from pyspark.sql.window import Window
 
 from .functions import text as T
 from .operators import column_stats as CS
-from .operators import dedup, outliers, referential, similarity, uniqueness
+from .operators import dedup, outliers, procedures, referential, similarity, uniqueness
+from .operators import schema_check as SC
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -1001,6 +1002,334 @@ def q33(spark, sf_dir):
         F.sum(F.col("decode_ok").cast("long")).alias("n_decoded"),
         F.sum((F.coalesce(F.col("snr_db"), F.lit(-1e9)) >= 30.0).cast("long")).alias("n_snr_ok"),
         F.sum(F.col("transcript_ok").cast("long")).alias("n_transcript_ok"),
+    )
+
+
+# ===========================================================================
+# §2.5 ordered per-group procedures (W1-W3) + remaining agg families
+# ===========================================================================
+
+@q(
+    "q34_active_duration",
+    """
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) AS us,
+             CASE WHEN event_type = 'view'
+                   AND LAG(epoch_us(ts)) OVER w IS NOT NULL
+                  THEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w ELSE 0 END AS pause_us,
+             CASE WHEN event_type = 'view'
+                   AND LAG(epoch_us(ts)) OVER w IS NOT NULL
+                  THEN 1 ELSE 0 END AS is_pause
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+    SELECT user_id,
+           (MAX(us) - MIN(us)) / 1000.0                  AS total_ms,
+           SUM(pause_us) / 1000.0                        AS pause_ms,
+           ((MAX(us) - MIN(us)) - SUM(pause_us)) / 1000.0 AS active_ms,
+           CAST(SUM(is_pause) AS BIGINT)                 AS n_pauses
+    FROM g GROUP BY user_id
+    """,
+)
+def q34(spark, sf_dir):
+    """W2 analogue (features_engineering/nodes.py:188-222): session span
+    minus pause gaps, bound to the explicit event_id order — fully native
+    lag-window + aggregate, one shuffle. Integer-microsecond arithmetic end
+    to end; the single /1000.0 at the output is the same double op in both
+    engines."""
+    ev = _t(spark, sf_dir, "events")
+    return procedures.active_duration(
+        ev, group_col="user_id", order_col="event_id", ts_col="ts",
+        type_col="event_type", pause_type="view",
+    )
+
+
+@q(
+    "q35_pace_ratio",
+    """
+    WITH o AS (
+      SELECT user_id,
+             COUNT(*) OVER wf                            AS nf,
+             MEDIAN(CAST(value AS DOUBLE)) OVER wf       AS mf,
+             COUNT(*) OVER wb                            AS nb,
+             MEDIAN(CAST(value AS DOUBLE)) OVER wb       AS mb,
+             COUNT(*) OVER (PARTITION BY user_id)        AS n
+      FROM events
+      WINDOW wf AS (PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wb AS (PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id,
+           CAST(MAX(n) AS BIGINT) AS n,
+           ROUND(MAX(CASE WHEN nf >= GREATEST(n // 4, 1) AND nb >= GREATEST(n // 4, 1)
+                          THEN mb / mf END), 6) AS max_pace_ratio
+    FROM o GROUP BY user_id
+    """,
+)
+def q35(spark, sf_dir):
+    """W1 analogue (features_engineering/nodes.py:143-185): forward/backward
+    expanding medians with min_periods = n//4, max backward/forward ratio.
+    Spark side is grouped-map applyInPandas (running medians have no native
+    expression); the oracle rebuilds it with framed window medians."""
+    ev = _t(spark, sf_dir, "events")
+    out = procedures.pace_max_ratio(
+        ev, group_col="user_id", order_col="event_id", value_col="value", min_frac=4
+    )
+    return out.select("user_id", "n", F.round("max_pace_ratio", 6).alias("max_pace_ratio"))
+
+
+_BACKTRACK_RELATED = {"error": ["click", "view"], "purchase": ["signup"]}
+
+
+@q(
+    "q36_backtracks",
+    """
+    WITH rel AS (
+      SELECT * FROM (VALUES ('error','click'), ('error','view'), ('purchase','signup'))
+             AS t(ttype, rtype)),
+    trig AS (
+      SELECT user_id, event_id, event_type FROM events
+      WHERE event_type IN ('error','purchase') AND value > 10.0),
+    hits AS (
+      SELECT tr.user_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM trig tr
+      JOIN rel r ON tr.event_type = r.ttype
+      JOIN events b ON b.user_id = tr.user_id AND b.event_type = r.rtype
+                   AND b.event_id > tr.event_id
+      GROUP BY tr.user_id)
+    SELECT u.user_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_backtracks
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN hits h USING (user_id)
+    """,
+)
+def q36(spark, sf_dir):
+    """W3 analogue (features_engineering/nodes.py:387-439): per group, count
+    later occurrences of types related to each trigger row. The reference's
+    O(n^2) iterrows scan becomes a suffix-count vectorization inside
+    applyInPandas with the small relation matrix in the closure (J7
+    analogue); the oracle is the equivalent self-join."""
+    ev = _t(spark, sf_dir, "events")
+    return procedures.backtrack_count(
+        ev, related=_BACKTRACK_RELATED, group_col="user_id", order_col="event_id",
+        type_col="event_type", value_col="value", threshold=10.0,
+    )
+
+
+@q(
+    "q37_two_level_agg",
+    """
+    WITH spans AS (
+      SELECT user_id, event_type,
+             date_diff('microsecond', MIN(ts), MAX(ts)) AS span_us
+      FROM events GROUP BY user_id, event_type),
+    with_med AS (
+      SELECT user_id,
+             span_us - MEDIAN(CAST(span_us AS DOUBLE)) OVER (PARTITION BY event_type) AS resid
+      FROM spans)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT)            AS n_groups,
+           ROUND(SUM(resid) / 1000.0, 4)       AS resid_sum_ms,
+           ROUND(MEDIAN(CAST(resid AS DOUBLE)) / 1000.0, 4) AS resid_median_ms,
+           ROUND(STDDEV_SAMP(resid) / 1000.0, 4)            AS resid_stddev_ms
+    FROM with_med GROUP BY user_id
+    """,
+)
+def q37(spark, sf_dir):
+    """Two-level aggregation (SURVEY.md A7, features_engineering/nodes.py:
+    71-86): (user,type) spans -> median span per type (window over the
+    GROUPED table, tiny) -> per-user residual stats. Two shuffles total:
+    the group-by and the window; the detail table is aggregated before any
+    window touches it."""
+    ev = _t(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id", "event_type").agg(
+        (
+            F.unix_micros(F.max("ts").cast("timestamp"))
+            - F.unix_micros(F.min("ts").cast("timestamp"))
+        ).alias("span_us")
+    )
+    w = Window.partitionBy("event_type")
+    resid = spans.withColumn("resid", F.col("span_us") - F.median("span_us").over(w))
+    return resid.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.round(F.sum("resid") / 1000.0, 4).alias("resid_sum_ms"),
+        F.round(F.median("resid") / 1000.0, 4).alias("resid_median_ms"),
+        F.round(F.stddev_samp("resid") / 1000.0, 4).alias("resid_stddev_ms"),
+    )
+
+
+@q(
+    "q38_time_range_check",
+    """
+    SELECT user_id,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S')  AS first_ts,
+           STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S')  AS last_ts,
+           HOUR(MIN(ts)) BETWEEN 7 AND 18          AS daytime_start,
+           CAST(MIN(ts) AS DATE) = CAST(MAX(ts) AS DATE) AS same_day
+    FROM events GROUP BY user_id
+    """,
+)
+def q38(spark, sf_dir):
+    """Time-range check (SURVEY.md A8, features_engineering/nodes.py:
+    108-139): first/last timestamps + daytime/same-day flags — the
+    reference's row-wise apply(check_daytime) replaced by native
+    hour()/to_date() comparisons."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.hour(F.min("ts")).between(7, 18).alias("daytime_start"),
+        (F.to_date(F.min("ts")) == F.to_date(F.max("ts"))).alias("same_day"),
+    )
+
+
+@q(
+    "q39_format_columns",
+    """
+    SELECT CAST(event_id AS VARCHAR)  AS id,
+           CAST(user_id AS INT)       AS uid,
+           CAST(value AS DOUBLE)      AS amount,
+           CAST(event_type AS VARCHAR) AS kind
+    FROM events
+    """,
+)
+def q39(spark, sf_dir):
+    """Config-driven rename+cast+project (SURVEY.md P1, data_processing/
+    nodes.py:14-47) — one select, so Catalyst prunes the scan to exactly
+    the mapped columns (operators/schema_check.py format_columns)."""
+    ev = _t(spark, sf_dir, "events")
+    return SC.format_columns(
+        ev,
+        {
+            "id": ("event_id", "string"),
+            "uid": ("user_id", "int"),
+            "amount": ("value", "double"),
+            "kind": ("event_type", "string"),
+        },
+    )
+
+
+@q(
+    "q40_ensemble_vote",
+    """
+    SELECT event_id,
+           CASE WHEN value > 15 THEN 1 ELSE 0 END AS m1,
+           CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS m2,
+           CASE WHEN props IS NULL THEN 1 ELSE 0 END AS m3,
+           CASE WHEN value > 15
+                 AND (CASE WHEN value > 15 THEN 1 ELSE 0 END
+                    + CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+                    + CASE WHEN props IS NULL THEN 1 ELSE 0 END) >= 2
+                THEN 1 ELSE 0 END AS anomaly_prediction
+    FROM events
+    """,
+)
+def q40(spark, sf_dir):
+    """Ensemble vote conditional (model_output/nodes.py:23-39: -1/1 remap +
+    'primary model fires AND >= 2 of 3 agree'): three detector flags with
+    the same vote rule over deterministic predicates."""
+    ev = _t(spark, sf_dir, "events")
+    m1 = F.when(F.col("value") > 15, 1).otherwise(0)
+    m2 = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    m3 = F.when(F.col("props").isNull(), 1).otherwise(0)
+    vote = F.when((m1 == 1) & ((m1 + m2 + m3) >= 2), 1).otherwise(0)
+    return ev.select(
+        "event_id", m1.alias("m1"), m2.alias("m2"), m3.alias("m3"),
+        vote.alias("anomaly_prediction"),
+    )
+
+
+@q(
+    "q41_grouped_ci",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)            AS n,
+           ROUND(AVG(value), 6)                AS mean,
+           ROUND(1.96 * STDDEV_SAMP(value) / SQRT(COUNT(*)), 6) AS ci95_half_width
+    FROM events GROUP BY event_type
+    """,
+)
+def q41(spark, sf_dir):
+    """Grouped mean + normal-approx 95% CI half-width (SURVEY.md A20,
+    plot_tools.py:294-344; z=1.96 literal as the reference's t-quantile
+    stand-in at large n)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("mean"),
+        F.round(F.lit(1.96) * F.stddev_samp("value") / F.sqrt(F.count(F.lit(1))), 6).alias(
+            "ci95_half_width"
+        ),
+    )
+
+
+@q(
+    "q42_discrete_classify",
+    """
+    SELECT 'event_type' AS column, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_distinct,
+           COUNT(DISTINCT event_type) <= 20 AS is_discrete
+    FROM events
+    UNION ALL
+    SELECT 'user_id', CAST(COUNT(DISTINCT user_id) AS BIGINT),
+           COUNT(DISTINCT user_id) <= 20
+    FROM events
+    UNION ALL
+    SELECT 'value', CAST(COUNT(DISTINCT value) AS BIGINT),
+           COUNT(DISTINCT value) <= 20
+    FROM events
+    """,
+)
+def q42(spark, sf_dir):
+    """Variable-type classification by distinct cardinality (SURVEY.md A21,
+    plot_tools.py:38-59). Exact here for oracle parity; the 10^12-row path
+    swaps approx_count_distinct — same plan shape, no extra shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    parts = []
+    for c in ["event_type", "user_id", "value"]:
+        parts.append(
+            ev.agg(
+                F.lit(c).alias("column"),
+                F.countDistinct(c).alias("n_distinct"),
+                (F.countDistinct(c) <= 20).alias("is_discrete"),
+            ).select("column", "n_distinct", "is_discrete")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@q(
+    "q43_rollup",
+    """
+    SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN '(all)' ELSE l_returnflag END AS returnflag,
+           CASE WHEN GROUPING(l_linestatus) = 1 THEN '(all)' ELSE l_linestatus END AS linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT)  AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q43(spark, sf_dir):
+    """Rollup / grouping-sets (SURVEY.md §2.4 'missing vs Spark agg
+    surface') — subtotals + grand total in one pass via partial aggregation
+    with grouping-id expansion. GROUPING() sentinels keep the output
+    null-free (subtotal rows are distinguishable from genuine null keys and
+    the driver's sort-based hash never compares None with str)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("l_returnflag").alias("__g1"),
+            F.grouping("l_linestatus").alias("__g2"),
+        )
+        .select(
+            F.when(F.col("__g1") == 1, "(all)").otherwise(F.col("l_returnflag")).alias("returnflag"),
+            F.when(F.col("__g2") == 1, "(all)").otherwise(F.col("l_linestatus")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
     )
 
 

@@ -60,6 +60,7 @@ def main(argv: list[str] | None = None) -> dict:
         ap.error("--data required (or --synth N)")
 
     spark = get_spark(master=args.master)
+    _ship_package(spark)
     t0 = time.time()
     res = run_suite(
         spark,
@@ -92,6 +93,25 @@ def main(argv: list[str] | None = None) -> dict:
     }
     print(json.dumps(summary))
     return summary
+
+
+def _ship_package(spark) -> None:
+    """Make the engine importable on executors when the job was launched
+    without ``--py-files`` (e.g. ``python jobs/validate.py`` from an
+    arbitrary cwd): zip the installed package and addPyFile it — the same
+    distribution path spark-submit --py-files uses, built on demand.
+    """
+    import shutil
+    import tempfile
+
+    import audit_anomaly_detection_etl_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    staging = tempfile.mkdtemp(prefix="engine_pyfiles_")
+    zip_base = os.path.join(staging, "engine")
+    shutil.make_archive(zip_base, "zip", root_dir=os.path.dirname(pkg_dir),
+                        base_dir=os.path.basename(pkg_dir))
+    spark.sparkContext.addPyFile(zip_base + ".zip")
 
 
 def _sum_by_check(res) -> dict:

@@ -27,7 +27,8 @@ TABLES = [
 def value_hash(rows: list[tuple], cols: list[str]) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     canon = sorted(
-        tuple(_norm(r[i]) for i in order) for r in rows
+        (tuple(_norm(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple((v is None, str(type(v)), v if v is not None else 0) for v in t),
     )
     h = hashlib.sha256()
     for row in canon:
