@@ -155,13 +155,6 @@ def run_suite(
         else:
             viol_summary = []
 
-        n_rows = {
-            r["part"]: r["n"]
-            for r in wave_df.groupBy(spec.schema_spec.part_col)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-
         stats_rows = (
             column_stats.column_stats(
                 wave_df,
@@ -172,6 +165,16 @@ def run_suite(
             if "stats" in spec.checks
             else []
         )
+        if stats_rows:
+            # stats pass already counted rows per partition — no second job
+            n_rows = {r[spec.schema_spec.part_col]: r["n_rows"] for r in stats_rows}
+        else:
+            n_rows = {
+                r["part"]: r["n"]
+                for r in wave_df.groupBy(spec.schema_spec.part_col)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
 
         wave_drift = (
             drift.drift_verdicts(

@@ -1333,6 +1333,147 @@ def q43(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# multimodal: audio features / image metadata / video frame plans
+# ===========================================================================
+
+@q("q44_audio_features")
+def q44(spark, sf_dir):
+    """Audio feature extraction (operators/media.py): batch-vectorized decode
+    -> RMS/peak/ZCR per clip over a deterministic synthesized clips table.
+    Binary decode => no SQL oracle; driver records rows-only; pytest asserts
+    a per-clip numpy oracle (tests/test_media_streaming.py)."""
+    from .operators import media
+    from .sources import synth
+
+    t = synth.generate_clips(n_clips=400, n_parts=8, seed=7)
+    clips = spark.createDataFrame(t.clips.to_pandas())
+    feats = media.audio_features(clips)
+    return feats.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("decode_ok").cast("long")).alias("n_decoded"),
+        F.round(F.avg("rms"), 6).alias("mean_rms"),
+        F.round(F.avg("zcr"), 6).alias("mean_zcr"),
+    )
+
+
+@q(
+    "q45_frame_plan",
+    """
+    WITH v AS (SELECT CAST(event_id AS VARCHAR) AS video_id,
+                      24.0 + 6.0 * (user_id % 3)                AS fps,
+                      CAST(FLOOR(1000 + (value * 37)) AS INT)   AS dur_ms
+               FROM events WHERE event_id < 200)
+    SELECT video_id,
+           CAST(ROUND(k * 500.0 / 1000.0 * fps) AS INT) AS frame_idx,
+           CAST(k * 500.0 AS DOUBLE)                    AS ts_ms
+    FROM v, UNNEST(range(0, GREATEST(CAST(FLOOR(dur_ms / 500.0) AS INT) - 1, 0) + 1)) AS t(k)
+    """,
+)
+def q45(spark, sf_dir):
+    """Video frame-sampling plan (operators/media.py): metadata -> one row
+    per sampled frame via sequence+explode (UDTF-style generator, SURVEY.md
+    §2.10 'no UDTFs' gap filled natively). The videos table is derived
+    deterministically from events so the DuckDB oracle can rebuild it."""
+    from .operators import media
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 200)
+    videos = ev.select(
+        F.col("event_id").cast("string").alias("video_id"),
+        (F.lit(24.0) + 6.0 * (F.col("user_id") % 3)).alias("fps"),
+        F.floor(F.lit(1000) + (F.col("value") * 37)).cast("int").alias("dur_ms"),
+    )
+    return media.frame_sample_plan(videos, every_ms=500.0)
+
+
+@q(
+    "q46_corr_covar",
+    """
+    SELECT event_type,
+           ROUND(CORR(value, epoch_us(ts) / 1000000.0), 6)     AS corr_value_time,
+           ROUND(COVAR_SAMP(value, value * 2.0), 6)            AS covar_vv2,
+           ROUND(VAR_SAMP(value), 6)                           AS var_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q46(spark, sf_dir):
+    """Correlation / covariance / variance aggregates (extends the
+    SURVEY.md A-class stat surface; all algebraic => map-side combine)."""
+    ev = _t(spark, sf_dir, "events")
+    epoch = F.unix_micros(F.col("ts").cast("timestamp")) / 1e6
+    return ev.groupBy("event_type").agg(
+        F.round(F.corr(F.col("value"), epoch), 6).alias("corr_value_time"),
+        F.round(F.covar_samp(F.col("value"), F.col("value") * 2.0), 6).alias("covar_vv2"),
+        F.round(F.var_samp("value"), 6).alias("var_value"),
+    )
+
+
+@q(
+    "q47_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+    s AS (
+      SELECT user_id, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM g)
+    SELECT user_id,
+           CAST(session_no AS BIGINT)  AS session_no,
+           CAST(COUNT(*) AS BIGINT)    AS n_events,
+           CAST(MIN(event_id) AS BIGINT) AS first_event
+    FROM s GROUP BY user_id, session_no
+    """,
+)
+def q47(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): lag + conditional flag +
+    running sum = session id — the event-log session semantics the reference
+    hardcodes per-survey (W2 family), generalized and fully window-native."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    new_s = F.when(
+        F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > 1_800_000_000), 1
+    ).otherwise(0)
+    sessions = ev.withColumn("new_session", new_s).withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+    )
+
+
+@q(
+    "q48_topk_per_group",
+    """
+    SELECT user_id, event_id, value,
+           CAST(rk AS INT) AS rk
+    FROM (SELECT user_id, event_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
+          FROM events)
+    WHERE rk <= 3
+    """,
+)
+def q48(spark, sf_dir):
+    """Top-k per group via rank window (SURVEY.md §2.5 'no ranking functions'
+    gap + O2 top-k semantics, distributed). Spark pushes a per-partition
+    top-k (WindowGroupLimit) below the shuffle, so the full sort never
+    materializes."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("user_id", "event_id", "value", F.col("rk").cast("int").alias("rk"))
+    )
+
+
 def entry_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: the validation engine pointed at the driver's relational
     tables — one verdict row per check family with violation counts."""

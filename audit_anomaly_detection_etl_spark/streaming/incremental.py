@@ -1,0 +1,108 @@
+"""Incremental validation via Structured Streaming.
+
+The reference has NO streaming operators (SURVEY.md §2.9) and the north rule
+targets batch validation with checkpoint/resume — plans/runner.py is that
+path. This module is the *ingest-time* complement: newly-landed clip files
+are validated as they appear, with exactly-once progress tracked by the
+Structured Streaming checkpoint (file-source offsets), which is the
+``Trigger.AvailableNow`` batch-equivalent incremental processing SURVEY.md
+§2.9 names.
+
+Two operators:
+
+- ``incremental_clip_validation``: file-source stream over the clips table
+  root; each micro-batch runs the cheap row-level checks (schema domain +
+  payload decode invariants) via ``foreachBatch`` and appends violation rows
+  to a parquet sink. Cross-partition checks (uniqueness, referential, drift)
+  stay in the batch suite — they need table-wide state.
+- ``windowed_event_stats``: event-time tumbling-window aggregation with a
+  watermark over a timestamped event stream (late data dropped past the
+  watermark) — the engine's streaming-aggregate surface, exercised by tests
+  against the batch equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import VIOLATION_COLS, payload, schema_check
+from ..plans.spec import SuiteSpec
+
+CLIPS_DDL = (
+    "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string"
+)
+
+
+def incremental_clip_validation(
+    spark: SparkSession,
+    clips_root: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    spec: SuiteSpec | None = None,
+    ref_df: DataFrame | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Start an available-now stream validating newly-ingested clip files.
+
+    Returns the started ``StreamingQuery``; callers ``awaitTermination()``.
+    Re-running after new files land validates ONLY the new files — the
+    file-source offset log in ``checkpoint_dir`` is the streaming analogue
+    of the batch runner's per-partition verdict markers.
+    """
+    spec = spec or SuiteSpec()
+    reader = (
+        spark.readStream.schema(CLIPS_DDL + ", part int")
+        .option("basePath", clips_root)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(clips_root + "/part=*")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        viols = schema_check.constraint_violations(batch_df, spec.schema_spec)
+        if ref_df is not None:
+            rep = payload.payload_report(batch_df, ref_df)
+            viols = viols.unionByName(payload.payload_violations(rep))
+        (
+            viols.select(*VIOLATION_COLS)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sink_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def windowed_event_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling event-time window stats with a watermark — works on both a
+    streaming and a batch DataFrame (the batch run ignores the watermark,
+    which is how tests cross-check streamed results).
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.avg(value_col).alias("mean_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "mean_value",
+            "max_value",
+        )
+    )

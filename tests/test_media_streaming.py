@@ -1,0 +1,211 @@
+"""Multimodal operators (operators/media.py) + streaming (streaming/).
+
+Audio features are checked against a per-clip numpy oracle; image/video
+exercise the stub contract (schema, batching, deterministic fake decode);
+streaming checks incremental exactly-once progress and batch/stream parity.
+"""
+
+import os
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from audit_anomaly_detection_etl_spark.functions import codecs
+from audit_anomaly_detection_etl_spark.operators import media
+from audit_anomaly_detection_etl_spark.sources import synth
+from audit_anomaly_detection_etl_spark.streaming import incremental
+
+
+# ---------------------------------------------------------------------------
+# audio
+# ---------------------------------------------------------------------------
+
+def test_audio_features_match_per_clip_oracle(spark):
+    t = synth.generate_clips(n_clips=300, n_parts=4, seed=11)
+    clips = spark.createDataFrame(t.clips.to_pandas())
+    got = media.audio_features(clips).toPandas().set_index("clip_id")
+
+    pdf = t.clips.to_pandas()
+    checked = 0
+    for _, row in pdf.iterrows():
+        g = got.loc[row["clip_id"]]
+        if isinstance(g, pd.DataFrame):  # duplicate clip_ids from injection
+            g = g.iloc[0]
+        if row["codec"] not in codecs.CODECS:
+            assert not g["decode_ok"]
+            continue
+        pcm = codecs.decode(row["bytes"], row["codec"]).astype(np.float64)
+        assert g["decode_ok"]
+        assert g["n_samples"] == len(pcm)
+        np.testing.assert_allclose(g["rms"], np.sqrt(np.mean(pcm**2)), rtol=1e-12)
+        np.testing.assert_allclose(g["peak"], np.max(np.abs(pcm)), rtol=1e-12)
+        flips = int(np.sum(np.signbit(pcm[1:]) != np.signbit(pcm[:-1])))
+        np.testing.assert_allclose(g["zcr"], flips / (len(pcm) - 1), rtol=1e-12)
+        checked += 1
+    assert checked > 250
+
+
+def test_audio_features_zcr_no_cross_clip_leak(spark):
+    """Two clips whose concatenation boundary is a sign flip: the flip must
+    not count toward either clip."""
+    a = np.full(64, 0.5)   # all positive, zero crossings = 0
+    b = np.full(64, -0.5)  # all negative, zero crossings = 0
+    pdf = pd.DataFrame(
+        {
+            "clip_id": ["a", "b"],
+            "bytes": [codecs.encode(a, "pcm_f32le"), codecs.encode(b, "pcm_f32le")],
+            "sr_hz": [16000, 16000],
+            "dur_ms": [4, 4],
+            "codec": ["pcm_f32le", "pcm_f32le"],
+            "transcript": ["x", "y"],
+            "part": [0, 0],
+        }
+    )
+    got = media.audio_features(spark.createDataFrame(pdf)).toPandas()
+    assert (got["zcr"] == 0.0).all()
+
+
+# ---------------------------------------------------------------------------
+# image
+# ---------------------------------------------------------------------------
+
+def _fake_png(w: int, h: int) -> bytes:
+    ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+    )
+
+
+def _fake_jpeg(w: int, h: int) -> bytes:
+    # SOI + APP0 stub + SOF0 with dims
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+    sof = b"\xff\xc0" + struct.pack(">H", 8) + b"\x08" + struct.pack(">HH", h, w) + b"\x01"
+    return b"\xff\xd8" + app0 + sof
+
+
+def test_image_metadata_header_sniff(spark):
+    pdf = pd.DataFrame(
+        {
+            "image_id": ["p1", "j1", "bad"],
+            "bytes": [_fake_png(640, 480), _fake_jpeg(320, 200), b"\x00\x01\x02\x03"],
+        }
+    )
+    got = (
+        media.image_metadata(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("image_id")
+    )
+    assert got.loc["p1", "format"] == "png"
+    assert (got.loc["p1", "width"], got.loc["p1", "height"]) == (640, 480)
+    assert got.loc["j1", "format"] == "jpeg"
+    assert (got.loc["j1", "width"], got.loc["j1", "height"]) == (320, 200)
+    assert pd.isna(got.loc["bad", "format"])
+
+
+def test_image_features_stub_raises_and_fake_is_deterministic(spark):
+    pdf = pd.DataFrame({"image_id": ["a", "b"], "bytes": [b"12345678", b"abcdefgh"]})
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(Exception, match="NotImplementedError|image codec library"):
+        media.image_features(df, decoder="stub").collect()
+    r1 = media.image_features(df, decoder="fake").toPandas().set_index("image_id")
+    r2 = media.image_features(df, decoder="fake").toPandas().set_index("image_id")
+    assert r1["decode_ok"].all()
+    pd.testing.assert_frame_equal(r1, r2)
+
+
+def test_frame_sample_plan(spark):
+    pdf = pd.DataFrame({"video_id": ["v1", "v2"], "fps": [24.0, 30.0], "dur_ms": [3500, 500]})
+    got = (
+        media.frame_sample_plan(spark.createDataFrame(pdf), every_ms=1000.0)
+        .toPandas()
+        .sort_values(["video_id", "frame_idx"])
+    )
+    v1 = got[got.video_id == "v1"]
+    assert list(v1["frame_idx"]) == [0, 24, 48]  # samples at 0s,1s,2s @24fps
+    assert list(v1["ts_ms"]) == [0.0, 1000.0, 2000.0]
+    v2 = got[got.video_id == "v2"]  # shorter than every_ms -> one frame at 0
+    assert list(v2["frame_idx"]) == [0]
+
+
+# ---------------------------------------------------------------------------
+# streaming
+# ---------------------------------------------------------------------------
+
+def test_incremental_validation_exactly_once(spark, tmp_path):
+    t = synth.generate_clips(n_clips=400, n_parts=4, seed=13)
+    data = str(tmp_path / "data")
+    synth.write_clip_tables(t, data)
+    sink = str(tmp_path / "viol_sink")
+    ck = str(tmp_path / "stream_ck")
+
+    q = incremental.incremental_clip_validation(
+        spark, os.path.join(data, "clips"), sink, ck
+    )
+    q.awaitTermination()
+    first = spark.read.parquet(sink)
+    n_first = first.count()
+    batches_first = first.select("batch_id").distinct().count()
+
+    # batch-parity: same schema-constraint violations as the batch operator
+    from audit_anomaly_detection_etl_spark.operators import schema_check
+    from audit_anomaly_detection_etl_spark.plans.spec import SuiteSpec
+
+    batch_viols = schema_check.constraint_violations(
+        spark.read.parquet(os.path.join(data, "clips")), SuiteSpec().schema_spec
+    )
+    assert n_first == batch_viols.count()
+
+    # re-run with no new files: stream checkpoint skips everything
+    q2 = incremental.incremental_clip_validation(
+        spark, os.path.join(data, "clips"), sink, ck
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(sink).count() == n_first
+
+    # new files land -> only they are processed
+    t2 = synth.generate_clips(n_clips=100, n_parts=4, seed=14)
+    pdf2 = t2.clips.to_pandas()
+    extra = str(tmp_path / "data" / "clips" / "part=0" / "late-arrival.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sub = pdf2[pdf2.part == 0].drop(columns=["part"])
+    pq.write_table(pa.Table.from_pandas(sub, preserve_index=False), extra)
+    q3 = incremental.incremental_clip_validation(
+        spark, os.path.join(data, "clips"), sink, ck
+    )
+    q3.awaitTermination()
+    after = spark.read.parquet(sink)
+    new_rows = after.where(~after.batch_id.isin([r.batch_id for r in first.select("batch_id").distinct().collect()]))
+    expected_new = schema_check.constraint_violations(
+        spark.createDataFrame(pdf2[pdf2.part == 0]), SuiteSpec().schema_spec
+    ).count()
+    assert batches_first >= 1
+    assert new_rows.count() == expected_new
+
+
+def test_windowed_event_stats_batch(spark):
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:01:00", "2024-01-01 00:05:00", "2024-01-01 00:15:00"]
+            ),
+            "value": [1.0, 3.0, 10.0],
+        }
+    )
+    got = (
+        incremental.windowed_event_stats(spark.createDataFrame(pdf), window="10 minutes")
+        .toPandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 2
+    assert got.loc[0, "n_events"] == 2 and got.loc[0, "mean_value"] == 2.0
+    assert got.loc[1, "n_events"] == 1 and got.loc[1, "max_value"] == 10.0
