@@ -24,4 +24,4 @@ Layout
 - ``streaming/``  incremental (Trigger.AvailableNow-style) batch validation.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

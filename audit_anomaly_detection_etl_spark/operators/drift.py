@@ -49,6 +49,77 @@ def histogram(df: DataFrame, spec: BinSpec, group_by: list[str] | None = None) -
     )
 
 
+def ref_counts(hist_ref: DataFrame, specs: list[BinSpec]) -> dict[str, np.ndarray]:
+    """Reference bin-count arrays per column from a (col, bin, lo, hi, count)
+    snapshot table (tiny: n_cols x n_bins rows)."""
+    rows = hist_ref.collect()
+    out: dict[str, np.ndarray] = {}
+    for spec in specs:
+        arr = np.zeros(spec.n_bins, dtype=np.float64)
+        for r in rows:
+            if r["col"] == spec.col:
+                arr[int(r["bin"])] = float(r["count"])
+        out[spec.col] = arr
+    return out
+
+
+def grouped_histograms(
+    df: DataFrame, specs: list[BinSpec], group_by: list[str] | None = None
+) -> dict[tuple, dict[str, np.ndarray]]:
+    """ONE job: every column's equi-width histogram per group, as numpy
+    arrays keyed ``{group_tuple: {col: counts}}``. Shuffle payload is
+    n_groups x n_bins rows — KBs at any input scale.
+
+    These raw counts are additive across groups/partitions, which is what
+    lets the suite runner derive GLOBAL drift by summing per-partition
+    counts (including counts replayed from checkpoint markers on resume)
+    instead of re-scanning the table (plans/runner.py).
+    """
+    gb = group_by or []
+    hists = None
+    for spec in specs:
+        h = histogram(df, spec, group_by=gb).withColumn("col", F.lit(spec.col))
+        hists = h if hists is None else hists.unionByName(h)
+    actual = hists.collect()
+    out: dict[tuple, dict[str, np.ndarray]] = {}
+    by_spec = {s.col: s for s in specs}
+    for r in actual:
+        gvals = tuple(r[g] for g in gb)
+        cols = out.setdefault(gvals, {})
+        spec = by_spec[r["col"]]
+        if r["col"] not in cols:
+            cols[r["col"]] = np.zeros(spec.n_bins, dtype=np.float64)
+        cols[r["col"]][int(r["bin"])] = float(r["count"])
+    return out
+
+
+def metrics_from_counts(
+    counts_by_group: dict[tuple, dict[str, np.ndarray]],
+    refs: dict[str, np.ndarray],
+    specs: list[BinSpec],
+    group_by: list[str] | None = None,
+) -> list[dict]:
+    """PSI + KS per (group, column) from raw bin counts — pure numpy."""
+    gb = group_by or []
+    out = []
+    for gvals in sorted(counts_by_group):
+        for spec in specs:
+            arr = counts_by_group[gvals].get(spec.col)
+            if arr is None:
+                arr = np.zeros(spec.n_bins, dtype=np.float64)
+            rec = dict(zip(gb, gvals))
+            rec.update(
+                {
+                    "col": spec.col,
+                    "n": float(arr.sum()),
+                    "psi": _stats.psi(refs[spec.col], arr),
+                    "ks": _stats.ks_statistic(refs[spec.col], arr),
+                }
+            )
+            out.append(rec)
+    return out
+
+
 def drift_metrics(
     df: DataFrame,
     hist_ref: DataFrame,
@@ -57,47 +128,15 @@ def drift_metrics(
 ) -> list[dict]:
     """PSI + KS per column (and per group if ``group_by``) vs the reference
     snapshot. One job computes every column's histogram (union of per-column
-    bucketings over a single cached scan); comparison is driver-side numpy
-    over n_bins-row arrays.
+    bucketings over a single scan); comparison is driver-side numpy over
+    n_bins-row arrays.
 
     ``hist_ref`` schema: (col, bin, lo, hi, count) — the generator's clean
     snapshot or a previously persisted run.
     """
-    gb = group_by or []
-    hists = None
-    for spec in specs:
-        h = histogram(df, spec, group_by=gb).withColumn("col", F.lit(spec.col))
-        hists = h if hists is None else hists.unionByName(h)
-    actual = hists.collect()
-    ref_rows = hist_ref.collect()
-
-    ref_counts: dict[str, np.ndarray] = {}
-    for spec in specs:
-        arr = np.zeros(spec.n_bins, dtype=np.float64)
-        for r in ref_rows:
-            if r["col"] == spec.col:
-                arr[int(r["bin"])] = float(r["count"])
-        ref_counts[spec.col] = arr
-
-    groups = sorted({tuple(r[g] for g in gb) for r in actual}) if gb else [()]
-    out = []
-    for gvals in groups:
-        for spec in specs:
-            arr = np.zeros(spec.n_bins, dtype=np.float64)
-            for r in actual:
-                if r["col"] == spec.col and tuple(r[g] for g in gb) == gvals:
-                    arr[int(r["bin"])] = float(r["count"])
-            rec = dict(zip(gb, gvals))
-            rec.update(
-                {
-                    "col": spec.col,
-                    "n": float(arr.sum()),
-                    "psi": _stats.psi(ref_counts[spec.col], arr),
-                    "ks": _stats.ks_statistic(ref_counts[spec.col], arr),
-                }
-            )
-            out.append(rec)
-    return out
+    counts = grouped_histograms(df, specs, group_by=group_by)
+    refs = ref_counts(hist_ref, specs)
+    return metrics_from_counts(counts, refs, specs, group_by=group_by)
 
 
 def drift_verdicts(

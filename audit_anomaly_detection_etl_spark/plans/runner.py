@@ -114,20 +114,13 @@ def run_suite(
     )
 
     hist_ref = spark.read.parquet(hist_ref_path) if hist_ref_path else None
+    drift_refs = (
+        drift.ref_counts(hist_ref, spec.drift_specs)
+        if ("drift" in spec.checks and hist_ref is not None)
+        else None
+    )
     violations_path = f"{checkpoint_dir.rstrip('/')}/violations"
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
-    # global drift: re-evaluated on every invocation over the full table —
-    # a column-pruned scan of two int columns, negligible next to payload
-    # decode, and it must see all partitions regardless of resume state
-    global_drift: list[dict] = []
-    if "drift" in spec.checks and hist_ref is not None:
-        global_drift = drift.drift_verdicts(
-            drift.drift_metrics(full, hist_ref, spec.drift_specs),
-            psi_threshold=spec.psi_threshold,
-        )
-        for m in global_drift:
-            m["scope"] = "global"
 
     all_drift: list[dict] = []
     ran: list[int] = []
@@ -141,25 +134,27 @@ def run_suite(
 
         viols = _wave_violations(wave_df, ref_df, spec)
         if viols is not None:
+            # persist: the union plan (incl. payload decode) computes ONCE;
+            # the write materializes it and the summary reads the cache —
+            # no parquet read-back job, no decode recompute
+            viols = viols.select(*VIOLATION_COLS).repartition("part").persist()
             # idempotent: dynamic overwrite replaces exactly this wave's parts
-            viols.select(*VIOLATION_COLS).repartition("part").write.mode("overwrite").partitionBy(
-                "part"
-            ).parquet(violations_path)
+            viols.write.mode("overwrite").partitionBy("part").parquet(violations_path)
             viol_summary = (
-                spark.read.parquet(violations_path)
-                .where(F.col("part").isin(wave))
-                .groupBy("part", "check")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
+                viols.groupBy("part", "check").agg(F.count(F.lit(1)).alias("n")).collect()
             )
+            viols.unpersist()
         else:
             viol_summary = []
 
         stats_rows = (
             column_stats.column_stats(
                 wave_df,
+                # NB: no "bytes" here — a null-rate over the binary column
+                # would drag the payload column through the stats scan; null
+                # bytes already surface as schema-constraint violations
                 numeric_cols=["sr_hz", "dur_ms"],
-                all_cols=["sr_hz", "dur_ms", "transcript", "bytes", "codec"],
+                all_cols=["sr_hz", "dur_ms", "transcript", "codec"],
                 group_by=[spec.schema_spec.part_col],
             ).collect()
             if "stats" in spec.checks
@@ -176,16 +171,22 @@ def run_suite(
                 .collect()
             }
 
-        wave_drift = (
-            drift.drift_verdicts(
-                drift.drift_metrics(
-                    wave_df, hist_ref, spec.drift_specs, group_by=[spec.schema_spec.part_col]
+        if drift_refs is not None:
+            # ONE histogram job per wave; raw counts feed both the per-part
+            # drift verdicts and (summed, incl. resumed markers) global drift
+            wave_counts = drift.grouped_histograms(
+                wave_df, spec.drift_specs, group_by=[spec.schema_spec.part_col]
+            )
+            wave_drift = drift.drift_verdicts(
+                drift.metrics_from_counts(
+                    wave_counts, drift_refs, spec.drift_specs,
+                    group_by=[spec.schema_spec.part_col],
                 ),
                 psi_threshold=spec.psi_threshold,
             )
-            if ("drift" in spec.checks and hist_ref is not None)
-            else []
-        )
+        else:
+            wave_counts = {}
+            wave_drift = []
         all_drift.extend(wave_drift)
 
         by_part: dict[int, dict] = {p: {} for p in wave}
@@ -209,6 +210,12 @@ def run_suite(
                     {k: v for k, v in m.items() if k != spec.schema_spec.part_col}
                     for m in drift_by_part.get(p, [])
                 ],
+                # raw additive bin counts: lineage for this partition AND the
+                # input to global drift on resumed runs (no table re-scan)
+                "hist": {
+                    col: [int(x) for x in arr]
+                    for col, arr in wave_counts.get((p,), {}).items()
+                },
             }
             v = PartitionVerdict(
                 part=int(p),
@@ -224,6 +231,35 @@ def run_suite(
             store.write(v)
             done[p] = v
             ran.append(p)
+
+    # global drift = sum of per-partition bin counts (additive), covering
+    # both partitions validated this run and partitions replayed from
+    # checkpoint markers — the 10^12-row table is never re-scanned for it.
+    global_drift: list[dict] = []
+    if drift_refs is not None:
+        import numpy as np
+
+        total = {s.col: np.zeros(s.n_bins, dtype=np.float64) for s in spec.drift_specs}
+        legacy = []  # markers written before hist lineage existed
+        for p, v in done.items():
+            h = (v.metrics or {}).get("hist")
+            if h:
+                for col, arr in h.items():
+                    total[col] += np.asarray(arr, dtype=np.float64)
+            else:
+                legacy.append(p)
+        if legacy:
+            extra = drift.grouped_histograms(
+                tableio.read_partitions(spark, clips_root, legacy), spec.drift_specs
+            )
+            for col, arr in extra.get((), {}).items():
+                total[col] += arr
+        global_drift = drift.drift_verdicts(
+            drift.metrics_from_counts({(): total}, drift_refs, spec.drift_specs),
+            psi_threshold=spec.psi_threshold,
+        )
+        for m in global_drift:
+            m["scope"] = "global"
 
     return SuiteResult(
         snapshot_id=snap,

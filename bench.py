@@ -45,6 +45,9 @@ HEADLINE = [
     "q24_cosine_knn",           # brute-force cosine top-k
     "q31_column_stats",         # one-pass column stats
     "q32_drift_psi_ks",         # PSI/KS drift, fully relational
+    "q34_active_duration",      # lag window + single-shuffle agg (W2)
+    "q35_pace_ratio",           # grouped-map applyInPandas (W1)
+    "q47_sessionize",           # gap sessionization (lag + running sum)
 ]
 
 
