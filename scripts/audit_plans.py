@@ -1,0 +1,108 @@
+"""Physical-plan audit: assert the plans we designed for are the plans we got.
+
+For each audited query: capture ``explain(formatted)`` and check the
+properties that matter at 100 TB — filter/partition pushdown reached the
+scan, projections pruned unused columns, small sides broadcast, window
+top-k pushed a group-limit, whole-stage codegen covers the hot path.
+
+Usage: python scripts/audit_plans.py [sf_dir]   (prints PASS/FAIL per rule)
+Exit code 1 if any rule fails — wired into tests/test_plan_quality.py.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+RULES = [
+    # (query, rule name, predicate over formatted plan text)
+    (
+        "q01_pricing_summary",
+        "shipdate filter pushed to parquet scan",
+        lambda p: "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p,
+    ),
+    (
+        "q01_pricing_summary",
+        "scan pruned to 7 needed columns",
+        lambda p: "l_comment" not in p and "l_partkey" not in p,
+    ),
+    (
+        "q02_topk_revenue_join",
+        "customer side broadcast",
+        lambda p: "BroadcastHashJoin" in p,
+    ),
+    (
+        "q02_topk_revenue_join",
+        "top-10 via TakeOrderedAndProject (no global sort)",
+        lambda p: "TakeOrderedAndProject" in p,
+    ),
+    (
+        "q03_group_sigma_flags",
+        "bounds joined back broadcast (detail table unshuffled)",
+        lambda p: "BroadcastHashJoin" in p and "SortMergeJoin" not in p,
+    ),
+    (
+        "q12_histogram",
+        "histogram is pure hash-agg with partial aggregation",
+        lambda p: p.count("HashAggregate") >= 2 and "Exchange" in p,
+    ),
+    (
+        "q17_uniqueness_dups",
+        "two-phase agg: partial on (salt,key) then final",
+        lambda p: p.count("HashAggregate") >= 3,
+    ),
+    (
+        "q31_column_stats",
+        "one scan, no join, all stats in one agg",
+        lambda p: "Join" not in p,
+    ),
+    (
+        "q39_format_columns",
+        "projection pruned scan to 4 mapped columns",
+        lambda p: "ReadSchema" in p and "props" not in p and "ts" not in p.split("ReadSchema")[1][:400],
+    ),
+    (
+        "q48_topk_per_group",
+        "rank filter pushes WindowGroupLimit below the shuffle",
+        lambda p: "WindowGroupLimit" in p,
+    ),
+]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    import __spark_entry__ as entry_mod
+    from audit_anomaly_detection_etl_spark.session import get_spark
+
+    spark = get_spark("plan-audit", master="local[2]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+
+    failures = 0
+    plans: dict[str, str] = {}
+    for qname, rule, pred in RULES:
+        if qname not in plans:
+            plans[qname] = plan_of(qs[qname](spark, sf_dir))
+        ok = False
+        try:
+            ok = bool(pred(plans[qname]))
+        except Exception:
+            ok = False
+        print(f"{'PASS' if ok else 'FAIL'}  {qname}: {rule}")
+        if not ok:
+            failures += 1
+    if failures:
+        print(f"\n{failures} plan rule(s) failed", file=sys.stderr)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
