@@ -50,9 +50,22 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Spread input rows across all cores before CPU-heavy narrow
+    transforms. A small parquet input (one file -> one split) would
+    otherwise run the whole shingle/hash pipeline on ONE task — input
+    splits, not data volume, bound the parallelism of narrow stages. The
+    shuffle moves only the raw text (cheap vs interpreted higher-order
+    array functions downstream); on big inputs with enough splits AQE-era
+    Spark makes this a near-no-op rebalance.
+    """
+    sc = docs.sparkSession.sparkContext
+    return docs.repartition(sc.defaultParallelism)
+
+
 def _doc_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return docs.select(
-        F.col(id_col).alias("doc_id"), T.shingles(F.col(text_col), n=n).alias("sh")
+    return _spread(docs).select(
+        F.col(id_col).alias("doc_id"), T.shingles_fast(F.col(text_col), n=n).alias("sh")
     ).where(F.size("sh") > 0)
 
 
@@ -121,13 +134,29 @@ def minhash_lsh_pairs(
     LSH only affects recall (vs the O(n^2)-ish exact self-join).
     """
     sig = minhash_signatures(docs, id_col, text_col, n)
-    bands = None
-    for b in range(N_BANDS):
-        cols = [F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-        one = sig.select(
-            "doc_id", F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bkey")
+    # ONE pass over sig: bands as an exploded struct array. (A per-band
+    # union would re-execute the whole signature subtree — explode +
+    # 16 md5/shingle — once per band, and again for every consumer below:
+    # Catalyst does not share common subplans across union branches or
+    # self-join sides.)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                )
+            ).alias("bkey"),
         )
-        bands = one if bands is None else bands.unionByName(one)
+        for b in range(N_BANDS)
+    ]
+    # persist: 4 small rows/doc, consumed 4x (bucket count + anti-join +
+    # both self-join sides). MEMORY_AND_DISK-safe at 10^9 docs (~50 B/row).
+    bands = (
+        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
+        .select("doc_id", "bb.band", "bb.bkey")
+        .persist()
+    )
     # bound pathological buckets (hot-key skew control): count per bucket,
     # drop buckets above max_bucket
     bucket_sizes = bands.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("bn"))
@@ -146,8 +175,9 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact verification on candidates only
-    sh = _doc_shingles(docs, id_col, text_col, n)
+    # exact verification on candidates only; shingle table persisted —
+    # both join sides read it (self-join sides don't share plan subtrees)
+    sh = _doc_shingles(docs, id_col, text_col, n).persist()
     sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
@@ -166,7 +196,7 @@ def simhash_bits(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     sum(+1/-1) over tokens; bit = 1 iff sum > 0. One explode + one groupBy
     with 64 algebraic sums (map-side combined).
     """
-    w = docs.select(
+    w = _spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(T.words(T.normalized_text(F.col(text_col)))).alias("w"),
     ).withColumn("hx", F.substring(F.md5(F.col("w")), 1, 16))
