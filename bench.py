@@ -28,6 +28,8 @@ import sys
 import tempfile
 import time
 
+import pandas as pd  # noqa: F401  (pandas_udf type-hint resolution in _warmup)
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # one representative per operator family; the full catalog runs in the
@@ -55,14 +57,39 @@ def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _warmup(spark, sf_dir: str) -> None:
+    """Steady-state warmup so per-query timings measure the query, not the
+    harness: file listing + schema inference per table, whole-stage codegen
+    JIT, and python-worker startup for the pandas-UDF path."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    for t in ["lineitem", "orders", "customer", "events", "documents", "embeddings"]:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+
+    @pandas_udf("double")
+    def _w(s: pd.Series) -> pd.Series:
+        return s * 1.0
+
+    _force(spark.range(200_000).select(_w(F.col("id").cast("double")).alias("x")))
+
+    # grouped-map UDFs use a different eval type (separate worker spin-up)
+    _force(
+        spark.range(10_000)
+        .withColumn("g", F.col("id") % 8)
+        .groupBy("g")
+        .applyInPandas(lambda pdf: pdf, "id long, g long")
+    )
+
+
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
+    _warmup(spark, sf_dir)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        # warm the input file listing/schema inference out of the first query
         t0 = time.perf_counter()
         _force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
