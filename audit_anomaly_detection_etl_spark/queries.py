@@ -1474,6 +1474,195 @@ def q48(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# anomaly-model ensemble scoring (model_training + model_output analogues)
+# ===========================================================================
+
+USER_FEATURE_COLS = ["n_events", "mean_value", "std_value", "n_errors", "max_value"]
+
+
+def user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity feature table (features_engineering analogue): one row per
+    user, numeric features only — the ensemble's fit/score input. Every
+    feature is rounded at 6dp so the fit sample is bit-stable regardless of
+    partial-aggregation order."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.round(F.coalesce(F.stddev_samp("value"), F.lit(0.0)), 6).alias("std_value"),
+        F.sum((F.col("event_type") == "error").cast("long")).cast("double").alias("n_errors"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
+ENSEMBLE_SEED = 20240817
+
+
+def fit_user_ensemble(spark: SparkSession, sf_dir: str):
+    from .operators import scoring
+
+    feats = user_features(spark, sf_dir)
+    return feats, scoring.fit_ensemble(
+        feats, USER_FEATURE_COLS, id_col="user_id", seed=ENSEMBLE_SEED
+    )
+
+
+@q("q49_anomaly_ensemble")
+def q49(spark, sf_dir):
+    """3-detector anomaly ensemble (operators/scoring.py): seeded numpy
+    IsolationForest + robust-z + kNN-distance, driver-side fit, broadcast-
+    model mapInPandas scoring, native normalize + vote. Matches
+    model_output/nodes.py:14-55 semantics (predict remap, invert-all-scores
+    min-max mean, primary-AND-majority vote). Model scoring is not
+    SQL-expressible -> rows-only driver check; pytest holds the exact-parity
+    numpy oracle (tests/test_scoring.py)."""
+    from .operators import scoring
+
+    feats, model = fit_user_ensemble(spark, sf_dir)
+    out = scoring.anomaly_output(scoring.score_ensemble(feats, model))
+    return out.select(
+        "user_id",
+        "iforest_pred",
+        "robust_z_pred",
+        "knn_pred",
+        "anomaly_prediction",
+        F.round("anomaly_score", 6).alias("anomaly_score"),
+    )
+
+
+@q(
+    "q50_ranked_anomalies",
+    """
+    WITH feats AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS DOUBLE)   AS n_events,
+             ROUND(AVG(value), 6)       AS mean_value,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS DOUBLE)
+               / COUNT(*)               AS err_rate,
+             STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts
+      FROM events GROUP BY user_id),
+    g1 AS (SELECT MEDIAN(CAST(mean_value AS DOUBLE)) AS med_mv,
+                  MEDIAN(CAST(n_events AS DOUBLE))   AS med_ne FROM feats),
+    g2 AS (SELECT MEDIAN(ABS(mean_value - med_mv)) AS mad_mv,
+                  MEDIAN(ABS(n_events - med_ne))   AS mad_ne
+           FROM feats, g1),
+    z AS (SELECT f.user_id, f.first_ts, f.err_rate,
+                 ABS(f.mean_value - med_mv) / GREATEST(1.4826 * mad_mv, 1e-9) AS z_mv,
+                 ABS(f.n_events - med_ne)   / GREATEST(1.4826 * mad_ne, 1e-9) AS z_ne
+          FROM feats f, g1, g2),
+    nb AS (SELECT MIN(z_mv) AS lo1, MAX(z_mv) AS hi1,
+                  MIN(z_ne) AS lo2, MAX(z_ne) AS hi2,
+                  MIN(err_rate) AS lo3, MAX(err_rate) AS hi3 FROM z),
+    scored AS (
+      SELECT z.user_id, z.first_ts,
+             CASE WHEN z_mv > 2 THEN 1 ELSE 0 END AS p1,
+             CASE WHEN z_ne > 2 THEN 1 ELSE 0 END AS p2,
+             CASE WHEN err_rate > 0.3 THEN 1 ELSE 0 END AS p3,
+             ROUND(((CASE WHEN hi1 > lo1 THEN (z_mv - lo1) / (hi1 - lo1) ELSE 0.0 END)
+                  + (CASE WHEN hi2 > lo2 THEN (z_ne - lo2) / (hi2 - lo2) ELSE 0.0 END)
+                  + (CASE WHEN hi3 > lo3 THEN (err_rate - lo3) / (hi3 - lo3) ELSE 0.0 END))
+                  / 3.0, 6) AS anomaly_score
+      FROM z, nb)
+    SELECT user_id, first_ts, p1, p2, p3,
+           CASE WHEN p1 = 1 AND p1 + p2 + p3 >= 2 THEN 1 ELSE 0 END AS anomaly_prediction,
+           anomaly_score,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY CASE WHEN p1 = 1 AND p1 + p2 + p3 >= 2 THEN 1 ELSE 0 END DESC,
+                      anomaly_score DESC, user_id) AS INT) AS rank
+    FROM scored
+    """,
+)
+def q50(spark, sf_dir):
+    """Ranked anomaly output with DETERMINISTIC (SQL-expressible) detector
+    scores: robust-z over two features + an error-rate detector, the same
+    invert/min-max/mean normalization and primary-AND-majority vote as the
+    ensemble, then the reference's merge-back + (prediction desc, score desc)
+    ranked ordering (model_output/nodes.py:60-112) via
+    scoring.ranked_anomalies. Two extra passes over the tiny entity-grained
+    features table compute exact median/MAD (1-row aggs broadcast back)."""
+    from .operators import scoring
+
+    ev = _t(spark, sf_dir, "events")
+    feats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        (
+            F.sum((F.col("event_type") == "error").cast("long")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("err_rate"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+    )
+    g1 = feats.groupBy().agg(
+        F.median("mean_value").alias("med_mv"), F.median("n_events").alias("med_ne")
+    )
+    g2 = (
+        feats.crossJoin(F.broadcast(g1))
+        .groupBy()
+        .agg(
+            F.median(F.abs(F.col("mean_value") - F.col("med_mv"))).alias("mad_mv"),
+            F.median(F.abs(F.col("n_events") - F.col("med_ne"))).alias("mad_ne"),
+            F.first("med_mv").alias("med_mv"),
+            F.first("med_ne").alias("med_ne"),
+        )
+    )
+    z = feats.crossJoin(F.broadcast(g2)).select(
+        "user_id",
+        "first_ts",
+        "err_rate",
+        (
+            F.abs(F.col("mean_value") - F.col("med_mv"))
+            / F.greatest(F.lit(1.4826) * F.col("mad_mv"), F.lit(1e-9))
+        ).alias("z_mv"),
+        (
+            F.abs(F.col("n_events") - F.col("med_ne"))
+            / F.greatest(F.lit(1.4826) * F.col("mad_ne"), F.lit(1e-9))
+        ).alias("z_ne"),
+    )
+    nb = z.groupBy().agg(
+        F.min("z_mv").alias("lo1"), F.max("z_mv").alias("hi1"),
+        F.min("z_ne").alias("lo2"), F.max("z_ne").alias("hi2"),
+        F.min("err_rate").alias("lo3"), F.max("err_rate").alias("hi3"),
+    )
+
+    def _norm(v, lo, hi):
+        return F.when(F.col(hi) > F.col(lo), (F.col(v) - F.col(lo)) / (F.col(hi) - F.col(lo))).otherwise(F.lit(0.0))
+
+    scored = z.crossJoin(F.broadcast(nb)).select(
+        "user_id",
+        "first_ts",
+        F.when(F.col("z_mv") > 2, 1).otherwise(0).alias("p1"),
+        F.when(F.col("z_ne") > 2, 1).otherwise(0).alias("p2"),
+        F.when(F.col("err_rate") > 0.3, 1).otherwise(0).alias("p3"),
+        F.round(
+            (_norm("z_mv", "lo1", "hi1") + _norm("z_ne", "lo2", "hi2") + _norm("err_rate", "lo3", "hi3"))
+            / 3.0,
+            6,
+        ).alias("anomaly_score"),
+    )
+    pred = F.when((F.col("p1") == 1) & (F.col("p1") + F.col("p2") + F.col("p3") >= 2), 1).otherwise(0)
+    output = scored.select("user_id", "p1", "p2", "p3", pred.alias("anomaly_prediction"), "anomaly_score")
+    raw = scored.select("user_id", "first_ts")
+    ranked = scoring.ranked_anomalies(output, raw, "user_id")
+    return ranked.select(
+        "user_id", "first_ts", "p1", "p2", "p3", "anomaly_prediction", "anomaly_score", "rank"
+    )
+
+
+@q("q51_anomaly_attribution")
+def q51(spark, sf_dir):
+    """Per-entity top-k feature attribution for the primary model — the SHAP
+    interpretation analogue (model_output/nodes.py:116-125) as exact ablation
+    deltas against the fit-sample median baseline (operators/scoring.py).
+    Forest evaluation is not SQL-expressible -> rows-only driver check;
+    pytest holds the exact numpy oracle."""
+    from .operators import scoring
+
+    feats, model = fit_user_ensemble(spark, sf_dir)
+    att = scoring.anomaly_attribution(feats, model, id_col="user_id", top_k=2)
+    return att.select("user_id", "rank", "feature", F.round("delta", 6).alias("delta"))
+
+
 def entry_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: the validation engine pointed at the driver's relational
     tables — one verdict row per check family with violation counts."""
