@@ -130,10 +130,20 @@ def shingles_fast(text: Column, n: int = 3) -> Column:
     string ops over Arrow batches do the same work ~100x faster. The
     "UDFs are the slow path" rule applies to codegen'd expressions, not to
     interpreted lambda trees.
+
+    Tokenization matches Java's ``\\s`` class exactly ([ \\t\\n\\x0b\\f\\r] —
+    Python's argless ``str.split`` also splits on Unicode whitespace like
+    NBSP, which Spark's ``split(text, '\\s+')`` does not). Lowering is
+    ``str.lower``: identical to Spark/JVM on ASCII; locale-special casefolds
+    (dotted-I etc.) may differ — ASCII-equivalence is the documented parity
+    guarantee for the DuckDB-oracle path.
     """
+    import re
+
     from pyspark.sql.functions import pandas_udf
 
     if n not in _SHINGLE_UDFS:
+        java_ws = re.compile("[ \t\n\x0b\f\r]+")
 
         @pandas_udf("array<string>")
         def _sh(texts: pd.Series) -> pd.Series:
@@ -142,7 +152,7 @@ def shingles_fast(text: Column, n: int = 3) -> Column:
             def f(t):
                 if t is None:
                     return []
-                w = t.lower().split()
+                w = [x for x in java_ws.split(t.lower()) if x]
                 if len(w) < nm1 + 1:
                     return []
                 return list(dict.fromkeys(" ".join(w[i : i + nm1 + 1]) for i in range(len(w) - nm1)))

@@ -51,15 +51,19 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 
 def _spread(docs: DataFrame) -> DataFrame:
-    """Spread input rows across all cores before CPU-heavy narrow
+    """Spread UNDER-SPLIT inputs across all cores before CPU-heavy narrow
     transforms. A small parquet input (one file -> one split) would
     otherwise run the whole shingle/hash pipeline on ONE task — input
-    splits, not data volume, bound the parallelism of narrow stages. The
-    shuffle moves only the raw text (cheap vs interpreted higher-order
-    array functions downstream); on big inputs with enough splits AQE-era
-    Spark makes this a near-no-op rebalance.
+    splits, not data volume, bound the parallelism of narrow stages.
+
+    Gated on actual input parallelism: ``repartition(n)`` is always a full
+    round-robin shuffle of the raw text (it pins an exchange AQE cannot
+    coalesce away), so a 100 TB corpus with thousands of splits must NOT
+    pay it — only inputs with fewer splits than cores are spread.
     """
     sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return docs
     return docs.repartition(sc.defaultParallelism)
 
 
@@ -150,12 +154,18 @@ def minhash_lsh_pairs(
         )
         for b in range(N_BANDS)
     ]
-    # persist: 4 small rows/doc, consumed 4x (bucket count + anti-join +
-    # both self-join sides). MEMORY_AND_DISK-safe at 10^9 docs (~50 B/row).
+    # localCheckpoint (lazy), not persist(): 4 small rows/doc, consumed 4x
+    # (bucket count + anti-join + both self-join sides), MEMORY_AND_DISK at
+    # 10^9 docs (~50 B/row). Unlike persist(), the blocks are NOT pinned in
+    # the cache manager — the ContextCleaner drops them when the returned
+    # plan is garbage-collected, so repeated calls in a long session (bench
+    # loops, suite reruns) don't accumulate dead cached tables. Trade-off:
+    # lineage is truncated, so an executor loss mid-query fails the query
+    # instead of recomputing (acceptable: reissue the query).
     bands = (
         sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
         .select("doc_id", "bb.band", "bb.bkey")
-        .persist()
+        .localCheckpoint(eager=False)
     )
     # bound pathological buckets (hot-key skew control): count per bucket,
     # drop buckets above max_bucket
@@ -175,9 +185,10 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact verification on candidates only; shingle table persisted —
-    # both join sides read it (self-join sides don't share plan subtrees)
-    sh = _doc_shingles(docs, id_col, text_col, n).persist()
+    # exact verification on candidates only; shingle table localCheckpointed
+    # (both join sides read it — self-join sides don't share plan subtrees;
+    # same self-cleaning rationale as `bands` above)
+    sh = _doc_shingles(docs, id_col, text_col, n).localCheckpoint(eager=False)
     sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))

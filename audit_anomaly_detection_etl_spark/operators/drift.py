@@ -33,18 +33,54 @@ class BinSpec:
     n_bins: int
 
 
+def _bucket(spec: BinSpec):
+    # width_bucket: 0 = below lo, n_bins+1 = above hi -> clamp into [1, n_bins]
+    bucket = F.width_bucket(
+        F.col(spec.col).cast("double"), F.lit(spec.lo), F.lit(spec.hi), F.lit(spec.n_bins)
+    )
+    return (F.least(F.greatest(bucket, F.lit(1)), F.lit(spec.n_bins)) - 1).cast("int")
+
+
 def histogram(df: DataFrame, spec: BinSpec, group_by: list[str] | None = None) -> DataFrame:
     """Equi-width histogram: (group..., bin, count). Out-of-range values clamp
     to the edge bins so total counts always reconcile with n_rows.
     """
     gb = group_by or []
-    # width_bucket: 0 = below lo, n_bins+1 = above hi -> clamp into [1, n_bins]
-    bucket = F.width_bucket(F.col(spec.col).cast("double"), F.lit(spec.lo), F.lit(spec.hi), F.lit(spec.n_bins))
-    b = F.least(F.greatest(bucket, F.lit(1)), F.lit(spec.n_bins)) - 1
     return (
         df.where(F.col(spec.col).isNotNull())
-        .select(*gb, b.cast("int").alias("bin"))
+        .select(*gb, _bucket(spec).alias("bin"))
         .groupBy(*gb, "bin")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def multi_histogram(
+    df: DataFrame, specs: list[BinSpec], group_by: list[str] | None = None
+) -> DataFrame:
+    """Every spec's equi-width histogram in ONE scan: per input row, one
+    (col, bin) struct per spec (bin null when the value is null), exploded to
+    tall and hash-aggregated — the same stack-then-explode trick as
+    column_stats. Catalyst does NOT share scan subtrees across union
+    branches, so the per-spec ``histogram(...).union`` formulation scans the
+    table once per column; this formulation scans it once total, and the
+    shuffle still carries only n_groups x n_specs x n_bins combined rows
+    (partial aggregation runs after the explode).
+
+    Output: (group..., col, bin, count).
+    """
+    gb = group_by or []
+    structs = [
+        F.struct(
+            F.lit(spec.col).alias("col"),
+            F.when(F.col(spec.col).isNotNull(), _bucket(spec)).alias("bin"),
+        )
+        for spec in specs
+    ]
+    return (
+        df.select(*gb, F.explode(F.array(*structs)).alias("s"))
+        .select(*gb, F.col("s.col").alias("col"), F.col("s.bin").alias("bin"))
+        .where(F.col("bin").isNotNull())
+        .groupBy(*gb, "col", "bin")
         .agg(F.count(F.lit(1)).alias("count"))
     )
 
@@ -76,11 +112,7 @@ def grouped_histograms(
     instead of re-scanning the table (plans/runner.py).
     """
     gb = group_by or []
-    hists = None
-    for spec in specs:
-        h = histogram(df, spec, group_by=gb).withColumn("col", F.lit(spec.col))
-        hists = h if hists is None else hists.unionByName(h)
-    actual = hists.collect()
+    actual = multi_histogram(df, specs, group_by=gb).collect()
     out: dict[tuple, dict[str, np.ndarray]] = {}
     by_spec = {s.col: s for s in specs}
     for r in actual:

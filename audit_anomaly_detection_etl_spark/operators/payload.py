@@ -144,6 +144,14 @@ def payload_report(clips: DataFrame, clips_ref: DataFrame) -> DataFrame:
     """Per-clip validation report (REPORT_SCHEMA). Lazy: one join + one
     mapInPandas stage; column pruning keeps only the 8 needed input columns
     at the scans.
+
+    Flag independence (deliberate): transcript flags (``transcript_null`` /
+    ``transcript_ok``) are evaluated for EVERY clip, including clips whose
+    audio failed to decode — a torn payload does not suppress transcript
+    violations (each check attests its own invariant). Likewise ``snr_db``
+    for a ref row of matching *length zero* is -inf (a silent/empty
+    reference cannot attest the signal), via the ``lens > 0`` term in
+    ``ref_ok``. Covered by tests/test_payload.py::test_flags_decoupled_from_decode.
     """
     ref = clips_ref.select("clip_id", "pcm_ref", "transcript_ref")
     joined = clips.select("clip_id", "part", "bytes", "sr_hz", "dur_ms", "codec", "transcript").join(

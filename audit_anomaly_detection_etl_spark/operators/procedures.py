@@ -98,6 +98,14 @@ def active_duration(
     order) + one hash aggregate — the window and the aggregate share the
     same partitioning so Catalyst plans a single shuffle on ``group_col``.
 
+    Span semantics: ``max(ts) - min(ts)``. The reference (W2,
+    features_engineering/nodes.py:188-222) takes the POSITIONAL first/last
+    rows of its file-ordered frame; when timestamps are monotone in
+    ``order_col`` (the reference's implicit assumption) the two agree, and
+    under out-of-order timestamps min/max is the robust choice — a
+    deliberate deviation, kept because this engine's contract is an explicit
+    order column, not file order.
+
     Output: ``(group_col, total_ms:double, pause_ms:double, active_ms:double,
     n_pauses:long)``.
     """
@@ -130,6 +138,7 @@ def backtrack_count(
     value_col: str,
     threshold: float,
     out_col: str = "n_backtracks",
+    filter_counted: bool = False,
 ) -> DataFrame:
     """Per group: sum over trigger rows (type ∈ related, value > threshold)
     of the number of LATER rows whose type is in ``related[trigger_type]``.
@@ -137,6 +146,14 @@ def backtrack_count(
     ``related`` is the reference's constraint-reference matrix (SURVEY.md J7)
     — a tiny driver-built dict captured in the UDF closure (broadcast with
     the serialized function; no per-row lookup cost beyond a dict hit).
+
+    ``filter_counted``: the reference (features_engineering/nodes.py:420-439)
+    applies the ``value > threshold`` duration filter to the WHOLE table
+    before its double loop, so counted later rows are filtered too; pass
+    True for those exact semantics. The default (False) counts all later
+    related rows — a deliberate deviation kept as the engine default (a
+    glanced-at related question is still a revisit target) and what the
+    q36 oracle encodes.
 
     Vectorization: one reversed cumsum per referenced type gives suffix
     counts; each trigger then reads its count in O(|related types|).
@@ -156,9 +173,11 @@ def backtrack_count(
         types = pdf[type_col].to_numpy()
         vals = pdf[value_col].to_numpy()
         # suffix[t][i] = # rows strictly after i with type == t
+        # (and value > threshold too, under the reference's exact semantics)
+        counted_ok = vals > threshold if filter_counted else np.ones(len(vals), dtype=bool)
         suffix = {}
         for t in all_targets:
-            mask = (types == t).astype(np.int64)
+            mask = ((types == t) & counted_ok).astype(np.int64)
             suffix[t] = np.cumsum(mask[::-1])[::-1] - mask
         total = 0
         for ttype, targets in related.items():

@@ -3,18 +3,36 @@
 - ``cosine_knn``        brute-force exact top-k: broadcast the (small) query
                         set against the full base table; one scan, no shuffle
                         of the base side until the final per-query top-k.
-- ``lsh_ann_knn``       random-hyperplane LSH: sign-bucket both sides on H
-                        fixed hyperplanes, join on bucket, rank within
-                        candidates — the 100 TB path (touches only colliding
-                        buckets; recall tunable via H and multi-probe).
+- ``lsh_ann_knn``       random-hyperplane LSH: sign-bucket both sides, join on
+                        bucket, rank within candidates — the 100 TB path
+                        (touches only colliding buckets).
+- ``embedding_neardup_pairs``  bucketed self-join near-dup mining with exact
+                        cosine verification inside buckets.
+
+Scale controls (the bits/bands/bound trade-off):
+- ``n_bits`` sets bucket granularity: expected bucket size is n / 2^n_bits
+  for random signs, so pick n_bits ~ log2(n / target_bucket). 8 bits (256
+  buckets) is the small-data default that the DuckDB oracle inlines; at 10^9
+  rows use 16-24 bits or per-bucket self-joins degenerate quadratically.
+- ``n_bands`` recovers recall lost to finer buckets: b independent
+  hyperplane tables; candidates collide in ANY band (same banded design as
+  dedup.minhash_lsh_pairs). Per-band collision for angle theta is
+  (1 - theta/pi)^n_bits; overall 1 - (1 - p)^n_bands.
+- ``max_bucket`` bounds pathological buckets (duplicate-heavy corpora where
+  one bucket swallows the table): oversized buckets are dropped via a
+  broadcast anti-join, mirroring dedup.py's hot-bucket control. Dropped
+  buckets lose candidates (recall), never precision.
 
 Dot products run JVM-side via ``zip_with``/``aggregate`` higher-order
-functions in float64 — sequential fold, so results are bit-identical across
-engines and parallelism levels (no Python, no pandas).
+functions in float64 — a *sequential* fold, so signs (and hence buckets) are
+bit-identical across engines and parallelism levels; that is what makes ANN
+testable for exact parity (numpy's reordered summation could flip the sign
+of a near-zero dot). The fold is interpreted, not codegen'd — O(dim) per bit
+per row; at production scale precompute the bucket column once at ingest and
+cluster/bucket the table by it, so probes never recompute it.
 
-The hyperplanes are module-level constants from a seeded generator: both the
-Spark plan and the DuckDB oracle inline the same literals, which is what
-makes ANN testable for exact parity.
+The hyperplanes come from one seeded generator: both the Spark plan and the
+DuckDB oracle inline the same literals.
 """
 
 from __future__ import annotations
@@ -24,11 +42,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 EMB_DIM = 64
-N_HYPERPLANES = 8
+N_HYPERPLANES = 8  # default band-0 bits; the oracle SQL inlines these
+MAX_BITS = 24
+MAX_BANDS = 4
 _rng = np.random.default_rng(20240601)
-HYPERPLANES: list[list[float]] = [
-    [round(float(x), 6) for x in _rng.standard_normal(EMB_DIM)] for _ in range(N_HYPERPLANES)
+# one fixed pool, sliced per (band, bit): band b uses rows [b*MAX_BITS, ...)
+_POOL: list[list[float]] = [
+    [round(float(x), 6) for x in _rng.standard_normal(EMB_DIM)]
+    for _ in range(MAX_BANDS * MAX_BITS)
 ]
+# band 0's first 8 planes — the literals q25/q26's oracle SQL reproduces
+HYPERPLANES: list[list[float]] = _POOL[:N_HYPERPLANES]
+
+
+def hyperplanes(n_bits: int = N_HYPERPLANES, band: int = 0) -> list[list[float]]:
+    assert n_bits <= MAX_BITS and band < MAX_BANDS
+    return _POOL[band * MAX_BITS : band * MAX_BITS + n_bits]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -81,13 +110,41 @@ def cosine_knn(
     )
 
 
-def lsh_bucket(vec: Column) -> Column:
-    """Sign-bit bucket string over the fixed hyperplanes ('1'/'0' x H)."""
+def lsh_bucket(vec: Column, planes: list[list[float]] | None = None) -> Column:
+    """Sign-bit bucket string ('1'/'0' per plane) over the given hyperplanes
+    (default: the 8-bit band-0 set the oracle inlines)."""
     bits = [
         F.when(dot(vec, F.array(*[F.lit(x) for x in h])) > 0, "1").otherwise("0")
-        for h in HYPERPLANES
+        for h in (planes if planes is not None else HYPERPLANES)
     ]
     return F.concat(*bits)
+
+
+def _band_buckets(df: DataFrame, vec: str, n_bits: int, n_bands: int) -> DataFrame:
+    """Explode each row into (band, bkey) membership rows (plus the original
+    columns) — one row per band, same single-pass shape as dedup's band
+    table."""
+    structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            lsh_bucket(F.col(vec), hyperplanes(n_bits, b)).alias("bkey"),
+        )
+        for b in range(n_bands)
+    ]
+    return df.select("*", F.explode(F.array(*structs)).alias("__bb")).select(
+        *df.columns, F.col("__bb.band").alias("band"), F.col("__bb.bkey").alias("bkey")
+    )
+
+
+def _bound_buckets(bands: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Drop pathologically hot (band, bkey) buckets — broadcast anti-join on
+    the tiny oversized-bucket list (dedup.py:162-165 pattern)."""
+    if max_bucket is None:
+        return bands
+    sizes = bands.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("bn"))
+    return bands.join(
+        F.broadcast(sizes.where(F.col("bn") > max_bucket)), ["band", "bkey"], "left_anti"
+    )
 
 
 def lsh_ann_knn(
@@ -96,27 +153,40 @@ def lsh_ann_knn(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_bits: int = N_HYPERPLANES,
+    n_bands: int = 1,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket.
+    """Approximate top-k: candidates share any band's bucket with the query.
 
-    At scale the bucket column is precomputed and the base table is
-    clustered/bucketed by it, so a query probe reads one bucket's worth of
-    data instead of the full table. Recall < 1 by design; pair with
-    ``cosine_knn`` on a sample to measure it.
+    At scale the band/bucket columns are precomputed and the base table is
+    clustered by them, so a probe reads colliding buckets instead of the
+    full table. Recall < 1 by design — tunable via (n_bits, n_bands); pair
+    with ``cosine_knn`` on a sample to measure it (tests/test_similarity.py).
     """
     from pyspark.sql.window import Window
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _dbl(F.col(vec_col)).alias("qv"),
-    ).withColumn("bucket", lsh_bucket(F.col("qv")))
-    b = base.select(F.col(id_col).alias("neighbor_id"), _dbl(F.col(vec_col)).alias("bv")).withColumn(
-        "bucket", lsh_bucket(F.col("bv"))
+    q = _band_buckets(
+        queries.select(F.col(id_col).alias("query_id"), _dbl(F.col(vec_col)).alias("qv")),
+        "qv",
+        n_bits,
+        n_bands,
     )
-    scored = (
-        b.join(F.broadcast(q), "bucket")
+    b = _band_buckets(
+        base.select(F.col(id_col).alias("neighbor_id"), _dbl(F.col(vec_col)).alias("bv")),
+        "bv",
+        n_bits,
+        n_bands,
+    )
+    b = _bound_buckets(b, max_bucket)
+    cand = (
+        b.join(F.broadcast(q), ["band", "bkey"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("bv")), 6).alias("cos"))
+        .select("query_id", "qv", "neighbor_id", "bv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("bv")), 6).alias("cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
     return (
@@ -127,21 +197,44 @@ def lsh_ann_knn(
 
 
 def embedding_neardup_pairs(
-    base: DataFrame, threshold: float = 0.8, id_col: str = "vec_id", vec_col: str = "embedding"
+    base: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = N_HYPERPLANES,
+    n_bands: int = 1,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH-bucketed self-join
-    (exact cosine verification inside buckets)."""
-    b = base.select(F.col(id_col).alias("id"), _dbl(F.col(vec_col)).alias("v")).withColumn(
-        "bucket", lsh_bucket(F.col("v"))
+    """Embedding-cosine near-duplicate pairs via banded LSH self-join with
+    exact cosine verification inside buckets. Precision is exact (threshold
+    applied to true cosine); bits/bands/bound set the recall/cost point."""
+    b = _band_buckets(
+        base.select(F.col(id_col).alias("id"), _dbl(F.col(vec_col)).alias("v")),
+        "v",
+        n_bits,
+        n_bands,
     )
+    b = _bound_buckets(b, max_bucket)
     a2 = b.alias("a")
     b2 = b.alias("b")
-    return (
-        a2.join(b2, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+    pairs = (
+        a2.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.select(
+            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos")
         )
         .where(F.col("cos") >= threshold)
     )

@@ -737,8 +737,10 @@ def _ann_sql() -> str:
     return """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          bk AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+         sizes AS (SELECT bucket, COUNT(*) AS bn FROM bk GROUP BY bucket),
          q AS (SELECT vec_id AS query_id, v AS qa, bucket FROM bk WHERE vec_id < 5),
-         b AS (SELECT vec_id AS neighbor_id, v AS qb, bucket FROM bk),
+         b AS (SELECT vec_id AS neighbor_id, v AS qb, bk.bucket
+               FROM bk JOIN sizes USING (bucket) WHERE bn <= 1000),
          scored AS (SELECT query_id, neighbor_id, ROUND({cos}, 6) AS cos
                     FROM q JOIN b USING (bucket) WHERE neighbor_id != query_id)
     SELECT query_id, neighbor_id, cos,
@@ -761,7 +763,9 @@ def q25(spark, sf_dir):
     "q26_embedding_neardup",
     """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         bk AS (SELECT vec_id, v, {bucket} AS bucket FROM e)
+         bk0 AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+         sizes AS (SELECT bucket, COUNT(*) AS bn FROM bk0 GROUP BY bucket),
+         bk AS (SELECT bk0.* FROM bk0 JOIN sizes USING (bucket) WHERE bn <= 1000)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND({cos_ab}, 6) AS cos
     FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id

@@ -127,6 +127,31 @@ def test_histogram_matches_numpy(spark, clips, clips_pdf):
     assert h.sum() == len(clips_pdf)
 
 
+def test_multi_histogram_single_scan_and_parity(spark, clips):
+    """The drift stage's histogram job must scan the table ONCE for all
+    columns (stack-then-explode, not per-column union) and agree with the
+    per-spec histogram on every (group, col, bin) count."""
+    from scripts.audit_plans import plan_of
+
+    specs = [drift.BinSpec("dur_ms", *synth.DUR_BINS), drift.BinSpec("sr_hz", *synth.SR_BINS)]
+    tall = drift.multi_histogram(clips, specs, group_by=["part"])
+    import re
+
+    plan = plan_of(tall)
+    # formatted plans list each node twice (tree + detail); count node ids
+    scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scan_ids) == 1, plan[:3000]
+
+    got = {
+        (r["part"], r["col"], r["bin"]): r["count"] for r in tall.collect()
+    }
+    exp = {}
+    for s in specs:
+        for r in drift.histogram(clips, s, group_by=["part"]).collect():
+            exp[(r["part"], s.col, r["bin"])] = r["count"]
+    assert got == exp
+
+
 def test_drift_clean_vs_drifted(spark, clips, clip_dir):
     href = spark.read.parquet(os.path.join(clip_dir, "hist_ref.parquet"))
     specs = [drift.BinSpec("dur_ms", *synth.DUR_BINS), drift.BinSpec("sr_hz", *synth.SR_BINS)]

@@ -4,6 +4,7 @@ import os
 
 import pyarrow.parquet as pq
 import pytest
+from pyspark.sql import functions as F
 
 from audit_anomaly_detection_etl_spark.operators import payload
 
@@ -50,6 +51,39 @@ def test_snr_present_for_clean_rows(report):
     clean = r[r.decode_ok & r.has_ref]
     assert (clean.snr_db.notna()).all()
     assert (clean[clean.transcript_ok].snr_db >= 30.0).mean() > 0.97
+
+
+def test_flags_decoupled_from_decode(spark):
+    """Transcript flags are evaluated independently of audio decode success
+    (payload_report docstring): a decode-failed clip with a null transcript
+    emits BOTH codec and transcript_null violations, and an empty payload
+    with an empty ref scores snr=-inf (silent reference can't attest)."""
+    import numpy as np
+
+    pcm = (np.sin(np.linspace(0, 20, 160)) * 0.3).astype(np.float32)
+    clips = spark.createDataFrame(
+        [
+            ("a", bytearray(b"\x01\x02\x03"), 16000, 10, "zzz_unknown", None),
+            ("b", bytearray(), 16000, 0, "pcm_f32le", "hello"),
+            ("c", bytearray(pcm.tobytes()), 16000, 10, "pcm_f32le", "ok"),
+        ],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string",
+    ).withColumn("part", F.lit(0))
+    ref = spark.createDataFrame(
+        [
+            ("a", bytearray(b"\x00\x00\x80\x3f"), "present"),
+            ("b", bytearray(), "hello"),
+            ("c", bytearray(pcm.tobytes()), "ok"),
+        ],
+        "clip_id string, pcm_ref binary, transcript_ref string",
+    )
+    rep = {r["clip_id"]: r for r in payload.payload_report(clips, ref).collect()}
+    assert not rep["a"]["decode_ok"] and rep["a"]["transcript_null"]
+    assert rep["b"]["decode_ok"] and rep["b"]["snr_db"] == float("-inf")
+    assert rep["c"]["decode_ok"] and rep["c"]["transcript_ok"] and rep["c"]["snr_db"] == float("inf")
+    v = payload.payload_violations(payload.payload_report(clips, ref)).toPandas()
+    a_checks = set(v[v.key == "a"].check)
+    assert {"codec", "transcript_null"} <= a_checks
 
 
 def test_severity_ranking(report):

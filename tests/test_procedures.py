@@ -111,6 +111,47 @@ def test_backtrack_count_matches_quadratic_oracle(spark, events_pdf):
     assert (got == exp).all()
 
 
+def test_backtrack_filter_counted_matches_reference_loop(spark, events_pdf):
+    """filter_counted=True = the reference's EXACT semantics: the duration
+    threshold filters the whole table before the double loop
+    (features_engineering/nodes.py:420-439), so counted later rows must pass
+    it too."""
+    related = {"error": ["click", "view"], "purchase": ["signup"]}
+    df = spark.createDataFrame(events_pdf)
+    got = (
+        procedures.backtrack_count(
+            df, related, "user_id", "event_id", "event_type", "value",
+            threshold=10.0, filter_counted=True,
+        )
+        .toPandas()
+        .set_index("user_id")["n_backtracks"]
+        .sort_index()
+    )
+
+    def oracle(g: pd.DataFrame) -> int:
+        # reference shape: filter FIRST, then the O(n^2) scan
+        g = g.sort_values("event_id")
+        g = g[g["value"] > 10.0].reset_index(drop=True)
+        total = 0
+        for i, row in g.iterrows():
+            targets = related.get(row["event_type"])
+            if targets:
+                later = g.iloc[i + 1 :]
+                total += int(later["event_type"].isin(targets).sum())
+        return total
+
+    exp = events_pdf.groupby("user_id").apply(oracle, include_groups=False).sort_index()
+    assert (got == exp).all()
+    # and it genuinely differs from the default semantics on this data
+    dflt = (
+        procedures.backtrack_count(
+            df, related, "user_id", "event_id", "event_type", "value", threshold=10.0
+        )
+        .toPandas()["n_backtracks"]
+    )
+    assert dflt.sum() != got.sum()
+
+
 def test_backtrack_zero_groups_present(spark):
     pdf = pd.DataFrame(
         {
