@@ -32,6 +32,54 @@ def anti_join(left: DataFrame, right: DataFrame, key: str, broadcast: bool = Tru
     return left.join(r, key, "left_anti")
 
 
+def substring_count_join(
+    df: DataFrame,
+    patterns: DataFrame,
+    text_col: str,
+    group_cols: list[str],
+    pattern_col: str = "pattern",
+    out_col: str = "match_count",
+    literal: bool = False,
+) -> DataFrame:
+    """Per group, total occurrences of every pattern from a reference TABLE
+    inside a string column — the reference's J6 generalized
+    (features_engineering/nodes.py:300-335: questionnaire note names counted
+    in each survey's visited-path strings via ``str.count`` per name, summed
+    per audit).
+
+    Plan: the pattern table collapses into ONE array row (sorted
+    collect_set), broadcast onto the detail scan; each row evaluates
+    ``aggregate(patterns, 0, acc + regexp_count(text, p))`` — no row
+    explosion (the detail table never multiplies by n_patterns), one
+    groupBy for the per-group sums. Pattern counts match pandas
+    ``str.count`` (regex, non-overlapping); ``literal=True`` escapes regex
+    metacharacters for verbatim-substring counting.
+
+    Scale notes: patterns are a dimension table (thousands at most — the
+    collect_set aggregate is one tiny shuffle); per-row cost is
+    O(n_patterns) regex scans, the same work the reference does per row.
+    Output: (group_cols..., out_col) — merge back with a broadcast join if
+    row-level decoration is needed (the reference's final merge).
+    """
+    pats = patterns.groupBy().agg(
+        F.sort_array(F.collect_set(pattern_col)).alias("__pats")
+    )
+    pat = lambda p: (
+        F.regexp_replace(p, r"([\\.\[\]\{\}\(\)\*\+\?\^\$\|])", r"\\$1") if literal else p
+    )
+    per_row = F.aggregate(
+        "__pats",
+        F.lit(0).cast("long"),
+        lambda acc, p: acc + F.regexp_count(F.col(text_col), pat(p)),
+    )
+    return (
+        df.crossJoin(F.broadcast(pats))
+        .select(*group_cols, per_row.alias("__n"))
+        .groupBy(*group_cols)
+        .agg(F.sum("__n").alias(out_col))
+    )
+
+
 def referential_violations(
     df: DataFrame,
     ref: DataFrame,

@@ -1479,6 +1479,131 @@ def q48(spark, sf_dir):
 
 
 # ===========================================================================
+# CSV / JSON source-sink (S3/S5/S6) + table-driven substring-count join (J6)
+# ===========================================================================
+
+def _stage_dir(sf_dir: str, name: str) -> str:
+    import hashlib
+
+    return f"/tmp/sparkgraft_stage/{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}/{name}"
+
+
+def _stage_once(sf_dir: str, name: str, writer) -> str:
+    """Idempotent deterministic staging: write once per (sf_dir, name), keyed
+    by the _SUCCESS marker."""
+    import os
+
+    d = _stage_dir(sf_dir, name)
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        writer(d)
+    return d
+
+
+@q(
+    "q52_csv_union_scan",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)                              AS n,
+           ROUND(SUM(value), 4)                                  AS value_sum,
+           CAST(COUNT(*) FILTER (WHERE props IS NULL) AS BIGINT) AS n_null_props
+    FROM events GROUP BY event_type
+    """,
+)
+def q52(spark, sf_dir):
+    """CSV fan-out scan (SURVEY.md S3/S6, data_download/nodes.py:76-131):
+    events staged to 4 header-bearing CSV part files, read back via
+    read_csv_union (per-file header binding + name strip + source-id attach
+    + widened union + width check), cast through the config-driven P1
+    formatter, re-aggregated. The oracle aggregates the original parquet table —
+    a hash match proves the CSV round-trip is value-exact including null
+    round-tripping."""
+    import glob
+
+    from .sources import csvio
+
+    def write(d):
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value", "props"
+        )
+        csvio.write_csv(ev, d, n_files=4)
+
+    d = _stage_once(sf_dir, "events_csv", write)
+    files = sorted(glob.glob(f"{d}/part-*.csv"))
+    raw = csvio.read_csv_union(spark, files, id_col="source_id")
+    ev = SC.format_columns(
+        raw,
+        {
+            "event_type": ("event_type", "string"),
+            "value": ("value", "double"),
+            "props": ("props", "string"),
+        },
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+        F.sum(F.col("props").isNull().cast("long")).alias("n_null_props"),
+    )
+
+
+@q(
+    "q53_json_roundtrip",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(value), 6)     AS value_avg,
+           ROUND(MAX(value), 2)     AS value_max
+    FROM events GROUP BY event_type
+    """,
+)
+def q53(spark, sf_dir):
+    """JSON-lines sink + scan round trip (SURVEY.md S5, catalog.yml raw-JSON
+    datasets): doubles survive at full precision; the scan binds an explicit
+    DDL schema (no inference pass)."""
+    from .sources import csvio
+
+    def write(d):
+        ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+        csvio.write_json(ev, d, n_files=2)
+
+    d = _stage_once(sf_dir, "events_json", write)
+    ev = csvio.read_json(spark, d, schema="event_id bigint, event_type string, value double")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("value_avg"),
+        F.round(F.max("value"), 2).alias("value_max"),
+    )
+
+
+@q(
+    "q54_substring_count_join",
+    """
+    WITH pats AS (SELECT DISTINCT {w}[1] AS pattern FROM documents WHERE doc_id < 5)
+    SELECT lang,
+           CAST(SUM(cnt) AS BIGINT) AS match_count
+    FROM (SELECT d.lang,
+                 LEN(regexp_extract_all(d.text, p.pattern)) AS cnt
+          FROM documents d, pats p)
+    GROUP BY lang
+    """.format(w=_sql_words("text")),
+)
+def q54(spark, sf_dir):
+    """Table-driven substring-membership count join (SURVEY.md J6,
+    features_engineering/nodes.py:300-335): patterns come from a reference
+    DataFrame (here: first words of docs 0-4), broadcast as ONE collected
+    array; per-group totals of regexp_count occurrences — no row explosion
+    (operators/referential.py substring_count_join)."""
+    d = _t(spark, sf_dir, "documents")
+    patterns = (
+        d.where(F.col("doc_id") < 5)
+        .select(F.element_at(T.words(F.col("text")), 1).alias("pattern"))
+        .distinct()
+    )
+    return referential.substring_count_join(
+        d, patterns, text_col="text", group_cols=["lang"], out_col="match_count"
+    )
+
+
+# ===========================================================================
 # anomaly-model ensemble scoring (model_training + model_output analogues)
 # ===========================================================================
 
