@@ -19,9 +19,13 @@ Check decomposability: uniqueness and referential checks are run per-wave,
 which is correct when the table is bucket-partitioned by hash(clip_id)
 (``SuiteSpec.key_partitioned`` — duplicates and their reference rows land in
 the same partition by construction). For tables whose partition column is
-NOT a key function, set ``key_partitioned=False``: those two checks then run
-globally over the full table on every invocation (they scan only the key
-column — cheap relative to payload decode, which stays resumable).
+NOT a key function, set ``key_partitioned=False``: those two checks are
+pulled OUT of the resumable per-wave plan and run globally over the full
+table on every invocation — including resumes, so cross-wave duplicates a
+killed run never co-scanned are still caught (``_global_key_checks``; they
+scan only the key/part columns — cheap relative to payload decode, which
+stays resumable). Their rows land in ``violations_global`` (overwritten per
+run, never checkpointed) and in ``SuiteResult.global_violations_by_check``.
 """
 
 from __future__ import annotations
@@ -56,6 +60,11 @@ class SuiteResult:
     schema_issues: list[dict]
     drift_metrics: list[dict]
     violations_path: str
+    # key_partitioned=False only: per-run global uniqueness/referential
+    # results (recomputed every invocation, never checkpointed — partition
+    # markers only carry partition-decomposable state)
+    global_violations_path: str | None = None
+    global_violations_by_check: dict | None = None
 
 
 class KilledMidRun(RuntimeError):
@@ -63,12 +72,12 @@ class KilledMidRun(RuntimeError):
 
 
 def _wave_violations(
-    wave_df: DataFrame, ref_df: DataFrame | None, spec: SuiteSpec
+    wave_df: DataFrame, ref_df: DataFrame | None, spec: SuiteSpec, checks: tuple
 ) -> DataFrame | None:
     parts = []
-    if "schema" in spec.checks:
+    if "schema" in checks:
         parts.append(schema_check.constraint_violations(wave_df, spec.schema_spec))
-    if "uniqueness" in spec.checks:
+    if "uniqueness" in checks:
         parts.append(
             uniqueness.uniqueness_violations(
                 wave_df,
@@ -77,14 +86,50 @@ def _wave_violations(
                 n_salts=spec.uniqueness_salts,
             )
         )
-    if "referential" in spec.checks and ref_df is not None:
+    if "referential" in checks and ref_df is not None:
         parts.append(
             referential.referential_violations(
                 wave_df, ref_df, key_col=spec.schema_spec.key_col, part_col=spec.schema_spec.part_col
             )
         )
-    if "payload" in spec.checks and ref_df is not None:
+    if "payload" in checks and ref_df is not None:
         parts.append(payload.payload_violations(payload.payload_report(wave_df, ref_df)))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _global_key_checks(
+    spark: SparkSession, clips_root: str, ref_root: str | None, spec: SuiteSpec
+) -> DataFrame | None:
+    """key_partitioned=False path: uniqueness + referential over the FULL
+    table, every invocation. Cross-partition duplicates / orphans cannot be
+    decomposed per-wave when the partition column is not a key function, so
+    these two checks are excluded from the resumable per-wave plan and
+    recomputed here — scanning only (key, part) columns, which is cheap
+    relative to payload decode (the scan prunes to two columns)."""
+    parts = []
+    full = tableio.read_table(spark, clips_root)
+    if "uniqueness" in spec.checks:
+        parts.append(
+            uniqueness.uniqueness_violations(
+                full,
+                key_col=spec.schema_spec.key_col,
+                part_col=spec.schema_spec.part_col,
+                n_salts=spec.uniqueness_salts,
+            )
+        )
+    if "referential" in spec.checks and ref_root:
+        ref_full = tableio.read_table(spark, ref_root)
+        parts.append(
+            referential.referential_violations(
+                full, ref_full, key_col=spec.schema_spec.key_col,
+                part_col=spec.schema_spec.part_col,
+            )
+        )
     if not parts:
         return None
     out = parts[0]
@@ -132,7 +177,12 @@ def run_suite(
         wave_df = tableio.read_partitions(spark, clips_root, wave)
         ref_df = tableio.read_partitions(spark, ref_root, wave) if ref_root else None
 
-        viols = _wave_violations(wave_df, ref_df, spec)
+        wave_checks = (
+            spec.checks
+            if spec.key_partitioned
+            else tuple(c for c in spec.checks if c not in ("uniqueness", "referential"))
+        )
+        viols = _wave_violations(wave_df, ref_df, spec, wave_checks)
         if viols is not None:
             # persist: the union plan (incl. payload decode) computes ONCE;
             # the write materializes it and the summary reads the cache —
@@ -261,6 +311,24 @@ def run_suite(
         for m in global_drift:
             m["scope"] = "global"
 
+    # key_partitioned=False: global uniqueness/referential EVERY invocation
+    # (including resumes — the whole point: cross-wave duplicates that a
+    # killed run never co-scanned are still caught). Written to a separate
+    # path, fully overwritten, never checkpointed.
+    global_path = None
+    global_by_check = None
+    if not spec.key_partitioned:
+        g = _global_key_checks(spark, clips_root, ref_root, spec)
+        if g is not None:
+            global_path = f"{checkpoint_dir.rstrip('/')}/violations_global"
+            g = g.select(*VIOLATION_COLS).persist()
+            g.write.mode("overwrite").parquet(global_path)
+            global_by_check = {
+                r["check"]: r["n"]
+                for r in g.groupBy("check").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            g.unpersist()
+
     return SuiteResult(
         snapshot_id=snap,
         spec_hash=spec_hash,
@@ -270,11 +338,20 @@ def run_suite(
         schema_issues=schema_issues,
         drift_metrics=global_drift + all_drift,
         violations_path=violations_path,
+        global_violations_path=global_path,
+        global_violations_by_check=global_by_check,
     )
 
 
-def ranked_violations(spark: SparkSession, violations_path: str) -> DataFrame:
+def ranked_violations(
+    spark: SparkSession, violations_path: str, global_path: str | None = None
+) -> DataFrame:
     """Global ranked violation output — the reference's sorted anomaly table
-    (SURVEY.md O1): severity desc, then key for determinism.
+    (SURVEY.md O1): severity desc, then key for determinism. Pass the
+    SuiteResult's ``global_violations_path`` to fold in the
+    key_partitioned=False global-check rows.
     """
-    return spark.read.parquet(violations_path).orderBy(F.desc("severity"), "key", "check")
+    v = spark.read.parquet(violations_path).select(*VIOLATION_COLS)
+    if global_path:
+        v = v.unionByName(spark.read.parquet(global_path).select(*VIOLATION_COLS))
+    return v.orderBy(F.desc("severity"), "key", "check")

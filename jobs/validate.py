@@ -74,7 +74,10 @@ def main(argv: list[str] | None = None) -> dict:
     elapsed = time.time() - t0
     n_rows = sum(v.n_rows for v in res.verdicts.values() if v.part in set(res.ran_parts))
     top = [
-        r.asDict() for r in ranked_violations(spark, res.violations_path).limit(args.top).collect()
+        r.asDict()
+        for r in ranked_violations(
+            spark, res.violations_path, res.global_violations_path
+        ).limit(args.top).collect()
     ]
     summary = {
         "snapshot_id": res.snapshot_id,
@@ -85,6 +88,7 @@ def main(argv: list[str] | None = None) -> dict:
         "passed": sum(1 for v in res.verdicts.values() if v.passed),
         "failed": sum(1 for v in res.verdicts.values() if not v.passed),
         "violations_by_check": _sum_by_check(res),
+        "global_violations_by_check": res.global_violations_by_check,
         "schema_issues": res.schema_issues,
         "rows_validated": n_rows,
         "elapsed_sec": round(elapsed, 3),

@@ -104,6 +104,57 @@ def test_spec_change_invalidates_checkpoints(spark, clip_dir, tmp_path):
     assert len(res.ran_parts) == 16, "new spec hash must re-validate everything"
 
 
+def test_non_key_partitioned_kill_resume_catches_cross_wave_dups(
+    spark, clip_dir, tmp_path
+):
+    """key_partitioned=False contract (runner docstring): when the partition
+    column is NOT a key function, duplicates span partitions, so uniqueness
+    leaves the resumable per-wave plan and runs globally on EVERY invocation
+    — a resumed run must still catch duplicate pairs whose halves were
+    validated in different waves (one before the kill, one after)."""
+    # repartition the synth clips by ROW POSITION (not key hash): sort by
+    # clip_id then part = rownum % 8, so the two halves of every injected
+    # duplicate pair land in DIFFERENT partitions by construction
+    src = pq.read_table(os.path.join(clip_dir, "clips")).to_pandas()
+    src = src.sort_values("clip_id").reset_index(drop=True).drop(columns=["part"])
+    src["part"] = (src.index % 8).astype("int32")
+    dup_ids = set(src.clip_id[src.clip_id.duplicated(keep=False)])
+    assert dup_ids, "synth must have injected duplicates"
+    cross = src[src.clip_id.isin(dup_ids)].groupby("clip_id").part.nunique()
+    assert (cross > 1).all(), "every dup pair must straddle partitions"
+
+    root = str(tmp_path / "npk_clips")
+    sdf = spark.createDataFrame(src)
+    sdf.write.mode("overwrite").partitionBy("part").parquet(root)
+
+    spec = SuiteSpec(checks=("schema", "stats", "uniqueness"), key_partitioned=False)
+    ckdir = tmp_path / "npk_ck"
+    with pytest.raises(KilledMidRun):
+        run_suite(
+            spark, clips_root=root, ref_root=None, hist_ref_path=None,
+            checkpoint_dir=str(ckdir), spec=spec, wave_size=4, fail_after_waves=1,
+        )
+
+    res = run_suite(
+        spark, clips_root=root, ref_root=None, hist_ref_path=None,
+        checkpoint_dir=str(ckdir), spec=spec, wave_size=4,
+    )
+    assert len(res.skipped_parts) == 4 and len(res.ran_parts) == 4  # resumed
+    # per-wave plans must NOT contain uniqueness rows (not decomposable here)
+    for v in res.verdicts.values():
+        assert "uniqueness" not in v.violations_by_check
+    # the global pass catches every duplicate row, cross-wave included
+    n_dup_rows = int(src.clip_id.isin(dup_ids).sum())
+    assert res.global_violations_by_check == {"uniqueness": n_dup_rows}
+    gv = spark.read.parquet(res.global_violations_path).toPandas()
+    assert set(gv.key) == dup_ids
+    # and ranked output folds both sources
+    ranked = ranked_violations(
+        spark, res.violations_path, res.global_violations_path
+    ).toPandas()
+    assert set(gv.key) <= set(ranked.key)
+
+
 def test_determinism_across_parallelism(clip_dir, tmp_path):
     """Same input at local[2] vs local[4] -> identical verdicts + violations.
 
