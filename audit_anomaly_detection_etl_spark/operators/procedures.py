@@ -8,9 +8,10 @@ unordered shuffles.
 - ``pace_max_ratio``   : W1 analogue (features_engineering/nodes.py:143-185)
   — per group, forward/backward *expanding medians* with
   ``min_periods = max(n // min_frac, 1)``, max of the backward/forward
-  ratio. Running medians have no native Catalyst expression, so this is a
-  grouped-map ``applyInPandas`` (Arrow-batched; one group = one pandas
-  frame — groups are bounded by construction, see scale note below).
+  ratio. Running medians have no native Catalyst expression (framed
+  ``median`` windows are rejected by the analyzer), so this is Python — but
+  as a PACKED ``mapInPandas`` over key-partitioned sorted input, not
+  grouped-map: many groups per Arrow batch (see in-function comment).
 - ``active_duration``  : W2 analogue (features_engineering/nodes.py:188-222)
   — span minus the sum of gaps attributable to pause events. Fully native:
   ``lag`` window + conditional sum + min/max aggregate; no Python.
@@ -65,24 +66,59 @@ def pace_max_ratio(
         ]
     )
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col, kind="mergesort")
-        v = pdf[value_col].astype("float64")
-        n = len(v)
-        minp = max(n // min_frac, 1)
-        fwd = v.expanding(min_periods=minp).median()
-        bwd = v[::-1].expanding(min_periods=minp).median()[::-1]
-        ratio = bwd.to_numpy() / fwd.to_numpy()
-        best = np.nanmax(ratio) if np.any(~np.isnan(ratio)) else None
-        return pd.DataFrame(
-            {
-                group_col: [pdf[group_col].iloc[0]],
-                "n": [n],
-                out_col: [best],
-            }
-        )
+    # Packed mapInPandas instead of groupBy().applyInPandas: grouped-map
+    # pays ~2 ms of Arrow/pandas machinery PER GROUP (measured: a trivial
+    # grouped-map over 1.5k entity groups at sf0.1 costs 3.2 s before any
+    # median is computed), while entity groups are tiny. Packing many groups
+    # per Arrow batch amortizes that to per-batch cost: hash-repartition on
+    # the group key + sortWithinPartitions gives contiguous, fully-ordered
+    # groups per partition; the generator buffers only the (possibly
+    # batch-straddling) last group of each batch. Same single shuffle as
+    # grouped-map, ~5x less Python overhead.
 
-    return df.select(group_col, order_col, value_col).groupBy(group_col).applyInPandas(fn, schema)
+    def _process(pdf: pd.DataFrame):
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        keys = pdf[group_col].to_numpy()
+        # contiguous group slices (partition is sorted by group, order)
+        change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(keys)]))
+        out_k, out_n, out_r = [], [], []
+        for s, e in zip(starts, ends):
+            v = pd.Series(vals[s:e])
+            n = e - s
+            minp = max(n // min_frac, 1)
+            fwd = v.expanding(min_periods=minp).median().to_numpy()
+            bwd = v[::-1].expanding(min_periods=minp).median()[::-1].to_numpy()
+            ratio = bwd / fwd
+            best = np.nanmax(ratio) if np.any(~np.isnan(ratio)) else None
+            out_k.append(keys[s])
+            out_n.append(n)
+            out_r.append(best)
+        return pd.DataFrame({group_col: out_k, "n": out_n, out_col: out_r})
+
+    def gen(batches):
+        buf = None
+        for pdf in batches:
+            if buf is not None and len(buf):
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last = pdf[group_col].iloc[-1]
+            tail = pdf[group_col] == last
+            buf = pdf[tail]
+            head = pdf[~tail]
+            if len(head):
+                yield _process(head)
+        if buf is not None and len(buf):
+            yield _process(buf)
+
+    src = (
+        df.select(group_col, order_col, value_col)
+        .repartition(F.col(group_col))
+        .sortWithinPartitions(group_col, order_col)
+    )
+    return src.mapInPandas(gen, schema)
 
 
 def active_duration(

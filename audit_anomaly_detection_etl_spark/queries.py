@@ -614,8 +614,12 @@ def q21(spark, sf_dir):
 
 
 def _minhash_sql() -> str:
+    # Kirsch-Mitzenmacher: h_i = h1 + i*h2 over hex-prefix bigints of two
+    # md5 digests — rebuilt digit-for-digit from dedup.minhash_signatures
     sig_cols = ",\n           ".join(
-        "list_aggregate(list_transform(sh, s -> md5('{i}|' || s)), 'min') AS h{i}".format(i=i)
+        "list_aggregate(list_transform(sh, s -> "
+        "CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) "
+        "+ {i} * CAST(concat('0x', substr(md5('#' || s), 1, 14)) AS BIGINT)), 'min') AS h{i}".format(i=i)
         for i in range(dedup.N_HASHES)
     )
     band_rows = []

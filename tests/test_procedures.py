@@ -52,6 +52,29 @@ def test_pace_max_ratio_matches_pandas_oracle(spark, events_pdf):
     np.testing.assert_allclose(got["max_pace_ratio"], exp["max_pace_ratio"], rtol=1e-12)
 
 
+def test_pace_ratio_groups_straddling_arrow_batches(spark, events_pdf):
+    """The packed mapInPandas buffers the trailing group of every Arrow
+    batch; force tiny batches so nearly every group straddles a boundary and
+    assert results are identical to the default batch size."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    df = spark.createDataFrame(events_pdf)
+    base = (
+        procedures.pace_max_ratio(df, "user_id", "event_id", "value")
+        .toPandas().set_index("user_id").sort_index()
+    )
+    try:
+        spark.conf.set(key, "7")
+        tiny = (
+            procedures.pace_max_ratio(df, "user_id", "event_id", "value")
+            .toPandas().set_index("user_id").sort_index()
+        )
+    finally:
+        spark.conf.set(key, old)
+    assert (base["n"] == tiny["n"]).all()
+    np.testing.assert_allclose(base["max_pace_ratio"], tiny["max_pace_ratio"], rtol=0, atol=0)
+
+
 def test_active_duration_matches_pandas_oracle(spark, events_pdf):
     df = spark.createDataFrame(events_pdf)
     got = (
