@@ -21,6 +21,50 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def stat_aggs(numeric_cols: list[str], all_cols: list[str]) -> list:
+    """The wide aggregate-expression list — exposed so callers (the suite
+    runner) can FUSE other algebraic aggregates (histogram bin counts) into
+    the same single-pass job instead of scanning the table again."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in all_cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+    for c in numeric_cols:
+        aggs.extend(
+            [
+                F.min(c).cast("double").alias(f"{c}__min"),
+                F.max(c).cast("double").alias(f"{c}__max"),
+                F.avg(c).alias(f"{c}__mean"),
+                F.stddev_samp(c).alias(f"{c}__stddev"),
+            ]
+        )
+    return aggs
+
+
+def tall_stats_from_wide(
+    wide_row: dict, numeric_cols: list[str], all_cols: list[str]
+) -> list[dict]:
+    """Driver-side reshape of one wide aggregate row into per-column tall
+    dicts (mirrors the struct-explode in ``column_stats``) — used on
+    already-collected wide rows so the fused runner job reshapes without a
+    second Spark job."""
+    n_rows = wide_row["n_rows"]
+    out = []
+    for c in all_cols:
+        is_num = c in numeric_cols
+        out.append(
+            {
+                "column": c,
+                "min": wide_row.get(f"{c}__min") if is_num else None,
+                "max": wide_row.get(f"{c}__max") if is_num else None,
+                "mean": wide_row.get(f"{c}__mean") if is_num else None,
+                "stddev": wide_row.get(f"{c}__stddev") if is_num else None,
+                "null_rate": (wide_row[f"{c}__nulls"] / n_rows) if n_rows else None,
+                "n_rows": n_rows,
+            }
+        )
+    return out
+
+
 def column_stats(
     df: DataFrame,
     numeric_cols: list[str],
@@ -37,18 +81,7 @@ def column_stats(
     all_cols = all_cols or numeric_cols
     gb = group_by or []
 
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in all_cols:
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
-    for c in numeric_cols:
-        aggs.extend(
-            [
-                F.min(c).cast("double").alias(f"{c}__min"),
-                F.max(c).cast("double").alias(f"{c}__max"),
-                F.avg(c).alias(f"{c}__mean"),
-                F.stddev_samp(c).alias(f"{c}__stddev"),
-            ]
-        )
+    aggs = stat_aggs(numeric_cols, all_cols)
     wide = df.groupBy(*gb).agg(*aggs) if gb else df.groupBy().agg(*aggs)
 
     # unpivot to tall without a second shuffle: one struct per column, explode

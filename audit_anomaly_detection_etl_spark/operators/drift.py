@@ -54,6 +54,29 @@ def histogram(df: DataFrame, spec: BinSpec, group_by: list[str] | None = None) -
     )
 
 
+def bucket_count_aggs(specs: list[BinSpec]) -> list:
+    """Per-spec per-bin algebraic count aggregates (``sum(bucket==k)``, nulls
+    excluded via three-valued logic) — fuseable into any wide groupBy so the
+    suite runner computes stats AND histograms in one pass. Column naming:
+    ``__hist__<col>__<bin>``; decode with ``counts_from_wide``."""
+    aggs = []
+    for spec in specs:
+        b = _bucket(spec)
+        for k in range(spec.n_bins):
+            aggs.append(F.sum((b == k).cast("long")).alias(f"__hist__{spec.col}__{k}"))
+    return aggs
+
+
+def counts_from_wide(wide_row: dict, specs: list[BinSpec]) -> dict[str, np.ndarray]:
+    out = {}
+    for spec in specs:
+        arr = np.zeros(spec.n_bins, dtype=np.float64)
+        for k in range(spec.n_bins):
+            arr[k] = float(wide_row.get(f"__hist__{spec.col}__{k}") or 0)
+        out[spec.col] = arr
+    return out
+
+
 def multi_histogram(
     df: DataFrame, specs: list[BinSpec], group_by: list[str] | None = None
 ) -> DataFrame:

@@ -197,45 +197,55 @@ def run_suite(
         else:
             viol_summary = []
 
-        stats_rows = (
-            column_stats.column_stats(
-                wave_df,
-                # NB: no "bytes" here — a null-rate over the binary column
-                # would drag the payload column through the stats scan; null
-                # bytes already surface as schema-constraint violations
-                numeric_cols=["sr_hz", "dur_ms"],
-                all_cols=["sr_hz", "dur_ms", "transcript", "codec"],
-                group_by=[spec.schema_spec.part_col],
-            ).collect()
-            if "stats" in spec.checks
-            else []
-        )
-        if stats_rows:
-            # stats pass already counted rows per partition — no second job
-            n_rows = {r[spec.schema_spec.part_col]: r["n_rows"] for r in stats_rows}
+        # stats + histograms FUSED into one wide aggregation job per wave —
+        # every aggregate is algebraic, so the extra bin-count columns ride
+        # the same map-side combine; the wave is scanned once for all
+        # metrics (columns pruned to the stat/drift columns).
+        part_col = spec.schema_spec.part_col
+        need_stats = "stats" in spec.checks
+        need_hists = drift_refs is not None
+        # NB: no "bytes" in the stat columns — a null-rate over the binary
+        # column would drag the payload through the metrics scan; null bytes
+        # already surface as schema-constraint violations
+        num_cols = ["sr_hz", "dur_ms"]
+        stat_cols = ["sr_hz", "dur_ms", "transcript", "codec"]
+        stats_rows: list[dict] = []
+        wave_counts: dict = {}
+        if need_stats or need_hists:
+            aggs = (
+                column_stats.stat_aggs(num_cols, stat_cols)
+                if need_stats
+                else [F.count(F.lit(1)).alias("n_rows")]
+            )
+            if need_hists:
+                aggs = aggs + drift.bucket_count_aggs(spec.drift_specs)
+            wide = wave_df.groupBy(part_col).agg(*aggs).collect()
+            n_rows = {}
+            for r in wide:
+                d = r.asDict()
+                p = d[part_col]
+                n_rows[p] = d["n_rows"]
+                if need_stats:
+                    for t in column_stats.tall_stats_from_wide(d, num_cols, stat_cols):
+                        stats_rows.append({part_col: p, **t})
+                if need_hists:
+                    wave_counts[(p,)] = drift.counts_from_wide(d, spec.drift_specs)
         else:
             n_rows = {
                 r["part"]: r["n"]
-                for r in wave_df.groupBy(spec.schema_spec.part_col)
+                for r in wave_df.groupBy(part_col)
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
             }
 
-        if drift_refs is not None:
-            # ONE histogram job per wave; raw counts feed both the per-part
-            # drift verdicts and (summed, incl. resumed markers) global drift
-            wave_counts = drift.grouped_histograms(
-                wave_df, spec.drift_specs, group_by=[spec.schema_spec.part_col]
-            )
+        if need_hists:
             wave_drift = drift.drift_verdicts(
                 drift.metrics_from_counts(
-                    wave_counts, drift_refs, spec.drift_specs,
-                    group_by=[spec.schema_spec.part_col],
+                    wave_counts, drift_refs, spec.drift_specs, group_by=[part_col]
                 ),
                 psi_threshold=spec.psi_threshold,
             )
         else:
-            wave_counts = {}
             wave_drift = []
         all_drift.extend(wave_drift)
 
@@ -252,7 +262,7 @@ def run_suite(
             drifted = any(m["drifted"] for m in drift_by_part.get(p, []))
             metrics = {
                 "column_stats": [
-                    {k: r[k] for k in r.asDict() if k != spec.schema_spec.part_col}
+                    {k: v for k, v in r.items() if k != spec.schema_spec.part_col}
                     for r in stats_rows
                     if r[spec.schema_spec.part_col] == p
                 ],
