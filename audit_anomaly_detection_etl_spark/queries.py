@@ -1796,6 +1796,131 @@ def q51(spark, sf_dir):
     return att.select("user_id", "rank", "feature", F.round("delta", 6).alias("delta"))
 
 
+# ===========================================================================
+# REST API scan (S1) + dedicated null-drop filter (P3)
+# ===========================================================================
+
+@q(
+    "q55_rest_api_scan",
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(c_acctbal), 4) AS acctbal_sum,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q55(spark, sf_dir):
+    """Paged REST API scan (SURVEY.md S1, data_download/nodes.py:20-33 +
+    kobo_tools.py probes): the customer table staged as a 4-page JSON "API"
+    (each page a ``{"results": [...], "next": <url>}`` document), fetched
+    through RestSource with the file:// transport — credential-format check,
+    reachability probe, and 1-row column probe run first, then the paged
+    scan stages JSON-lines and hands parsing to executors under an explicit
+    DDL schema. The oracle aggregates the original parquet — a hash match
+    proves the API round-trip is value-exact."""
+    import json as _json
+    import os
+
+    from .sources import restio
+
+    def write(d):
+        os.makedirs(d, exist_ok=True)
+        rows = [
+            _json.loads(s)
+            for s in _t(spark, sf_dir, "customer")
+            .orderBy("c_custkey")
+            .toJSON()
+            .collect()
+        ]
+        n_pages = 4
+        per = (len(rows) + n_pages - 1) // n_pages
+        for i in range(n_pages):
+            nxt = f"file://{d}/page{i + 1}.json" if i + 1 < n_pages else None
+            with open(os.path.join(d, f"page{i}.json"), "w") as f:
+                _json.dump({"results": rows[i * per : (i + 1) * per], "next": nxt}, f)
+        open(os.path.join(d, "_SUCCESS"), "w").close()
+
+    d = _stage_once(sf_dir, "customer_api", write)
+    src = restio.RestSource(
+        f"file://{d}/page0.json",
+        credentials="Token " + "ab" * 20,
+        transport=restio.file_transport,
+        retry_delay=0,
+    )
+    ok, msg = src.check_credentials_format()
+    assert ok, msg
+    status, msg = src.check_reachability()
+    assert status == "Success", msg
+    violations = src.check_columns(
+        {k: {"mapping": k} for k in ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]}
+    )
+    assert violations == [], violations
+    cust = src.scan_json(
+        spark,
+        _stage_dir(sf_dir, "customer_api_stage"),
+        schema="c_custkey bigint, c_name string, c_nationkey bigint, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    return cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("c_acctbal"), 4).alias("acctbal_sum"),
+        F.min("c_custkey").alias("min_key"),
+    )
+
+
+@q(
+    "q56_null_drop",
+    """
+    WITH derived AS (
+      SELECT event_type,
+             CASE WHEN value < 5 THEN NULL ELSE value END AS v,
+             NULLIF(event_type, 'error')                  AS et
+      FROM events
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)                           AS rows_before,
+           CAST(COUNT(*) FILTER (WHERE v IS NULL) AS BIGINT)  AS null_v,
+           CAST(COUNT(*) FILTER (WHERE et IS NULL) AS BIGINT) AS null_et,
+           CAST(COUNT(*) FILTER (WHERE v IS NOT NULL AND et IS NOT NULL)
+                AS BIGINT)                                    AS rows_after,
+           ROUND(SUM(v) FILTER (WHERE v IS NOT NULL AND et IS NOT NULL), 4)
+                                                              AS v_sum_after
+    FROM derived
+    """,
+)
+def q56(spark, sf_dir):
+    """Dedicated null-drop filter (SURVEY.md P3,
+    features_engineering/nodes.py:546-559): derive two deterministically
+    nullable columns (testdata carries no physical nulls), log-style
+    pre-drop accounting (row count + per-column NaN counts — the reference
+    logs ``df.shape`` and ``isna().sum()``), then ``na.drop`` over the
+    subset and re-aggregate. One scan: the pre/post accounting is a single
+    conditional aggregate, not two jobs."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("value") < 5, None).otherwise(F.col("value")).alias("v"),
+        F.nullif(F.col("event_type"), F.lit("error")).alias("et"),
+    )
+    pre = ev.agg(
+        F.count(F.lit(1)).alias("rows_before"),
+        F.sum(F.col("v").isNull().cast("long")).alias("null_v"),
+        F.sum(F.col("et").isNull().cast("long")).alias("null_et"),
+    )
+    post = (
+        ev.na.drop(subset=["v", "et"])
+        .agg(
+            F.count(F.lit(1)).alias("rows_after"),
+            F.round(F.sum("v"), 4).alias("v_sum_after"),
+        )
+    )
+    # both sides are 1-row aggregates of the same cheap projection; the join
+    # is a literal-broadcast crossJoin (the A13 two-pass pattern). At 100 TB
+    # the two branches fuse into ONE conditional aggregate (null_* via
+    # sum(isNull), rows_after via sum(isNotNull-and)) — kept separate here so
+    # na.drop itself is in the executed plan.
+    return pre.crossJoin(post)
+
+
 def entry_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: the validation engine pointed at the driver's relational
     tables — one verdict row per check family with violation counts."""
