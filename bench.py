@@ -82,19 +82,24 @@ def _warmup(spark, sf_dir: str) -> None:
     )
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+    from audit_anomaly_detection_etl_spark.procstat import proc_tree_cpu_seconds
+
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
     _warmup(spark, sf_dir)
     timings: dict[str, float] = {}
+    cpu: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
+        c0 = proc_tree_cpu_seconds()
         t0 = time.perf_counter()
         _force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
-    return timings
+        cpu[name] = round(proc_tree_cpu_seconds() - c0, 2)
+        print(f"  {name}: {timings[name]:.3f}s wall / {cpu[name]:.2f} cpu-s", file=sys.stderr)
+    return timings, cpu
 
 
 def bench_clips(spark, n_clips: int, n_parts: int, workdir: str) -> dict:
@@ -108,7 +113,10 @@ def bench_clips(spark, n_clips: int, n_parts: int, workdir: str) -> dict:
     gen_s = time.perf_counter() - gen_t0
     print(f"  clips synth+write ({n_clips} clips): {gen_s:.1f}s", file=sys.stderr)
 
+    from audit_anomaly_detection_etl_spark.procstat import proc_tree_cpu_seconds
+
     ckpt = os.path.join(workdir, "ckpt")
+    c0 = proc_tree_cpu_seconds()
     t0 = time.perf_counter()
     res = run_suite(
         spark,
@@ -119,11 +127,17 @@ def bench_clips(spark, n_clips: int, n_parts: int, workdir: str) -> dict:
         wave_size=n_parts,  # one wave: benchmark steady-state, not checkpoint cadence
     )
     suite_s = time.perf_counter() - t0
+    suite_cpu = proc_tree_cpu_seconds() - c0
     n_rows = sum(v.n_rows for v in res.verdicts.values())
     return {
         "suite_sec": round(suite_s, 3),
         "clips": n_rows,
         "clips_per_sec": round(n_rows / suite_s, 1),
+        # steal-robust twin of clips_per_sec: wall-clock on this burstable
+        # host swings 2-10x between windows (BENCH.md); per-CPU-second
+        # throughput is the cross-round-comparable signal
+        "suite_cpu_sec": round(suite_cpu, 2),
+        "clips_per_cpu_sec": round(n_rows / suite_cpu, 1) if suite_cpu > 0 else None,
         "n_parts": n_parts,
         "n_violations": sum(v.n_violations for v in res.verdicts.values()),
     }
@@ -142,11 +156,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    cpu: dict[str, float] = {}
     clips_info: dict = {}
     workdir = tempfile.mkdtemp(prefix="bench_clips_")
     try:
         if mode in ("all", "queries"):
-            timings = bench_queries(spark, sf_dir)
+            timings, cpu = bench_queries(spark, sf_dir)
         if mode in ("all", "clips"):
             clips_info = bench_clips(spark, n_clips, n_parts=max(16, cpus), workdir=workdir)
     finally:
@@ -158,6 +173,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_cpu_sec": cpu,
         "sf": sf,
         "cpus": cpus,
     }

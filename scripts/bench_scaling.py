@@ -40,33 +40,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def proc_tree_cpu_seconds() -> float:
-    """CPU seconds (utime+stime) consumed by this process and every live
-    descendant — the JVM and all pyspark worker daemons. Steal-robust: host
-    CPU steal inflates wall-clock but is never charged to guest processes,
-    so per-run CPU deltas measure the work actually done. (Reaped children's
-    cutime is excluded to avoid double counting live workers.)"""
-    hz = os.sysconf("SC_CLK_TCK")
-    info: dict[int, tuple[int, int]] = {}
-    for d in os.listdir("/proc"):
-        if not d.isdigit():
-            continue
-        try:
-            with open(f"/proc/{d}/stat") as f:
-                parts = f.read().rsplit(")", 1)[1].split()
-            info[int(d)] = (int(parts[1]), int(parts[11]) + int(parts[12]))
-        except (OSError, IndexError, ValueError):
-            continue
-    children: dict[int, list[int]] = {}
-    for pid, (ppid, _t) in info.items():
-        children.setdefault(ppid, []).append(pid)
-    total, stack = 0, [os.getpid()]
-    while stack:
-        p = stack.pop()
-        if p in info:
-            total += info[p][1]
-        stack.extend(children.get(p, []))
-    return total / hz
+from audit_anomaly_detection_etl_spark.procstat import (  # noqa: E402
+    proc_tree_cpu_seconds,
+)
 
 
 def _probe_work(reps: int) -> float:
