@@ -196,6 +196,135 @@ def lsh_ann_knn(
     )
 
 
+N_CENTROIDS = 8
+# fixed seeded centroids (unit-normalized) for oracle-exact IVF: production
+# fits them with kmeans_fit; the catalog query inlines THESE literals in
+# both engines so results are bit-comparable
+_crng = np.random.default_rng(20240815)
+CENTROIDS: list[list[float]] = []
+for _ in range(N_CENTROIDS):
+    _c = _crng.standard_normal(EMB_DIM)
+    _c = _c / np.linalg.norm(_c)
+    CENTROIDS.append([round(float(x), 6) for x in _c])
+del _c
+
+
+def kmeans_fit(
+    base: DataFrame,
+    n_centroids: int = N_CENTROIDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 2048,
+    n_iters: int = 10,
+    seed: int = 0,
+) -> list[list[float]]:
+    """Driver-side spherical k-means on a deterministic sample — the IVF
+    train step (Faiss-style: coarse quantizers are fit on a sample, never
+    the full corpus; at 10^9 rows the sample is still ~10^5 vectors and fits
+    on the driver). Assignment/probing stay distributed (``ivf_knn``).
+
+    Deterministic: sample = first ``sample_n`` rows by ``id_col``; seeded
+    init; argmax assignment breaks ties on the lowest centroid index; empty
+    clusters keep their previous centroid. Centroids are unit-normalized and
+    rounded to 6dp so they can be inlined as plan literals.
+    """
+    rows = (
+        base.orderBy(id_col)
+        .limit(sample_n)
+        .select(_dbl(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    X = np.asarray([r.v for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=n_centroids, replace=False)].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(X @ C.T, axis=1)  # ties -> lowest index (numpy argmax)
+        for j in range(n_centroids):
+            members = X[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 1e-12:
+                    C[j] = m / n
+    return [[round(float(x), 6) for x in c] for c in C]
+
+
+def _centroid_dots(vec: str, centroids: list[list[float]]) -> list[Column]:
+    return [
+        dot(F.col(vec), F.array(*[F.lit(x) for x in c])) for c in centroids
+    ]
+
+
+def ivf_assign(vec: str, centroids: list[list[float]]) -> Column:
+    """Coarse-list id: argmax centroid dot, ties to the lowest index.
+    Sequential-fold dots (see module docstring) keep the assignment
+    bit-identical across engines and parallelism levels."""
+    ds = _centroid_dots(vec, centroids)
+    best, best_d = F.lit(0), ds[0]
+    for i in range(1, len(ds)):
+        best = F.when(ds[i] > best_d, F.lit(i)).otherwise(best)
+        best_d = F.greatest(best_d, ds[i])
+    return best
+
+
+def ivf_probes(vec: str, centroids: list[list[float]], nprobe: int) -> Column:
+    """The ``nprobe`` nearest list ids for a query vector (dot desc, index
+    asc on ties), as an array — exploded by the caller."""
+    ds = _centroid_dots(vec, centroids)
+    ranked = F.sort_array(
+        F.array(*[F.struct((-d).alias("nd"), F.lit(i).alias("i")) for i, d in enumerate(ds)])
+    )
+    return F.slice(ranked, 1, nprobe).getField("i")
+
+
+def ivf_knn(
+    base: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]] | None = None,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: base rows are bucketed into coarse lists
+    (nearest centroid); each query probes only its ``nprobe`` nearest lists;
+    exact cosine ranks the candidates.
+
+    100 TB path: ``list_id`` is computed once at ingest and the table is
+    partitioned/clustered by it, so a probe's scan prunes to nprobe/n_lists
+    of the data — the probe side broadcasts (queries are small by
+    construction) and the base side never shuffles before the final
+    per-query top-k. Recall is tunable via (n_centroids, nprobe):
+    nprobe = n_centroids degenerates to exact brute force.
+    """
+    from pyspark.sql.window import Window
+
+    C = centroids if centroids is not None else CENTROIDS
+    b = base.select(
+        F.col(id_col).alias("neighbor_id"), _dbl(F.col(vec_col)).alias("bv")
+    ).withColumn("list_id", ivf_assign("bv", C))
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), _dbl(F.col(vec_col)).alias("qv"))
+        .withColumn("list_id", F.explode(ivf_probes("qv", C, nprobe)))
+    )
+    scored = (
+        b.join(F.broadcast(q), "list_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("bv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def embedding_neardup_pairs(
     base: DataFrame,
     threshold: float = 0.8,

@@ -795,6 +795,59 @@ def q26(spark, sf_dir):
     return similarity.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.6)
 
 
+def _ivf_sql(nprobe: int = 2, k: int = 5) -> str:
+    def dot_sql(c: list[float]) -> str:
+        lit = "[" + ", ".join(repr(x) for x in c) + "]"
+        return (
+            "list_sum(list_transform(range(1, {d} + 1), x -> v[x] * ({lit})[x]))"
+        ).format(d=similarity.EMB_DIM, lit=lit)
+
+    cds = [dot_sql(c) for c in similarity.CENTROIDS]
+    probe_structs = ", ".join(
+        f"struct_pack(i := {i}, d := ({d}))" for i, d in enumerate(cds)
+    )
+    d_cols = ", ".join(f"({d}) AS d{i}" for i, d in enumerate(cds))
+    # strict-> chain picks the LOWEST index on ties — same as ivf_assign
+    assign, best = "0", "d0"
+    for i in range(1, len(cds)):
+        assign = f"CASE WHEN d{i} > {best} THEN {i} ELSE {assign} END"
+        best = f"GREATEST({best}, d{i})"
+    return """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         qd AS (SELECT vec_id AS query_id, v AS qa,
+                       unnest([{probe_structs}]) AS cd
+                FROM e WHERE vec_id < 5),
+         probes AS (SELECT query_id, qa, cd.i AS list_id FROM qd
+                    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                               ORDER BY cd.d DESC, cd.i) <= {nprobe}),
+         bd AS (SELECT vec_id, v, {d_cols} FROM e),
+         b AS (SELECT vec_id AS neighbor_id, v AS qb, {assign} AS list_id FROM bd),
+         scored AS (SELECT query_id, neighbor_id, ROUND({cos}, 6) AS cos
+                    FROM probes JOIN b USING (list_id)
+                    WHERE neighbor_id != query_id)
+    SELECT query_id, neighbor_id, cos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= {k}
+    """.format(
+        probe_structs=probe_structs, nprobe=nprobe, d_cols=d_cols,
+        assign=assign, cos=_COS_SQL, k=k,
+    )
+
+
+@q("q57_ivf_ann", _ivf_sql())
+def q57(spark, sf_dir):
+    """IVF approximate nearest neighbors (operators/similarity.py ivf_knn):
+    base vectors coarse-quantized to their nearest centroid's list, queries
+    probe their nprobe=2 nearest lists, exact cosine ranks candidates. The
+    catalog query uses the fixed seeded CENTROIDS so both engines inline
+    identical literals (production fits them with kmeans_fit on a driver
+    sample — Faiss-style — then the same plan applies verbatim)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_knn(e, e.where(F.col("vec_id") < 5), k=5, nprobe=2)
+
+
 # ===========================================================================
 # training-data pipeline: text analysis
 # ===========================================================================

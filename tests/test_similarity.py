@@ -105,3 +105,69 @@ def test_shingles_fast_matches_native_on_unicode_whitespace(spark):
     ).collect()
     for r in out:
         assert sorted(r["native"]) == sorted(r["fast"] or [])
+
+
+# ---------------------------------------------------------------------------
+# IVF (coarse-quantizer lists + nprobe probing)
+# ---------------------------------------------------------------------------
+
+def test_kmeans_fit_deterministic_unit_centroids(planted):
+    base, _ = planted
+    c1 = similarity.kmeans_fit(base, n_centroids=4, sample_n=128, seed=7)
+    c2 = similarity.kmeans_fit(base, n_centroids=4, sample_n=128, seed=7)
+    assert c1 == c2  # bit-stable across invocations
+    for c in c1:
+        assert abs(float(np.linalg.norm(c)) - 1.0) < 1e-5
+
+
+def test_ivf_assign_matches_numpy_argmax(spark):
+    rng = np.random.default_rng(5)
+    vecs = np.stack([_unit(rng) for _ in range(50)])
+    # the DataFrame column is array<float>: model the same float32 rounding
+    # before the float64 dot, so near-tie argmax agrees with the plan
+    vecs = vecs.astype(np.float32).astype(np.float64)
+    C = np.asarray(similarity.CENTROIDS)
+    expect = np.argmax(vecs @ C.T, axis=1)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id int, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r["list_id"]
+        for r in df.select(
+            "vec_id",
+            similarity.ivf_assign("embedding", similarity.CENTROIDS).alias("list_id"),
+        ).collect()
+    }
+    for i in range(50):
+        assert got[i] == int(expect[i])
+
+
+def test_ivf_recall_grows_with_nprobe_and_exact_at_full_probe(planted):
+    base, queries = planted
+    cents = similarity.kmeans_fit(base, n_centroids=8, sample_n=200, seed=3)
+
+    def recall(nprobe):
+        got = {
+            r["query_id"]: r["neighbor_id"]
+            for r in similarity.ivf_knn(
+                base, queries, centroids=cents, k=1, nprobe=nprobe
+            ).collect()
+        }
+        return sum(got.get(1000 + i) == i for i in range(20)) / 20.0
+
+    r1, r8 = recall(1), recall(8)
+    # planted twins are extremely close -> even 1 probe finds most; probing
+    # every list degenerates to exact brute force
+    assert r8 == 1.0
+    assert r1 <= r8 and r1 >= 0.5
+
+
+def test_ivf_probes_orders_by_dot_then_index(spark):
+    # a query exactly ON centroid 3: its first probe must be list 3
+    v = [float(x) for x in similarity.CENTROIDS[3]]
+    df = spark.createDataFrame([(0, v)], "vec_id int, embedding array<float>")
+    probes = df.select(
+        similarity.ivf_probes("embedding", similarity.CENTROIDS, 2).alias("p")
+    ).collect()[0]["p"]
+    assert probes[0] == 3 and len(probes) == 2
