@@ -216,6 +216,47 @@ def minhash_lsh_pairs(
     )
 
 
+def winnow_neardup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs sharing >= ``min_shared`` winnowing fingerprints
+    (functions/text.py winnow_fingerprints — the MOSS scheme). Detects
+    shared runs of >= k+w-1 words, which MinHash's whole-document Jaccard
+    dilutes away on long documents with one plagiarized passage.
+
+    Plan shape mirrors minhash_lsh_pairs: explode fingerprints -> bounded
+    bucket self-join on the fingerprint -> per-pair shared counts. A doc of
+    L words yields ~L/ w distinct fingerprints in expectation, so the
+    exploded table is a constant factor of the corpus; hot fingerprints
+    (boilerplate phrases) are dropped at ``max_bucket`` — recall, never
+    precision (same skew control as the MinHash path)."""
+    fp = _spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(T.winnow_fingerprints(F.col(text_col), k, w)).alias("fp"),
+    ).localCheckpoint(eager=False)  # consumed 3x: sizes + both join sides
+    sizes = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("bn"))
+    fp_ok = fp.join(
+        F.broadcast(sizes.where(F.col("bn") > max_bucket)), "fp", "left_anti"
+    )
+    a = fp_ok.alias("a")
+    b = fp_ok.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+
+
 def simhash_bits(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash per doc as a bit string (portable: no int64 sign traps).
 

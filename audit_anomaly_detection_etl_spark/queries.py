@@ -848,6 +848,76 @@ def q57(spark, sf_dir):
     return similarity.ivf_knn(e, e.where(F.col("vec_id") < 5), k=5, nprobe=2)
 
 
+def _winnow_fps_sql(k: int = 3, w: int = 4) -> str:
+    """DuckDB CTEs computing per-doc winnowing fingerprints as ``fps`` —
+    mirrors functions/text.py winnow_fingerprints (md5-lexicographic)."""
+    return """
+    normd AS (SELECT doc_id, {ws} AS ws FROM documents),
+    g AS (SELECT doc_id, ws, len(ws) - {km1} AS m FROM normd),
+    grams AS (SELECT doc_id, m,
+                     list_transform(range(1, m + 1),
+                       i -> md5(array_to_string(list_slice(ws, i, i + {km1}), ' '))) AS gr
+              FROM g),
+    wins AS (SELECT doc_id,
+                    CASE WHEN m < 1 THEN []::VARCHAR[]
+                         WHEN m - {wm1} < 1 THEN [list_min(gr)]
+                         ELSE list_distinct(list_transform(range(1, m - {wm1} + 1),
+                                j -> list_min(list_slice(gr, j, j + {wm1}))))
+                    END AS fps
+             FROM grams)
+    """.format(ws=_sql_words(_sql_norm("text")), km1=k - 1, wm1=w - 1)
+
+
+@q(
+    "q58_winnow_fingerprints",
+    """
+    WITH {cte}
+    SELECT doc_id, CAST(len(fps) AS INT) AS n_fp,
+           list_min(fps) AS fp_min, list_max(fps) AS fp_max
+    FROM wins
+    """.format(cte=_winnow_fps_sql()),
+)
+def q58(spark, sf_dir):
+    """Winnowing document fingerprints (functions/text.py, the MOSS
+    rolling-hash scheme): per-doc fingerprint count + lexicographic
+    min/max. Fully native higher-order functions — no UDF, codegen'd; the
+    md5-lexicographic window minimum is what both engines compute
+    identically."""
+    d = _t(spark, sf_dir, "documents")
+    fps = T.winnow_fingerprints(F.col("text"), k=3, w=4)
+    return d.select(
+        "doc_id",
+        F.size(fps).alias("n_fp"),
+        F.array_min(fps).alias("fp_min"),
+        F.array_max(fps).alias("fp_max"),
+    )
+
+
+@q(
+    "q59_winnow_neardup",
+    """
+    WITH {cte},
+    fp0 AS (SELECT doc_id, unnest(fps) AS fp FROM wins),
+    sizes AS (SELECT fp, COUNT(*) AS bn FROM fp0 GROUP BY fp),
+    fp_ok AS (SELECT fp0.* FROM fp0 JOIN sizes USING (fp) WHERE bn <= 1000)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS shared
+    FROM fp_ok a JOIN fp_ok b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+    HAVING COUNT(*) >= 2
+    """.format(cte=_winnow_fps_sql()),
+)
+def q59(spark, sf_dir):
+    """Winnow-share near-dup pairs (operators/dedup.py winnow_neardup_pairs):
+    docs sharing >= 2 winnowing fingerprints — catches shared passages of
+    >= k+w-1 words that whole-document Jaccard dilutes. Bounded bucket
+    self-join on the fingerprint (hot boilerplate fingerprints dropped at
+    max_bucket, mirrored in the oracle)."""
+    return dedup.winnow_neardup_pairs(
+        _t(spark, sf_dir, "documents"), k=3, w=4, min_shared=2, max_bucket=1000
+    )
+
+
 # ===========================================================================
 # training-data pipeline: text analysis
 # ===========================================================================
