@@ -1,0 +1,66 @@
+"""Custom stateful streaming operators (``applyInPandasWithState``).
+
+The batch suite catches cross-partition duplicates by re-scanning key
+columns (plans/runner.py ``_global_key_checks``); on a *stream* that rescan
+is unbounded, so the streaming-native design keeps per-key state instead:
+each key group carries a running count across micro-batches in the state
+store, and a violation row is emitted the moment a key's running total
+exceeds one — including when the two occurrences arrived in different
+micro-batches, which the stateless ``foreachBatch`` checks in
+incremental.py structurally cannot see.
+
+Scale notes: state is per-key O(1) (a single long), partitioned by the
+grouping key across executors exactly like a shuffle — no driver state. Keys
+that can never repeat again (event-time ordered ingest) should use a
+processing-time timeout to bound the store; the default keeps state forever
+(correct for unbounded clip_id reuse detection, sized 8 bytes/key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stateful_duplicate_monitor(
+    stream: DataFrame,
+    key_col: str = "clip_id",
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Running per-key occurrence counts with duplicate emission.
+
+    Output rows ``(key, n_seen, n_new)`` appear only for keys whose running
+    total exceeds 1: ``n_seen`` is the total occurrences ever seen (state +
+    this batch), ``n_new`` the occurrences in this micro-batch. A key seen
+    once in batch 1 and once in batch 7 emits at batch 7 with n_seen=2 —
+    cross-batch detection via the state store, resumable through the
+    streaming checkpoint like the batch runner's verdict markers.
+
+    ``timeout='ProcessingTimeTimeout'`` lets callers bound the state store
+    when keys are known to stop repeating (set a timeout inside a custom
+    variant); the default never expires state.
+    """
+    out_schema = f"{key_col} string, n_seen long, n_new long"
+    state_schema = "n long"
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        import pandas as pd
+
+        prior = state.get[0] if state.exists else 0
+        n_new = 0
+        for pdf in pdfs:
+            n_new += len(pdf)
+        total = prior + n_new
+        state.update((total,))
+        if total > 1 and n_new > 0:
+            yield pd.DataFrame(
+                {key_col: [key[0]], "n_seen": [total], "n_new": [n_new]}
+            )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=getattr(GroupStateTimeout, timeout),
+    )
