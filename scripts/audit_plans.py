@@ -73,6 +73,26 @@ RULES = [
         "rank filter pushes WindowGroupLimit below the shuffle",
         lambda p: "WindowGroupLimit" in p,
     ),
+    (
+        "q57_ivf_ann",
+        "probe side broadcast: base never shuffles before top-k",
+        lambda p: "BroadcastHashJoin" in p and "SortMergeJoin" not in p,
+    ),
+    (
+        "q57_ivf_ann",
+        "no cartesian fallback in list-bucketed candidate join",
+        lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+    ),
+    (
+        "q58_winnow_fingerprints",
+        "winnowing is one scan, no join, no shuffle before output",
+        lambda p: "Join" not in p and "Exchange" not in p,
+    ),
+    (
+        "q59_winnow_neardup",
+        "hot-fingerprint bound is a broadcast anti-join",
+        lambda p: "BroadcastHashJoin" in p and "LeftAnti" in p,
+    ),
 ]
 
 
