@@ -918,6 +918,40 @@ def q59(spark, sf_dir):
     )
 
 
+@q(
+    "q60_cube",
+    """
+    SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN '(all)' ELSE o_orderstatus END AS status,
+           CASE WHEN GROUPING(o_orderpriority) = 1 THEN '(all)' ELSE o_orderpriority END AS priority,
+           ROUND(SUM(o_totalprice), 4) AS total,
+           CAST(COUNT(*) AS BIGINT)    AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q60(spark, sf_dir):
+    """Cube aggregation (SURVEY.md §2.4 'missing vs Spark agg surface',
+    completing q43's rollup): all 2^k grouping sets in one pass — Spark
+    expands grouping-id partials map-side, so the detail table is scanned
+    once for every subtotal combination. GROUPING() sentinels as in q43."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("o_orderstatus").alias("__g1"),
+            F.grouping("o_orderpriority").alias("__g2"),
+        )
+        .select(
+            F.when(F.col("__g1") == 1, "(all)").otherwise(F.col("o_orderstatus")).alias("status"),
+            F.when(F.col("__g2") == 1, "(all)").otherwise(F.col("o_orderpriority")).alias("priority"),
+            "total",
+            "n",
+        )
+    )
+
+
 # ===========================================================================
 # training-data pipeline: text analysis
 # ===========================================================================
