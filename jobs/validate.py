@@ -41,6 +41,15 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--synth-seed", type=int, default=42)
     ap.add_argument("--synth-dur-ms", type=float, default=400.0)
     ap.add_argument("--top", type=int, default=10, help="print top-N ranked violations")
+    ap.add_argument(
+        "--no-key-partitioned",
+        dest="key_partitioned",
+        action="store_false",
+        help="the partition column is NOT a function of clip_id: run "
+        "uniqueness/referential globally every invocation (incl. resumes) "
+        "instead of per-wave — catches cross-wave duplicates on tables "
+        "partitioned by e.g. ingest date",
+    )
     args = ap.parse_args(argv)
 
     if args.synth:
@@ -68,7 +77,7 @@ def main(argv: list[str] | None = None) -> dict:
         ref_root=args.ref,
         hist_ref_path=args.hist_ref,
         checkpoint_dir=args.checkpoint,
-        spec=SuiteSpec(),
+        spec=SuiteSpec(key_partitioned=args.key_partitioned),
         wave_size=args.wave_size,
     )
     elapsed = time.time() - t0
