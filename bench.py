@@ -50,6 +50,9 @@ HEADLINE = [
     "q34_active_duration",      # lag window + single-shuffle agg (W2)
     "q35_pace_ratio",           # grouped-map applyInPandas (W1)
     "q47_sessionize",           # gap sessionization (lag + running sum)
+    "q49_anomaly_ensemble",     # driver fit + broadcast-model mapInPandas scoring
+    "q57_ivf_ann",              # IVF coarse lists + nprobe probing
+    "q58_winnow_fingerprints",  # rolling-hash winnowing (native HOFs)
 ]
 
 
