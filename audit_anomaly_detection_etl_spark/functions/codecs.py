@@ -152,3 +152,76 @@ def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
     if sig == 0.0:
         return float("-inf")
     return 10.0 * np.log10(sig / noise)
+
+
+# ---------------------------------------------------------------------------
+# WAV/RIFF container (pure bytes — no audio libs in this sandbox, and none
+# needed: RIFF is a 12-byte header + tagged chunks)
+# ---------------------------------------------------------------------------
+
+# WAVE format tags <-> this module's codec names
+_WAV_TAG_TO_CODEC = {1: "pcm_s16le", 3: "pcm_f32le", 6: "alaw", 7: "ulaw"}
+_CODEC_TO_WAV_TAG = {v: k for k, v in _WAV_TAG_TO_CODEC.items()}
+
+
+def encode_wav(pcm: np.ndarray, sr_hz: int, codec: str = "pcm_s16le") -> bytes:
+    """Encode mono float PCM into a standard WAV container: RIFF header +
+    ``fmt `` chunk (format tag per codec) + ``data`` chunk, odd chunks
+    padded per spec."""
+    import struct
+
+    data = encode(pcm, codec)
+    bps = bytes_per_sample(codec)
+    tag = _CODEC_TO_WAV_TAG[codec]
+    fmt = struct.pack(
+        "<HHIIHH", tag, 1, sr_hz, sr_hz * bps, bps, 8 * bps
+    )
+    chunks = b"".join(
+        struct.pack("<4sI", cid, len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+        for cid, body in ((b"fmt ", fmt), (b"data", data))
+    )
+    return struct.pack("<4sI4s", b"RIFF", 4 + len(chunks), b"WAVE") + chunks
+
+
+def parse_wav(raw: bytes) -> dict:
+    """Parse a WAV container's metadata + payload WITHOUT decoding samples.
+
+    Returns ``{sr_hz, n_channels, codec, n_samples, data}`` — ``codec`` is
+    None for format tags this module cannot decode. Walks the chunk list
+    (tolerating extra chunks like LIST/fact and odd-size padding) so a
+    valid-but-unusual file still parses; raises ValueError on a torn or
+    non-RIFF buffer. Validation callers compare the *container's* declared
+    metadata against the table's declared columns — payload-level schema
+    drift detection.
+    """
+    import struct
+
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE buffer")
+    pos, end = 12, len(raw)
+    fmt = None
+    data = None
+    while pos + 8 <= end:
+        cid, size = struct.unpack_from("<4sI", raw, pos)
+        body_start = pos + 8
+        if body_start + size > end:
+            raise ValueError(f"torn chunk {cid!r}: declared {size}, available {end - body_start}")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk too short")
+            fmt = struct.unpack_from("<HHIIHH", raw, body_start)
+        elif cid == b"data":
+            data = raw[body_start : body_start + size]
+        pos = body_start + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    tag, n_channels, sr_hz, _byte_rate, block_align, _bits = fmt
+    codec = _WAV_TAG_TO_CODEC.get(tag)
+    n_samples = (len(data) // block_align) if block_align else 0
+    return {
+        "sr_hz": sr_hz,
+        "n_channels": n_channels,
+        "codec": codec,
+        "n_samples": n_samples,
+        "data": data,
+    }

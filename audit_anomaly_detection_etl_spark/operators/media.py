@@ -259,3 +259,140 @@ def frame_sample_plan(
             (F.col("k") * F.lit(every_ms)).cast("double").alias("ts_ms"),
         )
     )
+
+
+WAV_METADATA_SCHEMA = (
+    "clip_id string, part int, wav_ok boolean, container_sr int, "
+    "container_codec string, n_channels int, container_n_samples long, "
+    "container_dur_ms double, parse_error string"
+)
+
+
+def wav_metadata(wavs: DataFrame, id_col: str = "clip_id", bytes_col: str = "bytes") -> DataFrame:
+    """Container metadata extracted from WAV/RIFF payloads — header walk
+    only, samples are never decoded (functions/codecs.py parse_wav). One
+    ``mapInPandas`` pass; O(#chunks) per clip, no per-sample work.
+    """
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for cid, part, raw in zip(
+                pdf[id_col], pdf.get("part", pd.Series([None] * len(pdf))), pdf[bytes_col]
+            ):
+                rec = {
+                    "clip_id": cid, "part": part, "wav_ok": False,
+                    "container_sr": None, "container_codec": None,
+                    "n_channels": None, "container_n_samples": None,
+                    "container_dur_ms": None, "parse_error": None,
+                }
+                try:
+                    m = codecs.parse_wav(raw if raw is not None else b"")
+                    rec.update(
+                        wav_ok=True,
+                        container_sr=m["sr_hz"],
+                        container_codec=m["codec"],
+                        n_channels=m["n_channels"],
+                        container_n_samples=m["n_samples"],
+                        container_dur_ms=(
+                            1000.0 * m["n_samples"] / m["sr_hz"] if m["sr_hz"] else None
+                        ),
+                    )
+                except ValueError as e:
+                    rec["parse_error"] = str(e)
+                rows.append(rec)
+            yield pd.DataFrame(rows)
+
+    cols = [id_col, bytes_col] + (["part"] if "part" in wavs.columns else [])
+    return wavs.select(*cols).mapInPandas(batches, WAV_METADATA_SCHEMA)
+
+
+def wav_consistency_violations(
+    wavs: DataFrame,
+    sr_col: str = "sr_hz",
+    dur_col: str = "dur_ms",
+    codec_col: str = "codec",
+    dur_tol_ms: float = 1.0,
+) -> DataFrame:
+    """Payload-level schema drift: the WAV container's OWN declared metadata
+    must agree with the table's declared columns. Emits violation rows
+    (VIOLATION_SCHEMA) for: unparseable container, sample-rate mismatch,
+    codec mismatch, duration off by more than ``dur_tol_ms``.
+
+    This is the container analogue of the scan-time width check (SURVEY.md
+    S4): the table *says* 16 kHz ulaw 400 ms; the bytes say otherwise ->
+    the row is quarantined before any training pipeline trusts either.
+    """
+    from pyspark.sql import functions as F
+
+    meta = wav_metadata(wavs)
+    declared = wavs.select(
+        F.col("clip_id"),
+        F.col(sr_col).alias("_sr"),
+        F.col(dur_col).alias("_dur"),
+        F.col(codec_col).alias("_codec"),
+    )
+    j = meta.join(declared, "clip_id")
+    checks = [
+        (
+            ~F.col("wav_ok"),
+            F.lit("wav_unparseable"),
+            F.concat(F.lit("container: "), F.coalesce(F.col("parse_error"), F.lit("?"))),
+            5.0,
+        ),
+        (
+            F.col("wav_ok") & (F.col("container_sr") != F.col("_sr")),
+            F.lit("wav_sr_mismatch"),
+            F.concat(
+                F.lit("table says "), F.col("_sr").cast("string"),
+                F.lit(" Hz, container says "), F.col("container_sr").cast("string"),
+            ),
+            3.0,
+        ),
+        (
+            F.col("wav_ok")
+            & (
+                F.col("container_codec").isNull()
+                | (F.col("container_codec") != F.col("_codec"))
+            ),
+            F.lit("wav_codec_mismatch"),
+            F.concat(
+                F.lit("table says "), F.col("_codec"),
+                F.lit(", container says "),
+                F.coalesce(F.col("container_codec"), F.lit("(unknown tag)")),
+            ),
+            3.0,
+        ),
+        (
+            F.col("wav_ok")
+            & (F.abs(F.col("container_dur_ms") - F.col("_dur")) > dur_tol_ms),
+            F.lit("wav_dur_mismatch"),
+            F.concat(
+                F.lit("table says "), F.col("_dur").cast("string"),
+                F.lit(" ms, container has "),
+                F.round("container_dur_ms", 1).cast("string"),
+            ),
+            2.0,
+        ),
+    ]
+    structs = F.array(
+        *[
+            F.when(cond, F.struct(check.alias("check"), detail.alias("detail"), F.lit(sev).alias("severity")))
+            for cond, check, detail, sev in checks
+        ]
+    )
+    return (
+        j.select(
+            F.col("clip_id").alias("key"),
+            F.col("part"),
+            F.explode(F.filter(structs, lambda s: s.isNotNull())).alias("v"),
+        )
+        .select(
+            "key",
+            F.col("v.check").alias("check"),
+            F.col("v.detail").alias("detail"),
+            F.col("part").cast("int").alias("part"),
+            F.col("v.severity").alias("severity"),
+        )
+        .select("key", "check", "detail", "part", "severity")
+    )

@@ -918,6 +918,52 @@ def q59(spark, sf_dir):
     )
 
 
+@q("q61_wav_container_check")
+def q61(spark, sf_dir):
+    """WAV container consistency validation (operators/media.py
+    wav_consistency_violations): the payload's OWN RIFF metadata (sample
+    rate, format tag, duration) must agree with the table's declared
+    columns — payload-level schema drift. Deterministic WAV table built from
+    the synth clips (every 7th row gets a planted mismatch). Binary header
+    parse => no SQL oracle; rows-only driver check, exact pytest oracle in
+    tests/test_wav_container.py."""
+    import numpy as np
+
+    from .functions import codecs
+    from .operators import media
+    from .sources import synth
+
+    t = synth.generate_clips(n_clips=200, n_parts=4, seed=11)
+    pdf = t.clips.to_pandas()
+    wav_rows = []
+    for i, r in pdf.iterrows():
+        codec = r["codec"] if r["codec"] in codecs.CODECS else "pcm_s16le"
+        try:
+            pcm = codecs.decode(r["bytes"], codec)
+        except ValueError:
+            pcm = np.zeros(10)
+        wav = codecs.encode_wav(pcm, int(r["sr_hz"]), codec)
+        sr, dur, cod = int(r["sr_hz"]), float(r["dur_ms"]), codec
+        k = i % 7
+        if k == 1:
+            sr += 8000          # declared sr drifts from container
+        elif k == 2:
+            cod = "alaw" if cod != "alaw" else "ulaw"
+        elif k == 3:
+            wav = wav[: max(20, len(wav) // 2)]  # torn container
+        wav_rows.append((r["clip_id"], int(r["part"]), wav, sr, dur, cod))
+    df = spark.createDataFrame(
+        wav_rows,
+        "clip_id string, part int, bytes binary, sr_hz int, dur_ms double, codec string",
+    )
+    return (
+        media.wav_consistency_violations(df)
+        .groupBy("check")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("check")
+    )
+
+
 @q(
     "q60_cube",
     """
