@@ -225,3 +225,19 @@ def parse_wav(raw: bytes) -> dict:
         "n_samples": n_samples,
         "data": data,
     }
+
+
+def resample_linear(pcm: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
+    """Deterministic linear-interpolation resample (the training-data
+    normalize-to-16kHz step). Output length = round(n * sr_to / sr_from);
+    ``np.interp`` is vectorized over samples — the python cost is per clip,
+    never per sample. Identity when rates match (float32 cast only)."""
+    pcm = np.asarray(pcm, dtype=np.float64)
+    if sr_from == sr_to:
+        return pcm.astype(np.float32)
+    n_out = int(round(len(pcm) * sr_to / float(sr_from)))
+    if len(pcm) == 0 or n_out == 0:
+        return np.zeros(0, dtype=np.float32)
+    x_out = np.arange(n_out, dtype=np.float64) * (sr_from / float(sr_to))
+    src = np.arange(len(pcm), dtype=np.float64)
+    return np.interp(x_out, src, pcm).astype(np.float32)

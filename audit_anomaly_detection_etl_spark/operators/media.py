@@ -396,3 +396,43 @@ def wav_consistency_violations(
         )
         .select("key", "check", "detail", "part", "severity")
     )
+
+
+RESAMPLE_SCHEMA = (
+    "clip_id string, part int, ok boolean, sr_hz int, n_samples long, bytes binary"
+)
+
+
+def resample_audio(
+    clips: DataFrame, target_sr: int = 16000, out_codec: str = "pcm_s16le"
+) -> DataFrame:
+    """Normalize every clip to one sample rate (the standard training-data
+    prep step): decode -> linear resample -> re-encode as ``out_codec``.
+
+    One ``mapInPandas`` pass. Decode batches per codec group like
+    audio_features; the resample itself is ``np.interp`` per clip (sample
+    loop stays in numpy). Undecodable clips come back ok=false with null
+    bytes — the caller quarantines them, the stage never throws.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for cid, part, raw, sr, codec in zip(
+                pdf["clip_id"], pdf.get("part", pd.Series([None] * len(pdf))),
+                pdf["bytes"], pdf["sr_hz"], pdf["codec"],
+            ):
+                try:
+                    pcm = codecs.decode(raw if raw is not None else b"", codec)
+                    out = codecs.resample_linear(pcm, int(sr), target_sr)
+                    rows.append((cid, part, True, target_sr, len(out), codecs.encode(out, out_codec)))
+                except (ValueError, KeyError, ZeroDivisionError) as e:
+                    rows.append((cid, part, False, target_sr, 0, None))
+            yield pd.DataFrame(
+                rows, columns=["clip_id", "part", "ok", "sr_hz", "n_samples", "bytes"]
+            )
+
+    cols = ["clip_id", "bytes", "sr_hz", "codec"] + (
+        ["part"] if "part" in clips.columns else []
+    )
+    return clips.select(*cols).mapInPandas(batches, RESAMPLE_SCHEMA)

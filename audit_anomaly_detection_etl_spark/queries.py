@@ -964,6 +964,26 @@ def q61(spark, sf_dir):
     )
 
 
+@q("q62_resample_audio")
+def q62(spark, sf_dir):
+    """Normalize-to-16kHz resampling (operators/media.py resample_audio):
+    the standard audio training-data prep step — decode, np.interp linear
+    resample, re-encode pcm_s16le; undecodable clips quarantine as ok=false.
+    Binary transform => rows-only driver check; exact kernel + operator
+    oracles in tests/test_resample.py."""
+    from .operators import media
+    from .sources import synth
+
+    t = synth.generate_clips(n_clips=200, n_parts=4, seed=21)
+    clips = spark.createDataFrame(t.clips.to_pandas())
+    out = media.resample_audio(clips, target_sr=16000)
+    return out.groupBy("ok").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_samples").alias("total_samples"),
+        F.sum(F.length("bytes")).alias("total_bytes"),
+    ).orderBy("ok")
+
+
 @q(
     "q60_cube",
     """
