@@ -436,3 +436,66 @@ def resample_audio(
         ["part"] if "part" in clips.columns else []
     )
     return clips.select(*cols).mapInPandas(batches, RESAMPLE_SCHEMA)
+
+
+TRIM_SCHEMA = (
+    "clip_id string, part int, ok boolean, start_ms double, end_ms double, "
+    "active_ratio double, n_frames long"
+)
+
+
+def trim_silence_bounds(
+    clips: DataFrame,
+    threshold_db: float = -40.0,
+    frame_ms: float = 20.0,
+) -> DataFrame:
+    """Leading/trailing-silence trim boundaries per clip (dataset prep: cut
+    dead air before training). Frame RMS in ``frame_ms`` windows; a frame is
+    active above ``threshold_db`` dBFS; bounds = first..last active frame.
+
+    One ``mapInPandas`` pass; framing/energy/argmax are numpy over the whole
+    clip (python cost per clip, never per sample or per frame). A fully
+    silent clip returns start_ms = end_ms = 0 with active_ratio 0 — callers
+    can quarantine or drop it.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for cid, part, raw, sr, codec in zip(
+                pdf["clip_id"], pdf.get("part", pd.Series([None] * len(pdf))),
+                pdf["bytes"], pdf["sr_hz"], pdf["codec"],
+            ):
+                try:
+                    pcm = codecs.decode(raw if raw is not None else b"", codec).astype(np.float64)
+                    f = max(int(round(int(sr) * frame_ms / 1000.0)), 1)
+                    n_frames = (len(pcm) + f - 1) // f
+                    if n_frames == 0:
+                        rows.append((cid, part, True, 0.0, 0.0, 0.0, 0))
+                        continue
+                    padded = np.zeros(n_frames * f)
+                    padded[: len(pcm)] = pcm
+                    frame_rms = np.sqrt((padded.reshape(n_frames, f) ** 2).mean(axis=1))
+                    db = 20.0 * np.log10(frame_rms + 1e-12)
+                    active = db > threshold_db
+                    if active.any():
+                        first = int(np.argmax(active))
+                        last = n_frames - int(np.argmax(active[::-1]))  # exclusive
+                        start_ms = first * frame_ms
+                        end_ms = min(last * frame_ms, len(pcm) / int(sr) * 1000.0)
+                        ratio = float(active.mean())
+                    else:
+                        start_ms = end_ms = 0.0
+                        ratio = 0.0
+                    rows.append((cid, part, True, start_ms, end_ms, ratio, n_frames))
+                except (ValueError, KeyError, ZeroDivisionError):
+                    rows.append((cid, part, False, None, None, None, 0))
+            yield pd.DataFrame(
+                rows,
+                columns=["clip_id", "part", "ok", "start_ms", "end_ms", "active_ratio", "n_frames"],
+            )
+
+    cols = ["clip_id", "bytes", "sr_hz", "codec"] + (
+        ["part"] if "part" in clips.columns else []
+    )
+    return clips.select(*cols).mapInPandas(batches, TRIM_SCHEMA)

@@ -74,3 +74,35 @@ class TestOperator:
         r = media.resample_audio(df, target_sr=16000, out_codec="pcm_f32le").collect()[0]
         back = codecs.decode(r["bytes"], "pcm_f32le")
         assert codecs.snr_db(pcm, back) > 60  # identity path: float32 cast only
+
+
+class TestTrimSilence:
+    def test_bounds_on_constructed_signal(self, spark):
+        sr = 8000
+        sil = np.zeros(sr // 5)                      # 200 ms silence
+        t = np.arange(sr // 2) / sr                  # 500 ms tone
+        tone = 0.5 * np.sin(2 * np.pi * 440 * t)
+        pcm = np.concatenate([sil, tone, sil, sil])  # 200 | 500 | 400 ms
+        df = spark.createDataFrame(
+            [("a", 0, codecs.encode(pcm, "pcm_f32le"), sr, "pcm_f32le")],
+            "clip_id string, part int, bytes binary, sr_hz int, codec string",
+        )
+        r = media.trim_silence_bounds(df, threshold_db=-40.0, frame_ms=20.0).collect()[0]
+        assert r["ok"]
+        assert r["start_ms"] == pytest.approx(200.0, abs=20.0)
+        assert r["end_ms"] == pytest.approx(700.0, abs=20.0)
+        assert r["active_ratio"] == pytest.approx(500.0 / 1100.0, abs=0.05)
+
+    def test_all_silent_and_bad_rows(self, spark):
+        sr = 8000
+        df = spark.createDataFrame(
+            [
+                ("quiet", 0, codecs.encode(np.zeros(sr), "ulaw"), sr, "ulaw"),
+                ("bad", 0, b"xx", sr, "mystery"),
+            ],
+            "clip_id string, part int, bytes binary, sr_hz int, codec string",
+        )
+        out = {r["clip_id"]: r for r in media.trim_silence_bounds(df).collect()}
+        q = out["quiet"]
+        assert q["ok"] and q["start_ms"] == 0.0 and q["end_ms"] == 0.0 and q["active_ratio"] == 0.0
+        assert not out["bad"]["ok"]
