@@ -212,7 +212,10 @@ def cotemporal(args, data_dir: str) -> dict:
                out_path, str(args.cot_warmups)]
         procs.append(subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
                                       stderr=subprocess.DEVNULL))
-    deadline = time.time() + 1200
+    # generous: warmups on a throttled host window can exceed 20 min/level —
+    # a missed barrier deadlocks the workers (they poll the go-file forever),
+    # so this bound must dominate any plausible warmup time
+    deadline = time.time() + 7200
     while time.time() < deadline:
         if all(os.path.exists(f"{barrier}.{c}") for c in (args.low, args.high)):
             with open(barrier, "w") as f:
@@ -259,6 +262,8 @@ def main() -> None:
     ap.add_argument("--probe", action="store_true", help="run the pure-numpy host-scaling control probe")
     ap.add_argument("--cotemporal", action="store_true",
                     help="ALSO run both levels simultaneously on disjoint cores (taskset)")
+    ap.add_argument("--cot-only", dest="cot_only", action="store_true",
+                    help="skip the sequential interleaved trials; implies --cotemporal")
     ap.add_argument("--window", type=float, default=420.0, help="cotemporal measurement window (s)")
     ap.add_argument("--cot-warmups", type=int, default=4)
     ap.add_argument("--out", default=None, help="append a markdown section to this file")
@@ -277,35 +282,38 @@ def main() -> None:
         print(f"synthesized {args.clips} clips / {args.parts} parts", file=sys.stderr)
         warm_page_cache(paths["clips"], paths["clips_ref"], paths["hist_ref"])
 
-        low = high = None
-        for trial in range(2):  # interleave levels so host drift hits both
-            low = run_level(args.low, paths, args.parts, workdir, args.runs, trial, low)
-            high = run_level(args.high, paths, args.parts, workdir, args.runs, trial, high)
-        ratio = args.high / args.low
-        eff_wall = (high["clips_per_sec"] / low["clips_per_sec"]) / ratio
-        # primary, steal-robust metric: per-CPU-second work efficiency
-        # retained when parallelism quadruples. 1.0 = the job does no extra
-        # work and hits no serial bottleneck at 4N; host steal cancels out
-        # because stolen cycles are charged to neither level.
-        eff_cpu = high["clips_per_cpu_sec"] / low["clips_per_cpu_sec"]
         out = {
             "metric": "scaling_efficiency",
-            "value": round(eff_cpu, 3),
-            "unit": f"cpu-time efficiency retained at {args.high} vs {args.low} cores",
-            "wall_clock_efficiency": round(eff_wall, 3),
-            "wall_clock_note": (
-                "wall-clock on this sandbox VM fluctuates 2-10x between "
-                "minute-scale windows (burstable host; see host_probe runs "
-                "and BENCH.md) - cpu-time efficiency is the reliable signal"
-            ),
-            "low": low,
-            "high": high,
             "clips": args.clips,
             "parts": args.parts,
         }
+        if not args.cot_only:
+            low = high = None
+            for trial in range(2):  # interleave levels so host drift hits both
+                low = run_level(args.low, paths, args.parts, workdir, args.runs, trial, low)
+                high = run_level(args.high, paths, args.parts, workdir, args.runs, trial, high)
+            ratio = args.high / args.low
+            eff_wall = (high["clips_per_sec"] / low["clips_per_sec"]) / ratio
+            # primary, steal-robust metric: per-CPU-second work efficiency
+            # retained when parallelism quadruples. 1.0 = the job does no extra
+            # work and hits no serial bottleneck at 4N; host steal cancels out
+            # because stolen cycles are charged to neither level.
+            eff_cpu = high["clips_per_cpu_sec"] / low["clips_per_cpu_sec"]
+            out.update(
+                value=round(eff_cpu, 3),
+                unit=f"cpu-time efficiency retained at {args.high} vs {args.low} cores",
+                wall_clock_efficiency=round(eff_wall, 3),
+                wall_clock_note=(
+                    "wall-clock on this sandbox VM fluctuates 2-10x between "
+                    "minute-scale windows (burstable host; see host_probe runs "
+                    "and BENCH.md) - cpu-time efficiency is the reliable signal"
+                ),
+                low=low,
+                high=high,
+            )
         if probe is not None:
             out["host_probe"] = probe
-        if args.cotemporal:
+        if args.cotemporal or args.cot_only:
             cot = cotemporal(args, os.path.join(workdir, "data"))
             out["cotemporal"] = cot
             out["value"] = cot["cotemporal_efficiency"]
@@ -314,6 +322,8 @@ def main() -> None:
                 "cores in the same host window"
             )
         print(json.dumps(out))
+        if args.cot_only:
+            return
         if args.out:
             with open(args.out, "a") as f:
                 f.write(
