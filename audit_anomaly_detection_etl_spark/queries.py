@@ -964,6 +964,39 @@ def q61(spark, sf_dir):
     )
 
 
+@q(
+    "q63_sliding_window",
+    """
+    SELECT event_id,
+           user_id,
+           ROUND(AVG(value) OVER w, 6)            AS roll_mean,
+           ROUND(MAX(value) OVER w, 2)            AS roll_max,
+           CAST(COUNT(*) OVER w AS BIGINT)        AS roll_n,
+           ROUND(value - LAG(value, 1, 0.0) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q63(spark, sf_dir):
+    """Sliding row-frame window (SURVEY.md §2.5 notes the reference has NO
+    sliding frames — this closes the engine-side gap): per-user rolling
+    mean/max/count over the trailing 5 events plus lag delta, one window
+    spec shared by all frames (single sort, single shuffle on user_id)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("roll_mean"),
+        F.round(F.max("value").over(w), 2).alias("roll_max"),
+        F.count(F.lit(1)).over(w).alias("roll_n"),
+        F.round(F.col("value") - F.lag("value", 1, 0.0).over(wl), 6).alias("delta_prev"),
+    )
+
+
 @q("q62_resample_audio")
 def q62(spark, sf_dir):
     """Normalize-to-16kHz resampling (operators/media.py resample_audio):
