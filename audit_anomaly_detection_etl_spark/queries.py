@@ -997,6 +997,51 @@ def q63(spark, sf_dir):
     )
 
 
+@q(
+    "q64_asof_join",
+    """
+    WITH snaps AS (SELECT user_id, ts, MAX(value) AS snap
+                   FROM events WHERE event_type = 'signup' GROUP BY user_id, ts),
+         l AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type <> 'signup')
+    SELECT l.event_id,
+           l.user_id,
+           ROUND(l.value, 6)  AS value,
+           s.ts               AS r_ts,
+           ROUND(s.snap, 6)   AS r_snap
+    FROM l ASOF LEFT JOIN snaps s
+      ON l.user_id = s.user_id AND l.ts >= s.ts
+    """,
+)
+def q64(spark, sf_dir):
+    """Backward as-of join (operators/asof.py) — an operator native Spark
+    lacks, composed as tagged-union + one last-value window pass (single
+    key shuffle; a range-condition join would be per-key cartesian). Each
+    event picks up the most recent prior 'signup' snapshot for its user;
+    events before any signup keep nulls. DuckDB's native ASOF LEFT JOIN is
+    the oracle — semantics (inclusive equal-ts, backward) must agree
+    exactly."""
+    from .operators import asof
+
+    ev = _t(spark, sf_dir, "events")
+    snaps = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("snap"))
+    )
+    left = ev.where(F.col("event_type") != "signup").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof.asof_join(left, snaps, on="ts", by="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value", 6).alias("value"),
+        "r_ts",
+        F.round("r_snap", 6).alias("r_snap"),
+    )
+
+
 @q("q62_resample_audio")
 def q62(spark, sf_dir):
     """Normalize-to-16kHz resampling (operators/media.py resample_audio):
