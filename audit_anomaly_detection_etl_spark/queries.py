@@ -1042,6 +1042,55 @@ def q64(spark, sf_dir):
     )
 
 
+@q(
+    "q65_interval_join",
+    """
+    WITH iv AS (SELECT user_id,
+                       FLOOR(epoch(ts))          AS s,
+                       FLOOR(epoch(ts)) + 3600.0 AS e
+                FROM events WHERE event_type = 'signup'),
+         pts AS (SELECT event_id, user_id, FLOOR(epoch(ts)) AS pt, value
+                 FROM events WHERE event_type <> 'signup')
+    SELECT p.event_id,
+           p.user_id,
+           ROUND(p.value, 6) AS value,
+           i.s               AS interval_start
+    FROM pts p JOIN iv i
+      ON p.user_id = i.user_id AND p.pt >= i.s AND p.pt <= i.e
+    """,
+)
+def q65(spark, sf_dir):
+    """Interval/range join (operators/rangejoin.py): events landing inside
+    the hour after each signup, per user. The Spark plan is the bucketed
+    equi-join (explode intervals to covered bins, points join their single
+    bin) — a raw inequality join would plan BroadcastNestedLoop; the oracle
+    uses the plain inequality join SQL, proving the bucketing is
+    result-transparent."""
+    from .operators import rangejoin
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.where(F.col("event_type") == "signup").select(
+        "user_id",
+        F.unix_timestamp("ts").cast("double").alias("s"),
+        (F.unix_timestamp("ts").cast("double") + 3600.0).alias("e"),
+    )
+    pts = ev.where(F.col("event_type") != "signup").select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").cast("double").alias("pt"),
+        "value",
+    )
+    out = rangejoin.interval_join(
+        pts, iv, ts_col="pt", start_col="s", end_col="e", by="user_id", bin_width=3600.0
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value", 6).alias("value"),
+        F.col("s").alias("interval_start"),
+    )
+
+
 @q("q62_resample_audio")
 def q62(spark, sf_dir):
     """Normalize-to-16kHz resampling (operators/media.py resample_audio):
