@@ -21,6 +21,14 @@ def plan_of(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
 
 
+def _nodes(p: str, op: str) -> int:
+    """Count physical-plan NODES named ``op`` (header lines '(N) Op'),
+    not raw substring hits (which also match input-reference lines)."""
+    import re
+
+    return len(re.findall(r"\(\d+\) " + op + r"\b", p))
+
+
 RULES = [
     # (query, rule name, predicate over formatted plan text)
     (
@@ -92,6 +100,25 @@ RULES = [
         "q59_winnow_neardup",
         "hot-fingerprint bound is a broadcast anti-join",
         lambda p: "BroadcastHashJoin" in p and "LeftAnti" in p,
+    ),
+    (
+        "q63_sliding_window",
+        "all frames fuse into one Window over one shuffle + one sort",
+        lambda p: _nodes(p, "Exchange") == 1
+        and _nodes(p, "Sort") == 1
+        and _nodes(p, "Window") == 1,
+    ),
+    (
+        "q64_asof_join",
+        "as-of is union + window — no join operator at all",
+        lambda p: "Join" not in p and "Union" in p and "Window" in p,
+    ),
+    (
+        "q65_interval_join",
+        "interval join is a real equi-join, not a nested-loop fallback",
+        lambda p: ("SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p)
+        and "BroadcastNestedLoopJoin" not in p
+        and "CartesianProduct" not in p,
     ),
 ]
 
