@@ -88,12 +88,14 @@ def test_entry_smoke(spark):
 
 def test_every_query_runs(spark, sf001):
     missing_oracle = set(entry_mod.queries()) - set(entry_mod.oracle_sql())
-    # non-SQL-expressible ops only (binary audio decode, model scoring)
+    # non-SQL-expressible ops only (binary audio decode/transform, model scoring)
     assert missing_oracle <= {
         "q33_payload_validate",
         "q44_audio_features",
         "q49_anomaly_ensemble",
         "q51_anomaly_attribution",
+        "q61_wav_container_check",
+        "q62_resample_audio",
     }
     for name in missing_oracle:
         out = entry_mod.queries()[name](spark, sf001)
