@@ -1091,6 +1091,65 @@ def q65(spark, sf_dir):
     )
 
 
+@q(
+    "q66_stratified_cap",
+    """
+    SELECT source, doc_id, lang
+    FROM (SELECT source, doc_id, lang,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+    WHERE rn <= 10
+    """,
+)
+def q66(spark, sf_dir):
+    """Deterministic per-source cap sampling (training-data source
+    balancing: keep at most 10 docs per source, chosen by hash order so the
+    sample is stable across runs and cluster sizes — not sampleBy's
+    bernoulli draw, which is seed+partitioning dependent). One window
+    per source; WindowGroupLimit pushes the cap below the shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("source", "doc_id", "lang")
+    )
+
+
+@q(
+    "q67_vocabulary",
+    """
+    SELECT w AS token,
+           CAST(COUNT(*) AS BIGINT)         AS tf,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM (SELECT doc_id, unnest({words}) AS w FROM documents)
+    GROUP BY w
+    HAVING COUNT(*) >= 50
+    """.format(words=_sql_words(_sql_norm("text"))),
+)
+def q67(spark, sf_dir):
+    """Vocabulary builder (training-data tokenizer prep): term frequency +
+    document frequency per normalized token, thresholded. One explode + one
+    hash agg with map-side combine; df via distinct-agg. At 100 TB the
+    HAVING threshold prunes the long tail before the final shuffle via
+    partial aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id", F.explode(T.words(T.normalized_text(F.col("text")))).alias("token")
+    )
+    return (
+        ex.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .where(F.col("tf") >= 50)
+    )
+
+
 @q("q62_resample_audio")
 def q62(spark, sf_dir):
     """Normalize-to-16kHz resampling (operators/media.py resample_audio):
