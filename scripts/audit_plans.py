@@ -120,6 +120,11 @@ RULES = [
         and "BroadcastNestedLoopJoin" not in p
         and "CartesianProduct" not in p,
     ),
+    (
+        "q66_stratified_cap",
+        "per-source cap pushes WindowGroupLimit below the shuffle",
+        lambda p: "WindowGroupLimit" in p,
+    ),
 ]
 
 
