@@ -344,18 +344,75 @@ def anomaly_output(scored: DataFrame) -> DataFrame:
     )
 
 
-def ranked_anomalies(output: DataFrame, raw: DataFrame, id_col: str) -> DataFrame:
+def ranked_anomalies(
+    output: DataFrame, raw: DataFrame, id_col: str, top_n: int | None = None
+) -> DataFrame:
     """Merge-back + ranked ordering (model_output/nodes.py:60-112): join the
     anomaly output to the raw/detail table on the entity id and rank by
     (prediction desc, score desc, id) — deterministic total order. The raw
     side is the big table; the output side is entity-grained, so Catalyst
-    broadcast-joins it when small and AQE picks the strategy otherwise."""
-    from pyspark.sql.window import Window
+    broadcast-joins it when small and AQE picks the strategy otherwise.
 
-    w = Window.orderBy(
+    100 TB design — a global rank must NOT be ``Window.orderBy`` with no
+    partitionBy (Spark funnels the whole table through ONE task). Instead:
+
+    1. one range-partitioned global sort on the rank key (Spark's scalable
+       ``orderBy`` — sampled boundaries, parallel sort, partition i wholly
+       precedes partition i+1 in sort order),
+    2. an O(partitions) count aggregate over the sorted table to get each
+       partition's cumulative row offset (collected: ~#partitions ints),
+    3. rank = offset + 1-based position within the partition, assigned by a
+       narrow Arrow-batched ``mapInPandas`` pass (no extra shuffle, no
+       per-row Python) — the classic zipWithIndex pattern on DataFrames.
+
+    The sorted table is lazily ``localCheckpoint``-ed so the count job and
+    the rank pass share one materialization and one partition layout.
+
+    ``top_n`` is the report path: when only the worst N rows are needed the
+    sort collapses to ``TakeOrderedAndProject`` (per-partition heap + driver
+    merge of N rows) before ranking — no full sort at all.
+    """
+    sort_cols = [
         F.desc("anomaly_prediction"), F.desc("anomaly_score"), F.col(id_col)
+    ]
+    j = output.join(raw, id_col)
+    if top_n is not None:
+        j = j.orderBy(*sort_cols).limit(top_n)
+    s = j.orderBy(*sort_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    ).localCheckpoint(eager=False)
+    counts = {
+        r["_pid"]: r["n"]
+        for r in s.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    b_off = output.sparkSession.sparkContext.broadcast(offsets)
+
+    schema = StructType(
+        [f for f in s.schema.fields if f.name != "_pid"]
+        + [StructField("rank", IntegerType(), False)]
     )
-    return output.join(raw, id_col).withColumn("rank", F.row_number().over(w).cast("int"))
+
+    def gen(batches):
+        seen = 0
+        off = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if off is None:
+                off = b_off.value[int(pdf["_pid"].iloc[0])]
+            pdf = pdf.drop(columns=["_pid"])
+            pdf["rank"] = np.arange(
+                off + seen + 1, off + seen + len(pdf) + 1, dtype=np.int32
+            )
+            seen += len(pdf)
+            yield pdf
+
+    return s.mapInPandas(gen, schema=schema)
 
 
 def anomaly_attribution(

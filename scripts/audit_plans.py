@@ -29,6 +29,43 @@ def _nodes(p: str, op: str) -> int:
     return len(re.findall(r"\(\d+\) " + op + r"\b", p))
 
 
+def unpartitioned_windows(p: str) -> int:
+    """Count Window NODES with an EMPTY partition spec — the Arguments line
+    of a partitioned Window prints ``[exprs], [partitionSpec], [orderSpec]``
+    (two ``], [`` separators); an unpartitioned one prints ``[exprs],
+    [orderSpec]`` (one). An unpartitioned WindowExec funnels the entire
+    input through ONE task — banned over non-aggregated inputs (the q50
+    scale-killer fixed in round 3; see scoring.ranked_anomalies)."""
+    import re
+
+    n = 0
+    for m in re.finditer(r"\(\d+\) Window\n(?:[^\n]*\n)*?Arguments: ([^\n]*)", p):
+        groups = m.group(1).split("], [")
+        if len(groups) >= 3:
+            continue  # [exprs], [partitionSpec], [orderSpec]
+        # two groups: [exprs], [partitionSpec] (unordered frame agg — fine)
+        # or [exprs], [orderSpec] (UNpartitioned ordered window — banned);
+        # order specs carry sort directions, partition specs never do
+        if len(groups) < 2 or " ASC" in groups[1] or " DESC" in groups[1]:
+            n += 1
+    return n
+
+
+# Queries whose plans contain Window nodes (or did before round 3): every
+# Window must carry a partition spec. q32 is exempt: its zero-column windows
+# run over a <=48-row aggregated histogram (bounded by construction).
+WINDOW_PARTITIONED_QUERIES = [
+    "q05_window_median_residuals",
+    "q20_dedup_exact",
+    "q34_active_duration",
+    "q47_sessionize",
+    "q48_topk_per_group",
+    "q50_ranked_anomalies",
+    "q63_sliding_window",
+    "q64_asof_join",
+    "q66_stratified_cap",
+]
+
 RULES = [
     # (query, rule name, predicate over formatted plan text)
     (
@@ -125,6 +162,13 @@ RULES = [
         "per-source cap pushes WindowGroupLimit below the shuffle",
         lambda p: "WindowGroupLimit" in p,
     ),
+] + [
+    (
+        qname,
+        "no unpartitioned WindowExec (single-task global sort+rank)",
+        lambda p: unpartitioned_windows(p) == 0,
+    )
+    for qname in WINDOW_PARTITIONED_QUERIES
 ]
 
 
