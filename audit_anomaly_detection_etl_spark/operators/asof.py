@@ -15,13 +15,15 @@ salt with boundary rows replicated.
 Semantics match the common backward as-of (pandas merge_asof defaults /
 DuckDB ``ASOF JOIN ON l.ts >= r.ts``): inclusive on equal timestamps; left
 rows with no prior right row keep nulls; optional ``tolerance`` voids
-matches older than ``left.ts - tolerance``.
+matches older than ``left.ts - tolerance`` — expressed in the ordering
+column's own units for numeric columns, in SECONDS for timestamp columns.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType, TimestampType
 from pyspark.sql.window import Window
 
 
@@ -70,13 +72,16 @@ def asof_join(
         F.col("_is_left") == 1
     )
     if tolerance is not None:
+        # subtraction on a timestamp 'on' column yields an interval, which
+        # cannot compare against a double — measure the gap in epoch seconds
+        # instead (for numeric columns the cast is a no-op in value terms)
+        if isinstance(left.schema[on].dataType, (TimestampType, TimestampNTZType)):
+            gap = F.col(on).cast("double") - F.col("_m")[on].cast("double")
+        else:
+            gap = F.col(on) - F.col("_m")[on]
         filled = filled.withColumn(
             "_m",
-            F.when(
-                F.col("_m").isNotNull()
-                & (F.col(on) - F.col("_m")[on] <= F.lit(tolerance)),
-                F.col("_m"),
-            ),
+            F.when(F.col("_m").isNotNull() & (gap <= F.lit(tolerance)), F.col("_m")),
         )
     out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
     out_cols.append(F.col("_m")[on].alias(f"{right_prefix}{on}"))

@@ -364,13 +364,24 @@ def wav_consistency_violations(
             3.0,
         ),
         (
+            # null-guarded: a container that parses with sr=0 has a NULL
+            # duration, and a NULL declared duration is equally unverifiable
+            # — both are violations, not silent passes (abs(NULL-x) > tol
+            # would be NULL and emit nothing)
             F.col("wav_ok")
-            & (F.abs(F.col("container_dur_ms") - F.col("_dur")) > dur_tol_ms),
+            & (
+                F.col("container_dur_ms").isNull()
+                | F.col("_dur").isNull()
+                | (F.abs(F.col("container_dur_ms") - F.col("_dur")) > dur_tol_ms)
+            ),
             F.lit("wav_dur_mismatch"),
             F.concat(
-                F.lit("table says "), F.col("_dur").cast("string"),
+                F.lit("table says "),
+                F.coalesce(F.col("_dur").cast("string"), F.lit("(null)")),
                 F.lit(" ms, container has "),
-                F.round("container_dur_ms", 1).cast("string"),
+                F.coalesce(
+                    F.round("container_dur_ms", 1).cast("string"), F.lit("(null)")
+                ),
             ),
             2.0,
         ),

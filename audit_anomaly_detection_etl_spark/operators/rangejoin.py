@@ -39,7 +39,12 @@ def interval_join(
     nulls."""
     by = [by] if isinstance(by, str) else list(by or [])
     w = float(bin_width)
-    p = points.withColumn("_bin", F.floor(F.col(ts_col) / w))
+    # surrogate row id BEFORE binning: the left path's unmatched-recovery
+    # anti-join runs on this single id, not the point column list — a
+    # column-list anti-join is null-UNSAFE (a matched row with any NULL
+    # column never anti-matches itself and would be emitted twice)
+    p0 = points.withColumn("_rid", F.monotonically_increasing_id())
+    p = p0.withColumn("_bin", F.floor(F.col(ts_col) / w))
     i = intervals.withColumn(
         "_bin",
         F.explode(
@@ -63,11 +68,13 @@ def interval_join(
         return p.join(i, eq & contain, "inner").select(*keep)
     if how != "left":
         raise ValueError(f"how must be inner or left, got {how!r}")
-    # left: inner-match first, then union the never-matched points
-    matched = p.join(i, eq & contain, "inner").select(*keep)
-    unmatched = points.join(
-        matched.select(*points.columns).distinct(), points.columns, "left_anti"
-    )
+    # left: inner-match first, then union the never-matched points (anti-join
+    # on _rid so NULL-bearing and duplicate point rows resolve per-row)
+    matched_full = p.join(i, eq & contain, "inner")
+    matched = matched_full.select(*keep)
+    unmatched = p0.join(
+        matched_full.select(p["_rid"]).distinct(), "_rid", "left_anti"
+    ).drop("_rid")
     for c in intervals.columns:
         if c not in by:
             unmatched = unmatched.withColumn(

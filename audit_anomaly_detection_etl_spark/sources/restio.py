@@ -145,7 +145,20 @@ class RestSource:
         then parses all pages in parallel; pass an explicit DDL ``schema`` on
         big loads (inference re-reads the staging data).
         """
+        import re as _re
+
         os.makedirs(staging_dir, exist_ok=True)
+        # a re-scan into the same directory must not inherit stale pages: a
+        # shrunken API would leave page files beyond the new last page, and
+        # spark.read.json would silently include them as phantom rows.
+        for fname in os.listdir(staging_dir):
+            if _re.fullmatch(r"page-\d{5}\.jsonl", fname):
+                os.remove(os.path.join(staging_dir, fname))
+            else:
+                raise OSError(
+                    f"staging_dir {staging_dir!r} contains unexpected file "
+                    f"{fname!r}; refusing to scan into a shared directory"
+                )
         url: str | None = self.url
         n = 0
         while url is not None and n < max_pages:

@@ -323,6 +323,26 @@ def main() -> None:
             )
         print(json.dumps(out))
         if args.cot_only:
+            # --cot-only has no low/high single-level rows to tabulate, but
+            # --out must still land in BENCH.md (it silently dropped before)
+            if args.out and "cotemporal" in out:
+                cot = out["cotemporal"]
+                with open(args.out, "a") as f:
+                    f.write(
+                        "\n## Co-temporal scaling run ({clips} clips, {parts} "
+                        "partitions)\n\n"
+                        "local[{lc}] median {lr} clips/s vs local[{hc}] median "
+                        "{hr} clips/s, both pinned to disjoint cores in the "
+                        "same host window ({ln}/{hn} measured runs): "
+                        "**co-temporal efficiency = {eff:.3f}**\n".format(
+                            clips=args.clips, parts=args.parts,
+                            lc=args.low, hc=args.high,
+                            lr=cot["low_median_rate"], hr=cot["high_median_rate"],
+                            ln=len(cot["low_runs"]["runs"]),
+                            hn=len(cot["high_runs"]["runs"]),
+                            eff=cot["cotemporal_efficiency"],
+                        )
+                    )
             return
         if args.out:
             with open(args.out, "a") as f:

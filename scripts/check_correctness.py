@@ -111,7 +111,17 @@ def main() -> int:
 
     print(json.dumps(results, indent=1))
     n_match = sum(1 for r in results.values() if r["status"] == "match")
-    print(f"\n{n_match}/{len(results)} match; failed: {failed}", file=sys.stderr)
+    # registered-vs-reported count: a partial driver run (or a filter) must
+    # be VISIBLE — round 2's driver record silently covered 50/67 queries
+    print(
+        f"\n{len(results)}/{len(queries)} registered queries checked"
+        + (f" (filter={name_filter!r})" if name_filter else ""),
+        file=sys.stderr,
+    )
+    print(f"{n_match}/{len(results)} match; failed: {failed}", file=sys.stderr)
+    if not name_filter and len(results) != len(queries):
+        print("WARNING: partial coverage with no filter", file=sys.stderr)
+        return 1
     return 1 if failed else 0
 
 

@@ -36,6 +36,25 @@ def test_tolerance_voids_stale_matches(spark):
     assert out[20.0]["r_snap"] is None     # 11s old: voided
 
 
+def test_tolerance_on_timestamp_column(spark):
+    # regression: interval-vs-double comparison failed analysis for
+    # timestamp ordering columns; tolerance is SECONDS there
+    from datetime import datetime
+
+    t = datetime(2026, 1, 1, 12, 0)
+
+    def at(s):
+        return t.replace(minute=s // 60, second=s % 60)
+
+    left = _mk(spark, [("a", at(10), "x"), ("a", at(20), "y")],
+               "k string, ts timestamp, payload string")
+    right = _mk(spark, [("a", at(9), 1.0)], "k string, ts timestamp, snap double")
+    out = {r["payload"]: r for r in
+           asof.asof_join(left, right, on="ts", by="k", tolerance=5.0).collect()}
+    assert out["x"]["r_snap"] == 1.0       # 1 s old: within tolerance
+    assert out["y"]["r_snap"] is None      # 11 s old: voided
+
+
 def test_keys_do_not_leak(spark):
     left = _mk(spark, [("a", 5.0, "x"), ("b", 5.0, "y")],
                "k string, ts double, payload string")

@@ -53,6 +53,31 @@ def test_left_mode_keeps_unmatched(spark):
     assert got["p2"]["s"] is None and out.count() == 2
 
 
+def test_left_mode_null_column_not_duplicated(spark):
+    # regression: a MATCHED point carrying a NULL column must not also be
+    # re-emitted through the unmatched branch (null-unsafe anti-join bug)
+    pts = spark.createDataFrame(
+        [("p1", None, "a", 10.0), ("p2", None, "a", 99.0)],
+        "pid string, extra string, k string, ts double",
+    )
+    ivs = _ivs(spark, [("a", 0.0, 20.0)])
+    out = rangejoin.interval_join(pts, ivs, "ts", "s", "e", by="k",
+                                  bin_width=10.0, how="left")
+    rows = out.collect()
+    assert len(rows) == 2
+    got = {r["pid"]: r for r in rows}
+    assert got["p1"]["s"] == 0.0 and got["p2"]["s"] is None
+
+
+def test_left_mode_duplicate_point_rows_kept_per_row(spark):
+    # two IDENTICAL unmatched point rows both survive the left path
+    pts = _pts(spark, [("p1", "a", 99.0), ("p1", "a", 99.0)])
+    ivs = _ivs(spark, [("a", 0.0, 20.0)])
+    out = rangejoin.interval_join(pts, ivs, "ts", "s", "e", by="k",
+                                  bin_width=10.0, how="left")
+    assert out.count() == 2
+
+
 def test_matches_plain_inequality_join(spark):
     import random
 

@@ -142,6 +142,35 @@ class TestScans:
         df = src.scan_json(spark, str(tmp_path / "s2"), schema="id bigint", max_pages=3)
         assert df.count() == 3
 
+    def test_rescan_clears_stale_pages(self, spark, tmp_path):
+        # first scan: 2 pages; second scan into the SAME dir: 1 page — the
+        # stale page-00001 must not contribute phantom rows
+        two = {
+            "api?page=1": {"results": [{"id": 1}], "next": "api?page=2"},
+            "api?page=2": {"results": [{"id": 2}], "next": None},
+        }
+        one = {"api?page=1": {"results": [{"id": 9}], "next": None}}
+        d = str(tmp_path / "stage")
+        restio.RestSource("api?page=1", transport=_paged_transport(two),
+                          retry_delay=0).scan_json(spark, d, schema="id bigint").count()
+        df = restio.RestSource("api?page=1", transport=_paged_transport(one),
+                               retry_delay=0).scan_json(spark, d, schema="id bigint")
+        assert [r.id for r in df.collect()] == [9]
+
+    def test_scan_refuses_foreign_files_in_staging(self, spark, tmp_path):
+        d = tmp_path / "stage"
+        d.mkdir()
+        (d / "unrelated.txt").write_text("x")
+        src = restio.RestSource(
+            "api?page=1",
+            transport=_paged_transport({"api?page=1": {"results": [], "next": None}}),
+            retry_delay=0,
+        )
+        import pytest
+
+        with pytest.raises(OSError, match="unexpected file"):
+            src.scan_json(spark, str(d), schema="id bigint")
+
     def test_questionnaire_pluck(self, spark):
         payload = {"content": {"survey": [{"name": "q1", "type": "integer"}, {"name": "q2", "type": "text"}]}}
         src = restio.RestSource("api?f=1", transport=_paged_transport({"api?f=1": payload}), retry_delay=0)

@@ -85,3 +85,27 @@ class TestWavConsistency:
         assert by_key["r4"] == {"wav_unparseable"}
         sev = {v["check"]: v["severity"] for v in viols}
         assert sev["wav_unparseable"] == 5.0
+
+    def test_null_durations_are_violations_not_silent_passes(self, spark):
+        # r5: container declares sr=0 -> parses wav_ok with NULL duration;
+        # r6: table's declared duration is NULL. Both must emit
+        # wav_dur_mismatch (abs(NULL - x) > tol is NULL, which previously
+        # dropped the row entirely).
+        import struct
+
+        good = codecs.encode_wav(_pcm(800), 8000, "ulaw")
+        zero_sr = bytearray(good)
+        struct.pack_into("<I", zero_sr, 24, 0)  # fmt chunk sample rate := 0
+        rows = [
+            ("r5", 0, bytes(zero_sr), 0, 100.0, "ulaw"),
+            ("r6", 0, good, 8000, None, "ulaw"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "clip_id string, part int, bytes binary, sr_hz int, dur_ms double, codec string",
+        )
+        by_key = {}
+        for v in media.wav_consistency_violations(df).collect():
+            by_key.setdefault(v["key"], set()).add(v["check"])
+        assert "wav_dur_mismatch" in by_key.get("r5", set())
+        assert by_key.get("r6") == {"wav_dur_mismatch"}
