@@ -238,6 +238,73 @@ class KnnDistanceDetector:
         return self.offset_ - self._kdist(S, kth=min(self.k - 1, len(self.sample_) - 1))
 
 
+@dataclass
+class LocalDensityDetector:
+    """k-distance-RATIO detector — the LOF analogue the round-2 review asked
+    for (reference ensemble member LOF(n_neighbors=20),
+    model_training/nodes.py:34-38). LOF's defining property is LOCAL
+    density: a point is anomalous relative to the density of its OWN
+    neighborhood, so a point on the edge of a sparse-but-legitimate cluster
+    is not flagged just for living in a sparse region.
+
+    score(x) = kdist(x) / mean(kdist of x's k nearest fit samples) — the
+    simplified LOF (reachability smoothing dropped; same ordering on
+    benchmark data). ~1 means x is as dense as its neighbors; >> 1 means x
+    is locally isolated. decision = offset_ - ratio, offset_ at the
+    (1 - contamination) quantile of the fit ratios — the same
+    sklearn-compatible convention as the other detectors.
+    """
+
+    k: int = 20
+    contamination: float = 0.1
+    mean_: np.ndarray = None
+    std_: np.ndarray = None
+    sample_: np.ndarray = None
+    sample_kdist_: np.ndarray = None
+    offset_: float = 0.0
+
+    def fit(self, X: np.ndarray) -> "LocalDensityDetector":
+        X = np.asarray(X, dtype=np.float64)
+        self.mean_ = X.mean(axis=0)
+        std = X.std(axis=0)
+        self.std_ = np.where(std > 0, std, 1.0)
+        self.sample_ = (X - self.mean_) / self.std_
+        # k-th neighbor among fit rows EXCLUDING self (self at distance 0)
+        kth = min(self.k, len(X) - 1)
+        d = self._dists(self.sample_)
+        self.sample_kdist_ = np.partition(d, kth, axis=1)[:, kth]
+        ratio = self._ratio(self.sample_, fit_mode=True)
+        self.offset_ = float(np.quantile(ratio, 1.0 - self.contamination))
+        return self
+
+    def _dists(self, S: np.ndarray) -> np.ndarray:
+        d2 = (
+            np.sum(S * S, axis=1)[:, None]
+            + np.sum(self.sample_ * self.sample_, axis=1)[None, :]
+            - 2.0 * (S @ self.sample_.T)
+        )
+        np.maximum(d2, 0.0, out=d2)
+        return np.sqrt(d2)
+
+    def _ratio(self, S: np.ndarray, fit_mode: bool) -> np.ndarray:
+        # fit_mode: S IS the fit sample -> self sits at distance 0 in its
+        # own row; take neighbors 1..k instead of 0..k-1
+        lo = 1 if fit_mode else 0
+        kth = min(self.k - 1 + lo, self.sample_.shape[0] - 1)
+        d = self._dists(S)
+        idx = np.argpartition(d, kth, axis=1)[:, : kth + 1]
+        dd = np.take_along_axis(d, idx, axis=1)
+        order = np.argsort(dd, axis=1)[:, lo : kth + 1]
+        nbrs = np.take_along_axis(idx, order, axis=1)
+        kdist = np.take_along_axis(dd, order, axis=1)[:, -1]
+        denom = np.maximum(self.sample_kdist_[nbrs].mean(axis=1), 1e-12)
+        return kdist / denom
+
+    def decision_function(self, X: np.ndarray) -> np.ndarray:
+        S = (np.asarray(X, np.float64) - self.mean_) / self.std_
+        return self.offset_ - self._ratio(S, fit_mode=False)
+
+
 MODEL_NAMES = ("iforest", "robust_z", "knn")
 PRIMARY_MODEL = "iforest"
 
@@ -249,26 +316,45 @@ class EnsembleModel:
     robust_z: RobustZDetector
     knn: KnnDistanceDetector
     baseline_: np.ndarray = None  # per-feature fit-sample median (attribution)
+    lof: LocalDensityDetector = None  # optional 4th member (include_lof=True)
 
     def detectors(self):
-        return {"iforest": self.iforest, "robust_z": self.robust_z, "knn": self.knn}
+        out = {"iforest": self.iforest, "robust_z": self.robust_z, "knn": self.knn}
+        if self.lof is not None:
+            out["lof"] = self.lof
+        return out
 
 
 def fit_ensemble(
     features: DataFrame,
     feature_cols: list[str],
     id_col: str,
-    sample_mod: int = 1,
+    sample_mod: int | None = None,
     seed: int = 42,
     contamination: float = 0.1,
     n_trees: int = 100,
+    include_lof: bool = False,
+    max_fit_rows: int = 100_000,
 ) -> EnsembleModel:
     """Driver-side fit on a deterministic content-hash sample of the features
     table. ``sample_mod=1`` fits on every row (the reference's semantics);
     at scale pick ``sample_mod`` so ~10^4-10^5 rows survive. The sample is
     sorted by ``id_col`` so the fit (and hence every downstream score) is
     independent of partition layout.
+
+    ``sample_mod=None`` (the default) is the driver-OOM guard: a cheap
+    ``count()`` sizes the table and picks the smallest mod keeping the
+    expected sample under ``max_fit_rows`` — the driver can never be handed
+    10^9 feature rows by accident; pass an explicit mod to override.
+
+    ``include_lof=True`` adds the LocalDensityDetector as a 4th ensemble
+    member (the reference fits IsolationForest + OneClassSVM + LOF,
+    model_training/nodes.py:34-38; the default 3 keep the round-1 scoring
+    contract bit-stable).
     """
+    if sample_mod is None:
+        n = features.count()
+        sample_mod = max(1, -(-n // max_fit_rows))  # ceil div
     samp = features
     if sample_mod > 1:
         samp = samp.where(F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(sample_mod)) == 0)
@@ -282,6 +368,9 @@ def fit_ensemble(
         robust_z=RobustZDetector(contamination=contamination).fit(X),
         knn=KnnDistanceDetector(contamination=contamination).fit(X),
         baseline_=np.median(X, axis=0),
+        lof=LocalDensityDetector(contamination=contamination).fit(X)
+        if include_lof
+        else None,
     )
     return model
 
@@ -296,7 +385,7 @@ def score_ensemble(features: DataFrame, model: EnsembleModel) -> DataFrame:
     b = sc.broadcast(model)
 
     out_fields = list(features.schema.fields)
-    for m in MODEL_NAMES:
+    for m in model.detectors():
         out_fields.append(StructField(f"{m}_score", DoubleType(), True))
         out_fields.append(StructField(f"{m}_pred", IntegerType(), True))
     schema = StructType(out_fields)
@@ -314,33 +403,40 @@ def score_ensemble(features: DataFrame, model: EnsembleModel) -> DataFrame:
     return features.mapInPandas(gen, schema=schema)
 
 
-def anomaly_output(scored: DataFrame) -> DataFrame:
+def anomaly_output(scored: DataFrame, min_votes: int = 2) -> DataFrame:
     """Vote + normalized score (model_output/nodes.py:34-55):
 
-    - ``anomaly_prediction`` = primary fires AND >= 2 of 3 fire
+    - ``anomaly_prediction`` = primary fires AND >= ``min_votes`` fire
+      (the reference's 2-of-3; pass 3 for a 4-member majority)
     - ``anomaly_score``      = mean over models of min-max normalized
       *negated* decision scores (all models are in the invert list), min/max
       taken over the scored table itself — computed as a 1-row aggregate
       broadcast back (two-pass, no collect).
+
+    The model set is discovered from the ``*_score`` columns, so the same
+    code serves the 3-detector default and the 4-detector (+lof) ensemble.
     """
+    names = [c[: -len("_score")] for c in scored.columns if c.endswith("_score")]
     aggs = []
-    for m in MODEL_NAMES:
+    for m in names:
         aggs.append(F.min(f"{m}_score").alias(f"__min_{m}"))
         aggs.append(F.max(f"{m}_score").alias(f"__max_{m}"))
     bounds = scored.groupBy().agg(*aggs)
     j = scored.crossJoin(F.broadcast(bounds))
     norms = []
-    for m in MODEL_NAMES:
+    for m in names:
         lo, hi, s = F.col(f"__min_{m}"), F.col(f"__max_{m}"), F.col(f"{m}_score")
         # inverted score = -s; min-max over inverted = (hi - s) / (hi - lo)
         norms.append(F.when(hi > lo, (hi - s) / (hi - lo)).otherwise(F.lit(0.0)))
-    score = sum(norms[1:], norms[0]) / float(len(MODEL_NAMES))
-    votes = sum([F.col(f"{m}_pred") for m in MODEL_NAMES[1:]], F.col(f"{MODEL_NAMES[0]}_pred"))
-    pred = F.when((F.col(f"{PRIMARY_MODEL}_pred") == 1) & (votes >= 2), 1).otherwise(0)
+    score = sum(norms[1:], norms[0]) / float(len(names))
+    votes = sum([F.col(f"{m}_pred") for m in names[1:]], F.col(f"{names[0]}_pred"))
+    pred = F.when(
+        (F.col(f"{PRIMARY_MODEL}_pred") == 1) & (votes >= min_votes), 1
+    ).otherwise(0)
     return (
         j.withColumn("anomaly_score", score)
         .withColumn("anomaly_prediction", pred)
-        .drop(*[f"__min_{m}" for m in MODEL_NAMES], *[f"__max_{m}" for m in MODEL_NAMES])
+        .drop(*[f"__min_{m}" for m in names], *[f"__max_{m}" for m in names])
     )
 
 

@@ -63,6 +63,58 @@ class TestDetectors:
         # novelty scoring of a fresh inlier point is positive
         assert m.decision_function(np.zeros((1, X.shape[1])))[0] > 0
 
+    def test_local_density_flags_global_outlier(self):
+        X = _blob_with_outlier()
+        m = scoring.LocalDensityDetector(k=20, contamination=0.1).fit(X)
+        d = m.decision_function(X)
+        assert d[0] < 0 and np.argmin(d) == 0
+        assert m.decision_function(np.zeros((1, X.shape[1])))[0] > 0
+
+    def test_local_density_is_local_not_global(self):
+        """LOF's defining property: a member of a sparse-but-legitimate
+        cluster is NOT anomalous (its neighbors are equally sparse), while a
+        point locally isolated from a dense cluster IS — even at the same
+        absolute kNN distance. A pure kdist detector cannot tell them apart."""
+        rng = np.random.default_rng(5)
+        dense = rng.normal(0.0, 0.05, size=(200, 2))
+        sparse = rng.normal(10.0, 2.0, size=(200, 2))
+        X = np.vstack([dense, sparse])
+        m = scoring.LocalDensityDetector(k=10, contamination=0.01).fit(X)
+        # probe A: sparse-cluster member-alike (2-sigma-ish, still social)
+        probe_sparse = np.array([[11.0, 11.0]])
+        # probe B: sits 1.0 away from the dense cluster — hugely isolated
+        # RELATIVE to dense-cluster spacing, same order of absolute distance
+        probe_edge = np.array([[1.0, 1.0]])
+        r_sparse = m.offset_ - m.decision_function(probe_sparse)[0]
+        r_edge = m.offset_ - m.decision_function(probe_edge)[0]
+        assert r_edge > 5 * r_sparse  # local-density ratio separates them
+        # while the GLOBAL kdist detector scores them comparably (both ~1.4)
+        g = scoring.KnnDistanceDetector(k=10, contamination=0.01).fit(X)
+        gd_sparse = g.offset_ - g.decision_function(probe_sparse)[0]
+        gd_edge = g.offset_ - g.decision_function(probe_edge)[0]
+        assert gd_edge < 5 * gd_sparse
+
+    def test_local_density_numpy_oracle_parity(self):
+        """Brute-force O(n^2) re-derivation of the simplified-LOF ratio."""
+        rng = np.random.default_rng(12)
+        X = rng.normal(0.0, 1.0, size=(80, 3))
+        Q_ = rng.normal(0.0, 1.5, size=(15, 3))
+        k = 7
+        m = scoring.LocalDensityDetector(k=k, contamination=0.1).fit(X)
+        S = (X - X.mean(axis=0)) / np.where(X.std(axis=0) > 0, X.std(axis=0), 1.0)
+        SQ = (Q_ - X.mean(axis=0)) / np.where(X.std(axis=0) > 0, X.std(axis=0), 1.0)
+        fit_kdist = np.array(
+            [np.sort(np.linalg.norm(S - s, axis=1))[k] for s in S]  # excl self
+        )
+        assert np.allclose(m.sample_kdist_, fit_kdist, atol=1e-12)
+        exp = []
+        for q_ in SQ:
+            d = np.linalg.norm(S - q_, axis=1)
+            nbrs = np.argsort(d, kind="stable")[:k]
+            exp.append(d[nbrs][-1] / max(fit_kdist[nbrs].mean(), 1e-12))
+        got = m.offset_ - m.decision_function(Q_)
+        assert np.allclose(got, np.asarray(exp), atol=1e-9)
+
 
 @pytest.fixture(scope="module")
 def fitted(spark, sf001):
@@ -137,6 +189,47 @@ class TestEnsemblePipeline:
         s = got.sort_values("rank")
         key = list(zip(-s["anomaly_prediction"], -s["anomaly_score"], s["user_id"]))
         assert key == sorted(key)
+
+    def test_four_member_ensemble_with_lof(self, spark, sf001):
+        """include_lof=True adds lof_score/lof_pred through the SAME
+        broadcast-scoring + normalize + vote pipeline (min_votes=3 for a
+        4-member majority)."""
+        feats = Q.user_features(spark, sf001)
+        model = scoring.fit_ensemble(
+            feats, Q.USER_FEATURE_COLS, "user_id", sample_mod=1,
+            seed=Q.ENSEMBLE_SEED, include_lof=True,
+        )
+        assert set(model.detectors()) == {"iforest", "robust_z", "knn", "lof"}
+        out = scoring.anomaly_output(
+            scoring.score_ensemble(feats, model), min_votes=3
+        )
+        pdf = out.orderBy("user_id").toPandas()
+        assert {"lof_score", "lof_pred"} <= set(pdf.columns)
+        X = feats.orderBy("user_id").toPandas()[Q.USER_FEATURE_COLS].to_numpy(
+            np.float64
+        )
+        exp_pred = (model.lof.decision_function(X) < 0).astype(int)
+        assert pdf["lof_pred"].tolist() == exp_pred.tolist()
+        votes = sum(
+            pdf[f"{m}_pred"].to_numpy() for m in ("iforest", "robust_z", "knn", "lof")
+        )
+        exp_vote = ((pdf["iforest_pred"].to_numpy() == 1) & (votes >= 3)).astype(int)
+        assert pdf["anomaly_prediction"].tolist() == exp_vote.tolist()
+
+    def test_driver_fit_guard_caps_sample(self, spark, sf001):
+        """sample_mod=None sizes the fit sample from a count(): with
+        max_fit_rows below the table size the mod engages and the driver
+        never sees the full table."""
+        feats = Q.user_features(spark, sf001)
+        n = feats.count()
+        assert n > 5
+        m = scoring.fit_ensemble(
+            feats, Q.USER_FEATURE_COLS, "user_id", max_fit_rows=5, seed=1
+        )
+        assert 0 < m.knn.sample_.shape[0] < n
+        # and the default guard is a no-op below the cap (mod resolves to 1)
+        m_full = scoring.fit_ensemble(feats, Q.USER_FEATURE_COLS, "user_id", seed=1)
+        assert m_full.knn.sample_.shape[0] == n
 
     def test_sampled_fit_is_deterministic(self, spark, sf001):
         feats = Q.user_features(spark, sf001)
