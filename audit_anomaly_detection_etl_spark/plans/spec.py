@@ -54,6 +54,9 @@ class SuiteSpec:
     uniqueness_salts: int = 32
 
     def spec_hash(self) -> str:
+        """Stable content hash over the spec tree + engine version; part of
+        checkpoint lineage (editing the spec — in code OR in a spec FILE —
+        invalidates prior partition verdicts)."""
         def enc(o):
             if hasattr(o, "__dict__"):
                 return {k: enc(v) for k, v in vars(o).items()}
@@ -67,3 +70,96 @@ class SuiteSpec:
             {"spec": enc(self), "engine": __version__}, sort_keys=True, default=str
         )
         return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+# -- config-file lifecycle ----------------------------------------------------
+#
+# Reference analogue: the reference's whole run is driven by a YAML file
+# (conf/base/globals_template.yml:1-54) that the app EDITS and writes back
+# (app_tab/run_anomaly_detection.py:95-96) and settings.py interpolates
+# (settings.py:25-32). Here a YAML/JSON document loads into the same
+# SuiteSpec dataclass tree the code path uses, so a file-driven suite gets
+# the identical spec-hash lineage: editing the file invalidates checkpoints.
+
+_SPEC_KEYS = {
+    "schema", "drift", "psi_threshold", "checks", "key_partitioned",
+    "uniqueness_salts",
+}
+_SCHEMA_KEYS = {"columns", "key_col", "part_col"}
+_COLUMN_KEYS = {"name", "dtype", "nullable", "allowed", "min_value", "max_value"}
+_DRIFT_KEYS = {"col", "lo", "hi", "n_bins"}
+
+
+def _check_keys(d: dict, allowed: set, where: str) -> None:
+    unknown = set(d) - allowed
+    if unknown:
+        raise ValueError(
+            f"unknown {where} key(s) {sorted(unknown)}; allowed: {sorted(allowed)}"
+        )
+
+
+def spec_from_dict(doc: dict) -> SuiteSpec:
+    """Build a SuiteSpec from a parsed YAML/JSON document. Absent sections
+    keep the code defaults; unknown keys are ERRORS (a typo'd constraint
+    silently validating nothing is worse than a crash)."""
+    doc = dict(doc or {})
+    _check_keys(doc, _SPEC_KEYS, "spec")
+    kwargs: dict = {}
+    if "schema" in doc:
+        sch = dict(doc["schema"])
+        _check_keys(sch, _SCHEMA_KEYS, "schema")
+        cols = []
+        for c in sch.get("columns", []):
+            c = dict(c)
+            _check_keys(c, _COLUMN_KEYS, "column")
+            if "name" not in c or "dtype" not in c:
+                raise ValueError(f"column spec needs name+dtype: {c}")
+            cols.append(ColumnSpec(**c))
+        if not cols:
+            raise ValueError("schema.columns must be a non-empty list")
+        kwargs["schema_spec"] = TableSchemaSpec(
+            columns=cols,
+            key_col=sch.get("key_col", "clip_id"),
+            part_col=sch.get("part_col", "part"),
+        )
+    if "drift" in doc:
+        specs = []
+        for d in doc["drift"]:
+            d = dict(d)
+            _check_keys(d, _DRIFT_KEYS, "drift")
+            specs.append(
+                BinSpec(d["col"], float(d["lo"]), float(d["hi"]), int(d["n_bins"]))
+            )
+        kwargs["drift_specs"] = specs
+    if "psi_threshold" in doc:
+        kwargs["psi_threshold"] = float(doc["psi_threshold"])
+    if "checks" in doc:
+        valid = set(SuiteSpec().checks)
+        bad = set(doc["checks"]) - valid
+        if bad:
+            raise ValueError(f"unknown check(s) {sorted(bad)}; valid: {sorted(valid)}")
+        kwargs["checks"] = tuple(doc["checks"])
+    if "key_partitioned" in doc:
+        kwargs["key_partitioned"] = bool(doc["key_partitioned"])
+    if "uniqueness_salts" in doc:
+        kwargs["uniqueness_salts"] = int(doc["uniqueness_salts"])
+    return SuiteSpec(**kwargs)
+
+
+def spec_from_file(path: str) -> SuiteSpec:
+    """Load a SuiteSpec from a ``.yml``/``.yaml``/``.json`` file (the
+    ``jobs/validate.py --spec`` entry). YAML is parsed with ``safe_load`` —
+    plain mappings/lists/scalars only, no object tags."""
+    with open(path) as f:
+        text = f.read()
+    if path.endswith(".json"):
+        doc = json.loads(text)
+    else:
+        import yaml
+
+        doc = yaml.safe_load(text)
+    if doc is None:
+        doc = {}
+    if not isinstance(doc, dict):
+        raise ValueError(f"spec file {path!r} must contain a mapping at top level")
+    return spec_from_dict(doc)

@@ -42,6 +42,12 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--synth-dur-ms", type=float, default=400.0)
     ap.add_argument("--top", type=int, default=10, help="print top-N ranked violations")
     ap.add_argument(
+        "--spec",
+        help="YAML/JSON suite-spec file (schema columns, drift bins, checks); "
+        "its content enters the spec-hash lineage, so editing the file "
+        "invalidates prior checkpoints. See conf/suite_default.yml",
+    )
+    ap.add_argument(
         "--no-key-partitioned",
         dest="key_partitioned",
         action="store_false",
@@ -68,6 +74,15 @@ def main(argv: list[str] | None = None) -> dict:
     if not args.data:
         ap.error("--data required (or --synth N)")
 
+    if args.spec:
+        from audit_anomaly_detection_etl_spark.plans.spec import spec_from_file
+
+        spec = spec_from_file(args.spec)
+        if not args.key_partitioned:  # CLI flag overrides the file
+            spec.key_partitioned = False
+    else:
+        spec = SuiteSpec(key_partitioned=args.key_partitioned)
+
     spark = get_spark(master=args.master)
     _ship_package(spark)
     t0 = time.time()
@@ -77,7 +92,7 @@ def main(argv: list[str] | None = None) -> dict:
         ref_root=args.ref,
         hist_ref_path=args.hist_ref,
         checkpoint_dir=args.checkpoint,
-        spec=SuiteSpec(key_partitioned=args.key_partitioned),
+        spec=spec,
         wave_size=args.wave_size,
     )
     elapsed = time.time() - t0
