@@ -33,10 +33,24 @@ TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 
 STOPWORDS = ["the", "a", "of", "to", "and"]
 
+# Unicode whitespace, shared by EVERY tokenization path — the Catalyst
+# expressions here, the pandas shingle kernel, and the DuckDB oracle
+# fragments (queries._sql_words/_sql_norm). Java's and RE2's ``\s`` are
+# ASCII-only, so NBSP/ideographic-space words would stay glued together and
+# silently change near-dup pair sets per engine path (the round-2 review's
+# Unicode-parity gap). Class = ``\s`` + the remaining White_Space codepoints
+# (NEL, NBSP, ogham, en/em/thin spaces, line/para sep, narrow NBSP, math
+# space, ideographic space).
+UNICODE_WS_EXTRAS = (
+    "\u0085\u00a0\u1680\u2000-\u200a\u2028\u2029\u202f\u205f\u3000"
+)
+UNICODE_WS_RE = "[\\s" + UNICODE_WS_EXTRAS + "]+"
+
 
 def words(text: Column) -> Column:
-    """Whitespace tokens; empty string -> empty array (not [''])."""
-    return F.filter(F.split(F.trim(text), "\\s+"), lambda w: w != F.lit(""))
+    """Whitespace tokens (Unicode whitespace class, see UNICODE_WS_RE);
+    empty string -> empty array (not [''])."""
+    return F.filter(F.split(F.trim(text), UNICODE_WS_RE), lambda w: w != F.lit(""))
 
 
 def word_count(text: Column) -> Column:
@@ -108,7 +122,10 @@ def quality_score(text: Column) -> Column:
 
 
 def normalized_text(text: Column) -> Column:
-    return F.lower(F.regexp_replace(F.trim(text), "\\s+", " "))
+    # collapse BEFORE trim: Spark's trim strips only ' ' while DuckDB's
+    # strips Unicode whitespace — trimming the collapsed string makes the
+    # two trim semantics coincide (everything is ' ' by then)
+    return F.lower(F.trim(F.regexp_replace(text, UNICODE_WS_RE, " ")))
 
 
 def fingerprint_md5(text: Column) -> Column:
@@ -192,19 +209,20 @@ def shingles_fast(text: Column, n: int = 3) -> Column:
     "UDFs are the slow path" rule applies to codegen'd expressions, not to
     interpreted lambda trees.
 
-    Tokenization matches Java's ``\\s`` class exactly ([ \\t\\n\\x0b\\f\\r] —
-    Python's argless ``str.split`` also splits on Unicode whitespace like
-    NBSP, which Spark's ``split(text, '\\s+')`` does not). Lowering is
-    ``str.lower``: identical to Spark/JVM on ASCII; locale-special casefolds
-    (dotted-I etc.) may differ — ASCII-equivalence is the documented parity
-    guarantee for the DuckDB-oracle path.
+    Tokenization splits on the SAME Unicode whitespace class as the native
+    path (UNICODE_WS_RE: Java ``\\s`` + NBSP & friends), and ``str.lower``
+    matches Spark's ``lower()`` on the full-casing specials too (ß, final
+    sigma, dotted-I — measured identical; tests/test_text_unicode.py holds
+    the cross-path parity corpus). Byte-identical shingle sets via either
+    path is the contract, ASCII or not.
     """
     import re
 
     from pyspark.sql.functions import pandas_udf
 
     if n not in _SHINGLE_UDFS:
-        java_ws = re.compile("[ \t\n\x0b\f\r]+")
+        # Java \s is [ \t\n\x0b\f\r]; extras mirror UNICODE_WS_EXTRAS
+        java_ws = re.compile("[ \t\n\x0b\f\r" + UNICODE_WS_EXTRAS + "]+")
 
         @pandas_udf("array<string>")
         def _sh(texts: pd.Series) -> pd.Series:

@@ -60,16 +60,30 @@ def q(name: str, oracle: str | None = None):
 # shared SQL fragments (DuckDB dialect) mirroring functions/text.py
 # ---------------------------------------------------------------------------
 
+# RE2 spelling of functions/text.py UNICODE_WS_RE (RE2's \s is ASCII-only,
+# like Java's — the extras keep both engines splitting NBSP & friends)
+_SQL_WS = (
+    r"[\s\x{0085}\x{00A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}"
+    r"\x{202F}\x{205F}\x{3000}]+"
+)
+
+
 def _sql_words(col: str) -> str:
-    # T.words: split on \s+ after trim, drop empties
+    # T.words: split on unicode-ws+ after trim, drop empties
     return (
-        r"list_filter(regexp_split_to_array(trim({c}), '\s+'), x -> x != '')".format(c=col)
+        "list_filter(regexp_split_to_array(trim({c}), '{ws}'), x -> x != '')".format(
+            c=col, ws=_SQL_WS
+        )
     )
 
 
 def _sql_norm(col: str) -> str:
-    # T.normalized_text: lower + collapse whitespace + trim
-    return r"lower(regexp_replace(trim({c}), '\s+', ' ', 'g'))".format(c=col)
+    # T.normalized_text: collapse whitespace, THEN trim, then lower
+    # (collapse-before-trim makes Spark's space-only trim and DuckDB's
+    # unicode-ws trim coincide)
+    return "lower(trim(regexp_replace({c}, '{ws}', ' ', 'g')))".format(
+        c=col, ws=_SQL_WS
+    )
 
 
 def _sql_shingles(col: str, n: int = 3) -> str:
