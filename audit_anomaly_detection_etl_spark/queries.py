@@ -271,14 +271,17 @@ def q05(spark, sf_dir):
 )
 def q06(spark, sf_dir):
     """Per-entity distinct count + ratio (SURVEY.md A9,
-    features_engineering/nodes.py:238-248)."""
+    features_engineering/nodes.py:238-248). Exact tier of
+    operators/vocab.py distinct_counts (``exact=False`` is the 10^12-row
+    HLL path)."""
+    from .operators import vocab
+
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("user_id").agg(
-        F.countDistinct("event_type").alias("n_types"),
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.count(F.lit(1)).cast("double") / F.countDistinct("event_type"), 6).alias(
-            "events_per_type"
-        ),
+    return vocab.distinct_counts(ev, "user_id", "event_type", exact=True).select(
+        "user_id",
+        F.col("n_distinct").alias("n_types"),
+        F.col("n_rows").alias("n_events"),
+        F.col("rows_per_distinct").alias("events_per_type"),
     )
 
 
@@ -1149,19 +1152,11 @@ def q67(spark, sf_dir):
     document frequency per normalized token, thresholded. One explode + one
     hash agg with map-side combine; df via distinct-agg. At 100 TB the
     HAVING threshold prunes the long tail before the final shuffle via
-    partial aggregation."""
-    d = _t(spark, sf_dir, "documents")
-    ex = d.select(
-        "doc_id", F.explode(T.words(T.normalized_text(F.col("text")))).alias("token")
-    )
-    return (
-        ex.groupBy("token")
-        .agg(
-            F.count(F.lit(1)).alias("tf"),
-            F.countDistinct("doc_id").alias("df"),
-        )
-        .where(F.col("tf") >= 50)
-    )
+    partial aggregation, and ``exact=False`` swaps df to an HLL sketch
+    (operators/vocab.py; the oracle checks the exact tier)."""
+    from .operators import vocab
+
+    return vocab.vocabulary(_t(spark, sf_dir, "documents"), min_tf=50, exact=True)
 
 
 @q("q62_resample_audio")

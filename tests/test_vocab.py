@@ -1,0 +1,68 @@
+"""Vocabulary / distinct-count operator (operators/vocab.py): exact tier
+matches a pandas re-derivation; approx tier (HLL) lands within tolerance of
+exact — the round-2 review's approx-distinct switch, mirroring the
+exact/approx quantile switch in operators/outliers.py."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from audit_anomaly_detection_etl_spark.operators import vocab
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf001):
+    return spark.read.parquet(f"{sf001}/documents.parquet")
+
+
+def test_vocabulary_exact_matches_brute_force(spark, docs):
+    got = {r["token"]: (r["tf"], r["df"]) for r in vocab.vocabulary(docs, min_tf=20).collect()}
+    pdf = docs.select("doc_id", "text").toPandas()
+    tf: dict = {}
+    df_sets: dict = {}
+    for _i, row in pdf.iterrows():
+        toks = " ".join(row["text"].lower().split()).split()
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+            df_sets.setdefault(t, set()).add(row["doc_id"])
+    exp = {t: (n, len(df_sets[t])) for t, n in tf.items() if n >= 20}
+    assert got == exp and len(got) > 0
+
+
+def test_approx_df_within_tolerance(spark, docs):
+    exact = {r["token"]: r["df"] for r in vocab.vocabulary(docs, min_tf=20).collect()}
+    approx = {
+        r["token"]: r["df"]
+        for r in vocab.vocabulary(docs, min_tf=20, exact=False, rsd=0.02).collect()
+    }
+    assert set(exact) == set(approx)  # tf threshold unaffected by the switch
+    for t, d in exact.items():
+        assert abs(approx[t] - d) <= max(3.0, 0.1 * d), (t, d, approx[t])
+
+
+def test_distinct_counts_tiers(spark, sf001):
+    ev = spark.read.parquet(f"{sf001}/events.parquet")
+    exact = {
+        r["user_id"]: r
+        for r in vocab.distinct_counts(ev, "user_id", "event_type").collect()
+    }
+    approx = {
+        r["user_id"]: r
+        for r in vocab.distinct_counts(ev, "user_id", "event_type", exact=False).collect()
+    }
+    assert set(exact) == set(approx)
+    for u, r in exact.items():
+        assert r["n_rows"] == approx[u]["n_rows"]
+        # event_type cardinality is tiny (5) — HLL is exact there
+        assert approx[u]["n_distinct"] == r["n_distinct"]
+
+
+def test_approx_plan_has_no_expand(spark, docs):
+    """The point of the switch at scale: exact distinct plans an Expand/
+    double-shuffle; the HLL path is a plain partial+final hash aggregate."""
+    from scripts.audit_plans import plan_of
+
+    exact_plan = plan_of(vocab.vocabulary(docs, min_tf=20, exact=True))
+    approx_plan = plan_of(vocab.vocabulary(docs, min_tf=20, exact=False))
+    assert "Expand" in exact_plan or exact_plan.count("HashAggregate") >= 4
+    assert "Expand" not in approx_plan
+    assert approx_plan.count("Exchange") <= exact_plan.count("Exchange")
