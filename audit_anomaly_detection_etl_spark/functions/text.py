@@ -242,16 +242,30 @@ def shingles_fast(text: Column, n: int = 3) -> Column:
     return _SHINGLE_UDFS[n](text)
 
 
+def ngrams(text: Column, n: int = 2) -> Column:
+    """Word n-grams WITH multiplicity (``shingles`` is the distinct
+    variant) — the repetition-analysis primitive: a document that repeats
+    itself has many duplicate n-grams, which distinct shingling erases.
+
+    The word array is bound ONCE as a lambda variable (single-element-array
+    ``transform`` idiom — see winnow_fingerprints' evaluation-order note);
+    naming it in the outer scope would re-tokenize the document for every
+    gram position (O(m^2))."""
+
+    def mk(w: Column) -> Column:
+        m = F.size(w) - F.lit(n - 1)
+        # NB Spark sequence(1, 0) yields a DESCENDING [1, 0], not empty — guard
+        return F.when(
+            m >= 1,
+            F.transform(
+                F.sequence(F.lit(1), m),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(words(normalized_text(text))), mk), 1)
+
+
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams (space-joined). Portable construction:
-    slice positions 1..len-n+1 over the word array."""
-    w = words(normalized_text(text))
-    # NB Spark sequence(1, 0) yields a DESCENDING [1, 0], not empty — guard
-    grams = F.when(
-        F.size(w) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+    """Distinct word n-grams (space-joined), first-seen order."""
+    return F.array_distinct(ngrams(text, n))

@@ -1159,6 +1159,85 @@ def q67(spark, sf_dir):
     return vocab.vocabulary(_t(spark, sf_dir, "documents"), min_tf=50, exact=True)
 
 
+@q(
+    "q68_repetition_signals",
+    """
+    WITH w AS (SELECT doc_id, {words} AS ws FROM documents),
+    toks AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+    tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+    ts AS (SELECT doc_id,
+                  CAST(SUM(c) AS BIGINT) AS n_tokens,
+                  ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_token_frac,
+                  ROUND(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                        / SUM(c), 6) AS dup_token_frac
+           FROM tc GROUP BY doc_id),
+    bgs AS (SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                          i -> array_to_string(list_slice(ws, i, i + 1), ' '))) AS bg
+            FROM w),
+    bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bgs GROUP BY doc_id, bg),
+    bs AS (SELECT doc_id,
+                  ROUND(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                        / SUM(c), 6) AS dup_bigram_frac
+           FROM bc GROUP BY doc_id)
+    SELECT ts.doc_id, ts.n_tokens, ts.top_token_frac, ts.dup_token_frac,
+           COALESCE(bs.dup_bigram_frac, 0.0) AS dup_bigram_frac,
+           CASE WHEN ts.top_token_frac > 0.2
+                     OR COALESCE(bs.dup_bigram_frac, 0.0) > 0.1
+                THEN 1 ELSE 0 END AS repetitive
+    FROM ts LEFT JOIN bs USING (doc_id)
+    """.format(words=_sql_words(_sql_norm("text"))),
+)
+def q68(spark, sf_dir):
+    """Repetition quality signals (Gopher-rule family, Rae et al. 2021
+    §A1.1.2): per-document duplicate-token fraction, top-token fraction and
+    duplicate-bigram fraction + a repetitive flag — the standard
+    pretraining-corpus filter for degenerate/boilerplate text, a quality
+    axis the length/punct heuristics (q28) cannot see.
+
+    Plan: two explodes (tokens via T.words, bigrams WITH multiplicity via
+    T.ngrams) -> per-(doc, gram) hash counts -> per-doc reaggregation ->
+    entity-grained left join. All hash aggs with map-side combine; no
+    windows, no driver loops — at 10^12 docs this is explode + two
+    two-phase aggs, the same shape as q67."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(T.words(T.normalized_text(F.col("text")))).alias("tok")
+    )
+    tc = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    ts = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_token_frac"),
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).cast("double")
+            / F.sum("c"),
+            6,
+        ).alias("dup_token_frac"),
+    )
+    bgs = d.select("doc_id", F.explode(T.ngrams(F.col("text"), 2)).alias("bg"))
+    bc = bgs.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    bs = bc.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).cast("double")
+            / F.sum("c"),
+            6,
+        ).alias("dup_bigram_frac"),
+    )
+    j = ts.join(bs, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "top_token_frac",
+        "dup_token_frac",
+        F.coalesce("dup_bigram_frac", F.lit(0.0)).alias("dup_bigram_frac"),
+    )
+    return j.withColumn(
+        "repetitive",
+        F.when(
+            (F.col("top_token_frac") > 0.2) | (F.col("dup_bigram_frac") > 0.1), 1
+        ).otherwise(0),
+    )
+
+
 @q("q62_resample_audio")
 def q62(spark, sf_dir):
     """Normalize-to-16kHz resampling (operators/media.py resample_audio):

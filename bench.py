@@ -53,6 +53,7 @@ HEADLINE = [
     "q49_anomaly_ensemble",     # driver fit + broadcast-model mapInPandas scoring
     "q57_ivf_ann",              # IVF coarse lists + nprobe probing
     "q58_winnow_fingerprints",  # rolling-hash winnowing (native HOFs)
+    "q68_repetition_signals",   # explode + two-phase agg repetition metrics
 ]
 
 

@@ -162,6 +162,14 @@ RULES = [
         "per-source cap pushes WindowGroupLimit below the shuffle",
         lambda p: "WindowGroupLimit" in p,
     ),
+    (
+        "q68_repetition_signals",
+        "repetition metrics are pure two-phase hash aggs (no window, no nested loop)",
+        lambda p: p.count("HashAggregate") >= 4
+        and "Window" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "CartesianProduct" not in p,
+    ),
 ] + [
     (
         qname,

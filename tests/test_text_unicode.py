@@ -90,6 +90,21 @@ def test_nbsp_actually_splits(docs):
     assert r[12] == []  # all-NBSP row tokenizes to nothing
 
 
+def test_ngrams_keep_multiplicity_and_degenerates(spark):
+    rows = [
+        ("a b a b a", ["a b", "b a", "a b", "b a"]),   # duplicates preserved
+        ("one", []),                                    # < n words -> empty
+        ("", []),
+        ("x y", ["x y"]),                          # NBSP splits
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "text string")
+    got = [r["g"] for r in df.select(T.ngrams(F.col("text"), 2).alias("g")).collect()]
+    assert got == [e for _, e in rows]
+    # shingles = distinct ngrams, first-seen order
+    sh = [r["s"] for r in df.select(T.shingles(F.col("text"), 2).alias("s")).collect()]
+    assert sh == [["a b", "b a"], [], [], ["x y"]]
+
+
 def test_neardup_pair_sets_identical_via_both_shingle_paths(spark):
     """The actual failure mode the review called out: per-engine-path
     near-dup PAIR SETS diverging on non-ASCII corpora. Jaccard over both
