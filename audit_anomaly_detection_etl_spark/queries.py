@@ -1238,6 +1238,31 @@ def q68(spark, sf_dir):
     )
 
 
+@q("q69_audio_neardup")
+def q69(spark, sf_dir):
+    """Audio near-duplicate detection via spectral landmark fingerprints
+    (operators/audiofp.py, Wang 2003) — the audio twin of the MinHash/LSH
+    text tier: survives time shifts, G.711 re-encode, 16 kHz re-render and
+    additive noise, none of which the byte-hash tier (q20 analogue) can see.
+
+    Deterministic melody fixture with planted shifted/re-encoded duplicates
+    (sources/synth.generate_melody_clips). FFT => no SQL oracle; driver
+    records rows-only; tests/test_audiofp.py pins exact fingerprints against
+    an independent plain-python implementation AND exact recall/precision
+    against the fixture's transitive ground truth.
+
+    Plan: mapInPandas fingerprinting (narrow) -> hash-equi self-join with a
+    broadcast hot-hash anti-join bound -> two-level hash agg + a PAIR-
+    partitioned window for offset smoothing. No cartesian, no unpartitioned
+    window, no driver loops."""
+    from .operators import audiofp
+    from .sources import synth
+
+    pdf = synth.generate_melody_clips(n_base=60, n_dup=18, seed=9)
+    clips = spark.createDataFrame(pdf.drop(columns=["dup_of"]))
+    return audiofp.neardup_pairs(clips)
+
+
 @q("q62_resample_audio")
 def q62(spark, sf_dir):
     """Normalize-to-16kHz resampling (operators/media.py resample_audio):

@@ -27,6 +27,7 @@ import zlib
 from dataclasses import dataclass, field
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -258,3 +259,89 @@ def write_clip_tables(tables: ClipTables, out_dir: str) -> dict:
     pq.write_table(tables.violations_expected, paths["violations_expected"])
     tables.paths = paths
     return paths
+
+
+def generate_melody_clips(
+    n_base: int = 40,
+    n_dup: int = 12,
+    n_parts: int = 8,
+    seed: int = 5,
+    sr: int = 8000,
+) -> pd.DataFrame:
+    """Deterministic near-duplicate AUDIO fixture for the landmark
+    fingerprinting tier (operators/audiofp.py).
+
+    ``n_base`` distinct "melodies" (random 8-15 note tone sequences, 120 ms
+    Hann-enveloped notes — spectrally rich enough to yield discriminative
+    landmark constellations, unlike the single-sine clips of
+    ``generate_clips``) plus ``n_dup`` derived near-duplicates: each a base
+    clip time-shifted by 50-200 ms of prepended silence, perturbed with
+    additive noise, possibly re-encoded (G.711 u-law) and possibly rendered
+    at 16 kHz — exactly the transformations content fingerprints must
+    survive and byte hashes cannot. ``dup_of`` carries the ground truth
+    (None for base clips) for recall/precision assertions.
+    """
+    rng = np.random.default_rng(seed)
+    rows: list[dict] = []
+
+    def render(freqs: np.ndarray, rate: int) -> np.ndarray:
+        note_n = int(0.120 * rate)
+        t = np.arange(note_n, dtype=np.float64) / rate
+        env = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(note_n) / note_n)
+        # fundamental + two harmonics: spectrally rich notes whose exact bin
+        # positions are continuous-random, so unrelated melodies share almost
+        # no landmark hashes (a 28-note quantized scale would alias them all
+        # onto the same bins and drown matching in false positives)
+        pcm = np.concatenate(
+            [
+                env
+                * (
+                    0.45 * np.sin(2 * np.pi * f * t)
+                    + 0.25 * np.sin(2 * np.pi * 2.0 * f * t)
+                    + 0.12 * np.sin(2 * np.pi * 3.0 * f * t)
+                )
+                for f in freqs
+            ]
+        )
+        return pcm
+
+    melodies = []
+    for i in range(n_base):
+        n_notes = int(rng.integers(8, 16))
+        notes = np.exp(rng.uniform(np.log(180.0), np.log(1100.0), size=n_notes))
+        melodies.append(notes)
+        pcm = render(notes, sr)
+        rows.append(
+            {
+                "clip_id": f"mel-{seed:04d}-{i:04d}",
+                "part": i % n_parts,
+                "bytes": _encode_pd(pcm, "pcm_s16le"),
+                "codec": "pcm_s16le",
+                "sr_hz": sr,
+                "dup_of": None,
+            }
+        )
+
+    for j in range(n_dup):
+        src = int(rng.integers(0, n_base))
+        rate = 16000 if rng.uniform() < 0.3 else sr
+        pcm = render(melodies[src], rate)
+        shift = int(rng.uniform(0.05, 0.2) * rate)
+        pcm = np.concatenate([np.zeros(shift), pcm])
+        pcm = np.clip(pcm + 0.01 * rng.standard_normal(len(pcm)), -0.999, 0.999)
+        codec = "ulaw" if rng.uniform() < 0.4 else "pcm_s16le"
+        rows.append(
+            {
+                "clip_id": f"mel-{seed:04d}-dup{j:04d}-of-{src:04d}",
+                "part": (n_base + j) % n_parts,
+                "bytes": _encode_pd(pcm, codec),
+                "codec": codec,
+                "sr_hz": rate,
+                "dup_of": f"mel-{seed:04d}-{src:04d}",
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def _encode_pd(pcm: np.ndarray, codec: str) -> bytes:
+    return codecs.encode(pcm, codec)

@@ -64,6 +64,7 @@ WINDOW_PARTITIONED_QUERIES = [
     "q63_sliding_window",
     "q64_asof_join",
     "q66_stratified_cap",
+    "q69_audio_neardup",
 ]
 
 RULES = [
@@ -161,6 +162,14 @@ RULES = [
         "q66_stratified_cap",
         "per-source cap pushes WindowGroupLimit below the shuffle",
         lambda p: "WindowGroupLimit" in p,
+    ),
+    (
+        "q69_audio_neardup",
+        "fingerprint match is a hash-equi self-join with a broadcast hot-hash bound",
+        lambda p: ("SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p)
+        and "BroadcastNestedLoopJoin" not in p
+        and "CartesianProduct" not in p
+        and "LeftAnti" in p,
     ),
     (
         "q68_repetition_signals",
