@@ -284,3 +284,54 @@ def simhash_bits(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     agg = w.groupBy("doc_id").agg(*sums)
     bitstr = F.concat(*[F.when(F.col(f"s{k}") > 0, "1").otherwise("0") for k in range(64)])
     return agg.select("doc_id", bitstr.alias("simhash64"))
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any length-``n`` word
+    gram with a held-out benchmark set (the GPT-3 appendix-C / Pile
+    protocol — eval contamination is an exact-substring phenomenon, so
+    exact gram overlap, not similarity, is the right primitive; production
+    uses n=13, small test corpora use smaller n).
+
+    Returns one row per contaminated corpus doc: ``(doc_id, matched_grams
+    [distinct shared grams], bench_docs [distinct benchmark docs hit])``.
+    Clean docs are absent — at corpus scale the output is the kill-list.
+
+    ``max_df`` drops grams present in more than ``max_df`` benchmark docs
+    (boilerplate preambles would otherwise flag everything) — same
+    hot-bucket policy as minhash_lsh_pairs, applied on the benchmark side
+    where the df count is cheap.
+
+    Scale shape: the benchmark side is small by definition (eval suites,
+    not corpora) => its gram table broadcasts; the corpus side is one
+    explode feeding a broadcast hash join — the corpus never shuffles.
+    groupBy(doc_id) then aggregates matches per doc (two-phase hash agg).
+    """
+    bench = benchmark.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(T.shingles(F.col(text_col), n=n)).alias("g"),
+    )
+    if max_df is not None:
+        hot = (
+            bench.groupBy("g")
+            .agg(F.countDistinct("bench_id").alias("df"))
+            .where(F.col("df") > max_df)
+            .select("g")
+        )
+        bench = bench.join(F.broadcast(hot), "g", "left_anti")
+    cg = _spread(corpus).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(T.shingles(F.col(text_col), n=n)).alias("g"),
+    )
+    hits = cg.join(F.broadcast(bench), "g")
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("g").alias("matched_grams"),
+        F.countDistinct("bench_id").alias("bench_docs"),
+    )

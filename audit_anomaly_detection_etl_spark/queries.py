@@ -1263,6 +1263,173 @@ def q69(spark, sf_dir):
     return audiofp.neardup_pairs(clips)
 
 
+_PII_TEXT_SQL = (
+    "c_name || ' segment ' || c_mktsegment"
+    " || CASE WHEN c_custkey % 3 = 0 THEN ' email user' ||"
+    " CAST(c_custkey AS VARCHAR) || '@example.com' ELSE '' END"
+    " || CASE WHEN c_custkey % 4 = 0 THEN ' call +1-202-555-' ||"
+    " lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    " || CASE WHEN c_custkey % 5 = 0 THEN ' ip 10.' ||"
+    " CAST(c_custkey % 200 AS VARCHAR) || '.0.' ||"
+    " CAST(1 + c_custkey % 100 AS VARCHAR) ELSE '' END"
+)
+
+
+@q(
+    "q70_pii_stats",
+    """
+    WITH t AS (SELECT c_mktsegment, {text} AS txt FROM customer),
+    m AS (SELECT c_mktsegment,
+                 len(regexp_extract_all(txt, '{email}')) AS e,
+                 len(regexp_extract_all(txt, '{phone}')) AS p,
+                 len(regexp_extract_all(txt, '{ipv4}')) AS i,
+                 length(txt) - length(
+                     regexp_replace(regexp_replace(regexp_replace(
+                         txt, '{email}', '<EMAIL>', 'g'),
+                         '{phone}', '<PHONE>', 'g'),
+                         '{ipv4}', '<IP>', 'g')) AS dchars
+          FROM t)
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS rows_with_pii,
+           CAST(SUM(e) AS BIGINT) AS n_email,
+           CAST(SUM(p) AS BIGINT) AS n_phone,
+           CAST(SUM(i) AS BIGINT) AS n_ipv4,
+           CAST(SUM(dchars) AS BIGINT) AS redacted_chars
+    FROM m GROUP BY c_mktsegment
+    """.format(
+        text=_PII_TEXT_SQL,
+        email=r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        phone=r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}",
+        ipv4=r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    ),
+)
+def q70(spark, sf_dir):
+    """PII pattern detection + redaction stats (operators/pii.py): per
+    market segment, rows scanned / rows containing PII / per-class match
+    totals (email, phone, IPv4) / characters changed by redaction.
+
+    The synthetic tables carry no natural PII, so the scan text is
+    synthesized deterministically from key columns with IDENTICAL string
+    expressions on both engines (rows cycle through none/some/all PII
+    classes via key mod 3/4/5) — the detector itself is generic and the
+    oracle exercises the full regex surface (count + replace-all parity,
+    Java regex vs RE2).
+
+    Plan: pure whole-stage-codegen expression work over one scan + a
+    two-phase hash agg — no UDFs, no joins. At 10^12 rows this is the
+    cheapest possible shape for a corpus-wide scrub audit."""
+    from .operators import pii
+
+    c = _t(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    txt = F.concat(
+        F.col("c_name"),
+        F.lit(" segment "),
+        F.col("c_mktsegment"),
+        F.when(
+            key % 3 == 0,
+            F.concat(
+                F.lit(" email user"), key.cast("string"), F.lit("@example.com")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            key % 4 == 0,
+            F.concat(
+                F.lit(" call +1-202-555-"),
+                F.lpad((key % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            key % 5 == 0,
+            F.concat(
+                F.lit(" ip 10."),
+                (key % 200).cast("string"),
+                F.lit(".0."),
+                (1 + key % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return pii.pii_stats(
+        c.select("c_mktsegment", txt.alias("text")),
+        text_col="text",
+        group_cols=["c_mktsegment"],
+    )
+
+
+@q(
+    "q71_decontamination",
+    """
+    WITH w AS (SELECT doc_id, source, {words} AS ws FROM documents),
+    bg AS (SELECT doc_id AS bench_id,
+                  unnest(list_distinct(list_transform(
+                      range(1, greatest(len(ws) - 3, 0) + 1),
+                      i -> array_to_string(list_slice(ws, i, i + 3), ' ')))) AS g
+           FROM w WHERE source = 'src0'),
+    keep AS (SELECT g FROM bg GROUP BY g HAVING COUNT(DISTINCT bench_id) <= 10),
+    bk AS (SELECT bg.bench_id, bg.g FROM bg JOIN keep USING (g)),
+    cg AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                      range(1, greatest(len(ws) - 3, 0) + 1),
+                      i -> array_to_string(list_slice(ws, i, i + 3), ' ')))) AS g
+           FROM w WHERE source <> 'src0')
+    SELECT cg.doc_id,
+           CAST(COUNT(DISTINCT cg.g) AS BIGINT) AS matched_grams,
+           CAST(COUNT(DISTINCT bk.bench_id) AS BIGINT) AS bench_docs
+    FROM cg JOIN bk USING (g) GROUP BY cg.doc_id
+    """.format(words=_sql_words(_sql_norm("text"))),
+)
+def q71(spark, sf_dir):
+    """Benchmark decontamination (dedup.ngram_contamination): corpus docs
+    sharing any word 4-gram with a held-out benchmark split (source='src0'
+    stands in for the eval suite; production uses 13-grams — GPT-3 App. C /
+    Pile protocol), with a max_df=10 boilerplate-gram bound.
+
+    Plan: benchmark gram table is small by definition => broadcast hash
+    join; the corpus side is explode -> join -> two-phase agg and NEVER
+    shuffles its text. The kill-list output is one row per contaminated
+    doc."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_contamination(
+        d.where(F.col("source") != "src0"),
+        d.where(F.col("source") == "src0"),
+        n=4,
+        max_df=10,
+    )
+
+
+@q(
+    "q72_sequence_packing",
+    """
+    WITH w AS (SELECT doc_id, source AS stream,
+                      CAST(len({words}) AS BIGINT) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, stream, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM w WHERE n_tokens > 0)
+    SELECT doc_id, stream, n_tokens,
+           CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS start_pack,
+           CAST(FLOOR((cum - 1) / 512.0) AS BIGINT) AS end_pack,
+           CAST(FLOOR((cum - 1) / 512.0)
+                - FLOOR((cum - n_tokens) / 512.0) + 1 AS BIGINT) AS n_packs
+    FROM c
+    """.format(words=_sql_words(_sql_norm("text"))),
+)
+def q72(spark, sf_dir):
+    """Sequence packing (operators/packing.py): per-document assignment to
+    fixed 512-token training context windows under concat-and-chunk
+    packing, documents ordered by doc_id within each source stream.
+
+    Plan: one scan + a per-stream ROWS-frame cumulative sum — the window is
+    always partitioned (streams are the parallel unit; at corpus scale the
+    stream key is a shard id with millions of values)."""
+    from .operators import packing
+
+    return packing.pack_offsets(_t(spark, sf_dir, "documents"), ctx=512)
+
+
 @q("q62_resample_audio")
 def q62(spark, sf_dir):
     """Normalize-to-16kHz resampling (operators/media.py resample_audio):
