@@ -65,6 +65,7 @@ WINDOW_PARTITIONED_QUERIES = [
     "q64_asof_join",
     "q66_stratified_cap",
     "q69_audio_neardup",
+    "q72_sequence_packing",
 ]
 
 RULES = [
@@ -170,6 +171,26 @@ RULES = [
         and "BroadcastNestedLoopJoin" not in p
         and "CartesianProduct" not in p
         and "LeftAnti" in p,
+    ),
+    (
+        "q70_pii_stats",
+        "PII scan is pure codegen expressions + two-phase hash agg (no UDF, no join)",
+        lambda p: "Join" not in p
+        and "BatchEvalPython" not in p
+        and "ArrowEvalPython" not in p
+        and p.count("HashAggregate") >= 2,
+    ),
+    (
+        "q71_decontamination",
+        "benchmark gram table broadcasts; corpus text never shuffles",
+        lambda p: "BroadcastHashJoin" in p and "SortMergeJoin" not in p,
+    ),
+    (
+        "q72_sequence_packing",
+        "packing is one shuffle + one sort + one window per stream",
+        lambda p: _nodes(p, "Exchange") == 1
+        and _nodes(p, "Sort") == 1
+        and _nodes(p, "Window") == 1,
     ),
     (
         "q68_repetition_signals",
