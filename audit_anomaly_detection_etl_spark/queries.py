@@ -1430,6 +1430,55 @@ def q72(spark, sf_dir):
     return packing.pack_offsets(_t(spark, sf_dir, "documents"), ctx=512)
 
 
+@q(
+    "q73_neardup_clusters",
+    """
+    WITH RECURSIVE {cte},
+    fp0 AS (SELECT doc_id, unnest(fps) AS fp FROM wins),
+    sizes AS (SELECT fp, COUNT(*) AS bn FROM fp0 GROUP BY fp),
+    fp_ok AS (SELECT fp0.* FROM fp0 JOIN sizes USING (fp) WHERE bn <= 1000),
+    prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM fp_ok a JOIN fp_ok b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY doc_a, doc_b HAVING COUNT(*) >= 2),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+              UNION SELECT doc_b, doc_a FROM prs),
+    walk(n, m) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT w.n, e.v FROM walk w JOIN edges e ON w.m = e.u
+    ),
+    comp AS (SELECT n AS doc_id, least(n, min(m)) AS cluster_id
+             FROM walk GROUP BY n),
+    lab AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp c USING (doc_id))
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size,
+           doc_id = cluster_id AS keep
+    FROM lab
+    """.format(cte=_winnow_fps_sql()),
+)
+def q73(spark, sf_dir):
+    """Near-dup clustering + canonical retention (operators/components.py):
+    connected components over the q59 winnow-share pair graph via
+    alternating large-star/small-star (the MapReduce-scale CC algorithm —
+    O(log^2 n) shuffle rounds, no driver graph state), then one verdict row
+    per document: cluster id (= min doc_id of the component), cluster size,
+    and ``keep`` marking the canonical survivor. ``WHERE NOT keep`` is the
+    dedup kill-list.
+
+    The oracle computes the same closure with a recursive CTE (min
+    reachable id) — feasible at oracle scale, while the Spark side is the
+    shape that survives 10^12 docs: the CC iteration touches only the PAIR
+    graph (near-dup docs, tiny vs corpus) and the corpus-wide join adds
+    one broadcast-able label table."""
+    from .operators import components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.winnow_neardup_pairs(d, k=3, w=4, min_shared=2, max_bucket=1000)
+    return components.dedup_clusters(d, pairs)
+
+
 @q("q62_resample_audio")
 def q62(spark, sf_dir):
     """Normalize-to-16kHz resampling (operators/media.py resample_audio):

@@ -193,6 +193,12 @@ RULES = [
         and _nodes(p, "Window") == 1,
     ),
     (
+        "q73_neardup_clusters",
+        "cluster join-back is hash-equi (no nested-loop / cartesian fallback)",
+        lambda p: "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+    ),
+    (
         "q68_repetition_signals",
         "repetition metrics are pure two-phase hash aggs (no window, no nested loop)",
         lambda p: p.count("HashAggregate") >= 4
