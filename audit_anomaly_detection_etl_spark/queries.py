@@ -1479,6 +1479,78 @@ def q73(spark, sf_dir):
     return components.dedup_clusters(d, pairs)
 
 
+def _split_case_sql() -> str:
+    """CASE expression over the md5 16-bit bucket mirroring
+    operators/sampling.py split_thresholds(DEFAULT_SPLITS) exactly (the
+    bounds are imported, not re-derived)."""
+    from .operators import sampling
+
+    ths = sampling.split_thresholds(sampling.DEFAULT_SPLITS)
+    branches = " ".join(
+        f"WHEN h < {bound} THEN '{name}'" for name, bound in ths[:-1]
+    )
+    return f"CASE {branches} ELSE '{ths[-1][0]}' END"
+
+
+@q(
+    "q74_split_assignment",
+    """
+    WITH b AS (SELECT source,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS h,
+                      len({words}) AS nt
+               FROM documents),
+    s AS (SELECT source, {case} AS split, nt FROM b)
+    SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens
+    FROM s GROUP BY source, split
+    """.format(words=_sql_words(_sql_norm("text")), case=_split_case_sql()),
+)
+def q74(spark, sf_dir):
+    """Deterministic train/val/test split audit (operators/sampling.py):
+    membership is a pure function of md5(doc_id) -> 16-bit bucket vs
+    cumulative thresholds (90/5/5), so re-runs, backfills, and both engines
+    agree row-for-row; the report is per (source, split) doc + token mass —
+    the leakage-audit table.
+
+    Plan: one scan, per-row codegen hash expression, two-phase hash agg —
+    no shuffle of the corpus itself at 10^12 rows."""
+    from .operators import sampling
+
+    return sampling.split_report(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "q75_mixing_weights",
+    """
+    WITH w AS (SELECT source, len({words}) AS nt FROM documents),
+    s AS (SELECT source, COUNT(*) AS n_docs, SUM(nt) AS n_tokens
+          FROM w GROUP BY source),
+    t AS (SELECT SUM(n_tokens) AS tot_tokens,
+                 SUM(POW(CAST(n_tokens AS DOUBLE), 0.3)) AS tot_pw
+          FROM s)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE) / tot_tokens, 6) AS p_tokens,
+           ROUND(POW(CAST(n_tokens AS DOUBLE), 0.3) / tot_pw, 6) AS weight,
+           ROUND((POW(CAST(n_tokens AS DOUBLE), 0.3) / tot_pw)
+                 / (CAST(n_tokens AS DOUBLE) / tot_tokens), 6) AS sample_factor
+    FROM s, t
+    """.format(words=_sql_words(_sql_norm("text"))),
+)
+def q75(spark, sf_dir):
+    """Temperature-weighted corpus mixing (operators/sampling.py
+    mixing_weights, alpha=0.3 — the XLM-R/T5 multilingual sampling rule):
+    per-source token share p, sampling weight proportional to p^alpha, and
+    sample_factor (= epochs of that source per natural epoch under the
+    weighted sampler).
+
+    Plan: two-phase hash agg to ~#sources rows, then a broadcast crossJoin
+    against the 1-row totals — totals are never an unpartitioned window."""
+    from .operators import sampling
+
+    return sampling.mixing_weights(_t(spark, sf_dir, "documents"), alpha=0.3)
+
+
 @q("q62_resample_audio")
 def q62(spark, sf_dir):
     """Normalize-to-16kHz resampling (operators/media.py resample_audio):

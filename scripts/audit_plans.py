@@ -199,6 +199,19 @@ RULES = [
         and "BroadcastNestedLoopJoin" not in p,
     ),
     (
+        "q74_split_assignment",
+        "split hash is per-row codegen: no join, no UDF, two-phase agg",
+        lambda p: "Join" not in p
+        and "BatchEvalPython" not in p
+        and "ArrowEvalPython" not in p
+        and p.count("HashAggregate") >= 2,
+    ),
+    (
+        "q75_mixing_weights",
+        "totals via broadcast 1-row join; no unpartitioned window, no cartesian",
+        lambda p: "Window" not in p and "CartesianProduct" not in p,
+    ),
+    (
         "q68_repetition_signals",
         "repetition metrics are pure two-phase hash aggs (no window, no nested loop)",
         lambda p: p.count("HashAggregate") >= 4

@@ -1,0 +1,72 @@
+"""Split assignment + mixing weights (operators/sampling.py) vs hashlib /
+numpy re-derivations."""
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from audit_anomaly_detection_etl_spark.operators import sampling
+
+
+def _py_bucket(doc_id, salt=""):
+    return int(hashlib.md5((str(doc_id) + salt).encode()).hexdigest()[:4], 16)
+
+
+def test_split_thresholds_cover_space():
+    ths = sampling.split_thresholds(sampling.DEFAULT_SPLITS)
+    assert ths == [("train", 58982), ("val", 62259), ("test", 65536)]
+    # non-normalized fractions are normalized
+    ths2 = sampling.split_thresholds([("a", 2.0), ("b", 2.0)])
+    assert ths2 == [("a", 32768), ("b", 65536)]
+
+
+def test_assign_split_matches_hashlib(spark):
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    got = {
+        r["doc_id"]: r["split"]
+        for r in sampling.assign_split(df).collect()
+    }
+    ths = sampling.split_thresholds(sampling.DEFAULT_SPLITS)
+    for i in range(300):
+        b = _py_bucket(i)
+        exp = next(name for name, bound in ths if b < bound)
+        assert got[i] == exp, (i, b)
+
+
+def test_salt_rerolls_but_is_deterministic(spark):
+    df = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+    s1 = {r["doc_id"]: r["split"] for r in sampling.assign_split(df, salt="a").collect()}
+    s1b = {r["doc_id"]: r["split"] for r in sampling.assign_split(df, salt="a").collect()}
+    s2 = {r["doc_id"]: r["split"] for r in sampling.assign_split(df, salt="b").collect()}
+    assert s1 == s1b
+    assert s1 != s2  # virtually certain over 400 ids
+    # both salts still produce roughly 90/5/5
+    for s in (s1, s2):
+        frac = sum(1 for v in s.values() if v == "train") / len(s)
+        assert 0.8 < frac < 0.98
+
+
+def test_mixing_weights_math(spark):
+    rows = [("s0", "a b c"), ("s0", "d e"), ("s1", "f g h i j k l m n o")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {r["source"]: r.asDict() for r in sampling.mixing_weights(df, alpha=0.5).collect()}
+    n = {"s0": 5.0, "s1": 10.0}
+    tot = 15.0
+    tot_pw = sum(math.pow(v, 0.5) for v in n.values())
+    for s, nt in n.items():
+        w = math.pow(nt, 0.5) / tot_pw
+        p = nt / tot
+        assert got[s]["n_tokens"] == int(nt)
+        assert abs(got[s]["p_tokens"] - round(p, 6)) < 1e-9
+        assert abs(got[s]["weight"] - round(w, 6)) < 1e-9
+        assert abs(got[s]["sample_factor"] - round(w / p, 6)) < 1e-9
+    # alpha=0.5 upsamples the smaller source, downsamples the bigger
+    assert got["s0"]["sample_factor"] > 1 > got["s1"]["sample_factor"]
+
+
+def test_mixing_weights_alpha_one_is_natural(spark):
+    rows = [("s0", "a b"), ("s1", "c d e f")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {r["source"]: r["sample_factor"] for r in sampling.mixing_weights(df, alpha=1.0).collect()}
+    assert got == {"s0": 1.0, "s1": 1.0}
