@@ -1551,6 +1551,45 @@ def q75(spark, sf_dir):
     return sampling.mixing_weights(_t(spark, sf_dir, "documents"), alpha=0.3)
 
 
+@q(
+    "q76_lm_quality_score",
+    """
+    WITH w AS (SELECT doc_id, {words} AS ws FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(ws)),
+                         i -> ws[i] || ' ' || ws[i+1])) AS big
+           FROM w WHERE len(ws) >= 2),
+    c2 AS (SELECT big, COUNT(*) AS c2 FROM bg GROUP BY big),
+    c1 AS (SELECT split_part(big, ' ', 1) AS w1, COUNT(*) AS c1
+           FROM bg GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT w) AS v FROM (
+              SELECT split_part(big, ' ', 1) AS w FROM bg
+              UNION
+              SELECT split_part(big, ' ', 2) FROM bg)),
+    sc AS (SELECT bg.doc_id, c2.c2, c1.c1, v.v
+           FROM bg JOIN c2 USING (big)
+           JOIN c1 ON split_part(bg.big, ' ', 1) = c1.w1, v)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-ln((c2 + 1.0) / (c1 + v))), 6) AS lm_score
+    FROM sc GROUP BY doc_id
+    """.format(words=_sql_words(_sql_norm("text"))),
+)
+def q76(spark, sf_dir):
+    """Bigram LM quality scoring (operators/lmscore.py — the CCNet-style
+    perplexity filter tier): add-one-smoothed word-bigram model trained on
+    the corpus itself, each doc scored by mean -ln P(w2|w1) (log-perplexity
+    per bigram; the drop-the-tail filter signal).
+
+    Plan: ONE bigram explode shared (lazy localCheckpoint) across model
+    counts and the scoring side; hash-equi joins on bigram/context keys;
+    V is a broadcast 1-row aggregate. min_count prunes the Zipf tail to
+    keep the model broadcast-able at corpus scale (unused here so the
+    oracle stays exact)."""
+    from .operators import lmscore
+
+    return lmscore.lm_scores(_t(spark, sf_dir, "documents"))
+
+
 @q("q62_resample_audio")
 def q62(spark, sf_dir):
     """Normalize-to-16kHz resampling (operators/media.py resample_audio):

@@ -212,6 +212,14 @@ RULES = [
         lambda p: "Window" not in p and "CartesianProduct" not in p,
     ),
     (
+        "q76_lm_quality_score",
+        "LM scoring is hash-equi joins + hash aggs, no per-row Python, no cartesian",
+        lambda p: "CartesianProduct" not in p
+        and "BatchEvalPython" not in p
+        and "ArrowEvalPython" not in p
+        and p.count("HashAggregate") >= 2,
+    ),
+    (
         "q68_repetition_signals",
         "repetition metrics are pure two-phase hash aggs (no window, no nested loop)",
         lambda p: p.count("HashAggregate") >= 4
