@@ -84,6 +84,54 @@ def schema_diff(actual: StructType, spec: TableSchemaSpec) -> list[dict]:
     return out
 
 
+# Iceberg schema-evolution rules (Iceberg spec "Schema Evolution"): these
+# primitive widenings are the ONLY type changes a reader contract survives.
+_SAFE_WIDENINGS = {
+    ("tinyint", "smallint"),
+    ("tinyint", "int"),
+    ("tinyint", "bigint"),
+    ("smallint", "int"),
+    ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+}
+
+
+def schema_evolution(prev_types: dict[str, str], cur: StructType) -> list[dict]:
+    """Snapshot-to-snapshot schema diff, classified by Iceberg evolution
+    compatibility: added columns and safe primitive widenings are
+    non-breaking (informational); dropped columns and any other type change
+    break the validation contract (downstream readers / the spec'd checks
+    can no longer trust the table shape).
+
+    ``prev_types`` is {column: simpleString} as recorded at the previous
+    validated snapshot (CheckpointStore.read_table_schema). Driver-metadata
+    only — the table is never scanned."""
+    cur_types = {f.name: f.dataType.simpleString() for f in cur.fields}
+    out = []
+    for name, pt in prev_types.items():
+        ct = cur_types.get(name)
+        if ct is None:
+            out.append(
+                {"column": name, "issue": "evolution_removed",
+                 "expected": pt, "actual": None, "breaking": True}
+            )
+        elif ct != pt:
+            widened = (pt, ct) in _SAFE_WIDENINGS
+            out.append(
+                {"column": name,
+                 "issue": "evolution_widened" if widened else "evolution_retyped",
+                 "expected": pt, "actual": ct, "breaking": not widened}
+            )
+    for name, ct in cur_types.items():
+        if name not in prev_types:
+            out.append(
+                {"column": name, "issue": "evolution_added",
+                 "expected": None, "actual": ct, "breaking": False}
+            )
+    return out
+
+
 def constraint_violations(df: DataFrame, spec: TableSchemaSpec) -> DataFrame:
     """Row-level domain violations as VIOLATION_SCHEMA rows.
 

@@ -71,6 +71,30 @@ class CheckpointStore:
         except (json.JSONDecodeError, TypeError):
             return None  # torn/garbage marker -> treat as unvalidated
 
+    def write_table_schema(self, snapshot_id: str, types: dict[str, str]) -> None:
+        """Record the table schema observed at ``snapshot_id`` — the baseline
+        the NEXT run diffs against for schema-evolution checks. Written only
+        after a fully-completed pass (runner), so a killed run keeps
+        re-reporting the evolution until a clean validation of the new shape."""
+        path = os.path.join(self.root, "table_schema.json")
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"snapshot_id": snapshot_id, "columns": types}, f, sort_keys=True)
+        os.replace(tmp, path)
+
+    def read_table_schema(self) -> dict | None:
+        """{"snapshot_id": ..., "columns": {name: simpleString}} from the
+        last completed run, or None on first contact / torn marker."""
+        path = os.path.join(self.root, "table_schema.json")
+        if not os.path.exists(path):
+            return None
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+            return doc if isinstance(doc.get("columns"), dict) else None
+        except (json.JSONDecodeError, AttributeError):
+            return None
+
     def completed(self, snapshot_id: str, spec_hash: str) -> dict[int, PartitionVerdict]:
         out = {}
         if not os.path.isdir(self.root):

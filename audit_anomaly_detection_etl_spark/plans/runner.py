@@ -157,6 +157,14 @@ def run_suite(
     schema_issues = (
         schema_check.schema_diff(full.schema, spec.schema_spec) if "schema" in spec.checks else []
     )
+    # snapshot-to-snapshot evolution check (Iceberg compatibility rules):
+    # diff against the schema recorded at the last fully-validated snapshot
+    if "schema" in spec.checks:
+        prev_schema = store.read_table_schema()
+        if prev_schema is not None and prev_schema["snapshot_id"] != snap:
+            schema_issues = schema_issues + schema_check.schema_evolution(
+                prev_schema["columns"], full.schema
+            )
 
     hist_ref = spark.read.parquet(hist_ref_path) if hist_ref_path else None
     drift_refs = (
@@ -338,6 +346,14 @@ def run_suite(
                 for r in g.groupBy("check").agg(F.count(F.lit(1)).alias("n")).collect()
             }
             g.unpersist()
+
+    # record the fully-validated schema as the next run's evolution baseline
+    # (reached only on a completed pass — a kill above leaves the old
+    # baseline in place so the evolution keeps being reported)
+    if "schema" in spec.checks:
+        store.write_table_schema(
+            snap, {f.name: f.dataType.simpleString() for f in full.schema.fields}
+        )
 
     return SuiteResult(
         snapshot_id=snap,
