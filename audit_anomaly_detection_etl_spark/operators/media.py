@@ -38,11 +38,26 @@ AUDIO_FEATURES_SCHEMA = (
     "rms double, peak double, zcr double, est_dur_ms double"
 )
 
+AUDIO_FEATURES_EXT_SCHEMA = AUDIO_FEATURES_SCHEMA + (
+    ", dc_offset double, clip_ratio double, silence_ratio double"
+)
 
-def audio_features(clips: DataFrame) -> DataFrame:
+# int16 full scale after the /32768 decode normalization: a sample at the
+# positive rail is 32767/32768; anything at |x| >= this is a clipped sample
+_CLIP_THRESHOLD = 32767.0 / 32768.0
+_SILENCE_THRESHOLD = 1e-3  # ~-60 dBFS
+
+
+def audio_features(clips: DataFrame, extended: bool = False) -> DataFrame:
     """Per-clip audio features from decoded PCM — one ``mapInPandas`` pass,
     per-codec-group vectorized decode (same concatenation + ``reduceat``
     pattern as operators/payload.py; no per-sample Python).
+
+    ``extended=True`` adds the recording-QA signals (same single pass, three
+    more reduceat sums): ``dc_offset`` (mean sample — a biased ADC / bad
+    trim), ``clip_ratio`` (fraction of samples at int16 full scale —
+    hard-clipping), ``silence_ratio`` (fraction under ~-60 dBFS — dead air
+    the silence-trim step should have removed).
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -59,6 +74,9 @@ def audio_features(clips: DataFrame) -> DataFrame:
             rms = np.full(n, np.nan)
             peak = np.full(n, np.nan)
             zcr = np.full(n, np.nan)
+            dc = np.full(n, np.nan)
+            clip_ratio = np.full(n, np.nan)
+            sil_ratio = np.full(n, np.nan)
 
             for codec in pd.unique(codec_col):
                 if codec not in codecs.CODECS:
@@ -89,25 +107,40 @@ def audio_features(clips: DataFrame) -> DataFrame:
                 ends = seg + lens - 1
                 flip_counts -= flips[ends]
                 zcr[idx] = np.where(lens > 1, flip_counts / (lens - 1), 0.0)
+                if extended:
+                    a = np.abs(pcm)
+                    dc[idx] = np.add.reduceat(pcm, seg) / lens
+                    clip_ratio[idx] = (
+                        np.add.reduceat((a >= _CLIP_THRESHOLD).astype(np.float64), seg)
+                        / lens
+                    )
+                    sil_ratio[idx] = (
+                        np.add.reduceat((a < _SILENCE_THRESHOLD).astype(np.float64), seg)
+                        / lens
+                    )
 
             est_dur = np.where(
                 decode_ok & (sr_col > 0), n_samples / np.maximum(sr_col, 1) * 1000.0, np.nan
             )
-            yield pd.DataFrame(
-                {
-                    "clip_id": pdf["clip_id"].to_numpy(),
-                    "part": pdf["part"].to_numpy(),
-                    "decode_ok": decode_ok,
-                    "n_samples": n_samples,
-                    "rms": rms,
-                    "peak": peak,
-                    "zcr": zcr,
-                    "est_dur_ms": est_dur,
-                }
-            )
+            out = {
+                "clip_id": pdf["clip_id"].to_numpy(),
+                "part": pdf["part"].to_numpy(),
+                "decode_ok": decode_ok,
+                "n_samples": n_samples,
+                "rms": rms,
+                "peak": peak,
+                "zcr": zcr,
+                "est_dur_ms": est_dur,
+            }
+            if extended:
+                out.update(
+                    dc_offset=dc, clip_ratio=clip_ratio, silence_ratio=sil_ratio
+                )
+            yield pd.DataFrame(out)
 
     pruned = clips.select("clip_id", "part", "bytes", "codec", "sr_hz")
-    return pruned.mapInPandas(batches, schema=AUDIO_FEATURES_SCHEMA)
+    schema = AUDIO_FEATURES_EXT_SCHEMA if extended else AUDIO_FEATURES_SCHEMA
+    return pruned.mapInPandas(batches, schema=schema)
 
 
 # ---------------------------------------------------------------------------
@@ -510,3 +543,60 @@ def trim_silence_bounds(
         ["part"] if "part" in clips.columns else []
     )
     return clips.select(*cols).mapInPandas(batches, TRIM_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# cross-modal consistency: transcript vs audio duration
+# ---------------------------------------------------------------------------
+
+
+def speaking_rate_violations(
+    clips: DataFrame,
+    min_wps: float = 0.3,
+    max_wps: float = 6.0,
+    key_col: str = "clip_id",
+    part_col: str = "part",
+    transcript_col: str = "transcript",
+    dur_col: str = "dur_ms",
+) -> DataFrame:
+    """Transcript<->audio plausibility check: words-per-second outside
+    [min_wps, max_wps] means the transcript cannot belong to this clip
+    (truncated audio, concatenated transcript, misaligned pairing) even
+    when both sides individually pass their own checks. Human speech spans
+    roughly 1.5-4 wps; the default bounds are deliberately loose.
+
+    NULL/empty transcripts and non-positive durations are SKIPPED here —
+    they are already caught by the schema null/domain constraints, and a
+    rate violation on top would double-count the same defect.
+
+    Pure Catalyst (one codegen projection over the metadata columns — the
+    payload bytes are never touched), emitting standard violation rows at
+    severity 2.5 (below uniqueness/payload, above referential orphans).
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions import text as T
+
+    # try_divide: the measurable guard below excludes dur<=0 rows, but ANSI
+    # codegen may evaluate the shared wps subexpression before the guard
+    wps = F.try_divide(
+        F.size(T.words(F.col(transcript_col))), F.col(dur_col) / 1000.0
+    )
+    measurable = (
+        F.col(transcript_col).isNotNull()
+        & (F.length(F.trim(F.col(transcript_col))) > 0)
+        & F.col(dur_col).isNotNull()
+        & (F.col(dur_col) > 0)
+    )
+    bad = measurable & ((wps < min_wps) | (wps > max_wps))
+    return clips.where(bad).select(
+        F.col(key_col).alias("key"),
+        F.lit("speaking_rate").alias("check"),
+        F.concat(
+            F.lit("wps="),
+            F.round(wps, 2).cast("string"),
+            F.lit(f" outside [{min_wps}, {max_wps}]"),
+        ).alias("detail"),
+        F.col(part_col).cast("int").alias("part"),
+        F.lit(2.5).alias("severity"),
+    )

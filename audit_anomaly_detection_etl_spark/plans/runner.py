@@ -39,6 +39,7 @@ from ..operators import (
     VIOLATION_COLS,
     column_stats,
     drift,
+    media,
     payload,
     referential,
     schema_check,
@@ -94,6 +95,17 @@ def _wave_violations(
         )
     if "payload" in checks and ref_df is not None:
         parts.append(payload.payload_violations(payload.payload_report(wave_df, ref_df)))
+    if "speaking_rate" in checks:
+        lo, hi = spec.speaking_rate_bounds
+        parts.append(
+            media.speaking_rate_violations(
+                wave_df,
+                min_wps=lo,
+                max_wps=hi,
+                key_col=spec.schema_spec.key_col,
+                part_col=spec.schema_spec.part_col,
+            )
+        )
     if not parts:
         return None
     out = parts[0]

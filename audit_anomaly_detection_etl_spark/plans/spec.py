@@ -46,6 +46,9 @@ class SuiteSpec:
     )
     psi_threshold: float = 0.25
     checks: tuple = ("schema", "stats", "uniqueness", "referential", "drift", "payload")
+    # transcript<->audio plausibility bounds (words/sec); the check itself is
+    # opt-in via checks=(..., "speaking_rate") — see media.speaking_rate_violations
+    speaking_rate_bounds: tuple = (0.3, 6.0)
     # partitioning contract: when the table is bucket-partitioned by
     # hash(key) (Iceberg bucket(clip_id) / our crc32 synth), uniqueness and
     # referential checks decompose per-partition and resume safely. If False
@@ -83,8 +86,12 @@ class SuiteSpec:
 
 _SPEC_KEYS = {
     "schema", "drift", "psi_threshold", "checks", "key_partitioned",
-    "uniqueness_salts",
+    "uniqueness_salts", "speaking_rate_bounds",
 }
+
+# every check name the runner understands — the default SuiteSpec.checks
+# tuple is the default-ON subset, not the universe
+ALL_CHECKS = SuiteSpec().checks + ("speaking_rate",)
 _SCHEMA_KEYS = {"columns", "key_col", "part_col"}
 _COLUMN_KEYS = {"name", "dtype", "nullable", "allowed", "min_value", "max_value"}
 _DRIFT_KEYS = {"col", "lo", "hi", "n_bins"}
@@ -134,11 +141,16 @@ def spec_from_dict(doc: dict) -> SuiteSpec:
     if "psi_threshold" in doc:
         kwargs["psi_threshold"] = float(doc["psi_threshold"])
     if "checks" in doc:
-        valid = set(SuiteSpec().checks)
+        valid = set(ALL_CHECKS)
         bad = set(doc["checks"]) - valid
         if bad:
             raise ValueError(f"unknown check(s) {sorted(bad)}; valid: {sorted(valid)}")
         kwargs["checks"] = tuple(doc["checks"])
+    if "speaking_rate_bounds" in doc:
+        b = doc["speaking_rate_bounds"]
+        if not (isinstance(b, (list, tuple)) and len(b) == 2):
+            raise ValueError("speaking_rate_bounds must be [min_wps, max_wps]")
+        kwargs["speaking_rate_bounds"] = (float(b[0]), float(b[1]))
     if "key_partitioned" in doc:
         kwargs["key_partitioned"] = bool(doc["key_partitioned"])
     if "uniqueness_salts" in doc:

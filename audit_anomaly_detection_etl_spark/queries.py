@@ -1551,6 +1551,30 @@ def q75(spark, sf_dir):
     return sampling.mixing_weights(_t(spark, sf_dir, "documents"), alpha=0.3)
 
 
+@q("q77_audio_qa_signals")
+def q77(spark, sf_dir):
+    """Recording-QA signal sweep (media.audio_features extended=True): per
+    partition, mean DC offset plus counts of hard-clipped (clip_ratio>1%),
+    mostly-silent (silence_ratio>50%) and DC-biased (|dc|>0.01) clips —
+    the corpus-health dashboard a recording pipeline watches. Binary decode
+    => no SQL oracle; rows-only driver check, exact numpy-oracle pytest in
+    tests/test_audio_quality.py. Same single mapInPandas decode pass as
+    q44 (three extra reduceat sums, no extra scan)."""
+    from .operators import media
+    from .sources import synth
+
+    t = synth.generate_clips(n_clips=400, n_parts=8, seed=7)
+    clips = spark.createDataFrame(t.clips.to_pandas())
+    feats = media.audio_features(clips, extended=True)
+    return feats.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("dc_offset"), 6).alias("mean_dc"),
+        F.sum((F.col("clip_ratio") > 0.01).cast("long")).alias("n_clipped"),
+        F.sum((F.col("silence_ratio") > 0.5).cast("long")).alias("n_silent"),
+        F.sum((F.abs(F.col("dc_offset")) > 0.01).cast("long")).alias("n_dc_biased"),
+    )
+
+
 @q(
     "q76_lm_quality_score",
     """
