@@ -600,3 +600,115 @@ def speaking_rate_violations(
         F.col(part_col).cast("int").alias("part"),
         F.lit(2.5).alias("severity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# training-window slicing
+# ---------------------------------------------------------------------------
+
+SEGMENT_SLICE_SCHEMA = (
+    "clip_id string, part int, seg_idx int, start_samp long, end_samp long, "
+    "n_bytes long, slice_ok boolean"
+)
+
+
+def slice_segments(
+    clips: DataFrame,
+    window_ms: int = 5_000,
+    hop_ms: int = 2_500,
+    emit_bytes: bool = False,
+) -> DataFrame:
+    """Materialize the training windows ``packing.segment_plan`` describes:
+    slice each clip's payload into overlapping ``window_ms`` segments
+    advancing by ``hop_ms``, cutting on exact sample boundaries (never
+    mid-sample — a torn int16/float32 would corrupt every later sample).
+
+    Window geometry is computed from the ACTUAL decodable sample count
+    (``len(bytes) // bytes_per_sample``), not the declared ``dur_ms`` — a
+    truncated payload must yield short real segments, not fantasy ones.
+    Same ``k_max = ceil((n - window) / hop)`` coverage rule as
+    ``segment_plan``. Clips whose payload cannot be sliced (unknown codec,
+    byte length not a multiple of the sample width, ``sr_hz <= 0``) emit a
+    single ``seg_idx = -1, slice_ok = false`` row so violations stay
+    visible downstream instead of vanishing.
+
+    One ``mapInPandas`` pass; segment counts/boundaries are computed with
+    numpy and the cut itself is C-level ``bytes`` slicing — the only
+    Python-level per-row work is slice bookkeeping, same budget as
+    payload.py's byte-length probing. With ``emit_bytes=True`` the sliced
+    payload is attached (output ~= window/hop x input bytes — the caller
+    owns that amplification); default emits geometry only.
+    """
+    if window_ms <= 0 or hop_ms <= 0:
+        raise ValueError("window_ms and hop_ms must be positive")
+
+    schema = SEGMENT_SLICE_SCHEMA + (", bytes binary" if emit_bytes else "")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list = []
+            parts: list = []
+            seg_idx: list = []
+            start_samp: list = []
+            end_samp: list = []
+            n_bytes: list = []
+            ok: list = []
+            payloads: list = []
+            raw_col = pdf["bytes"].to_numpy()
+            codec_col = pdf["codec"].to_numpy()
+            sr_col = pdf["sr_hz"].to_numpy(dtype=np.int64)
+            id_col = pdf["clip_id"].to_numpy()
+            part_col = pdf["part"].to_numpy()
+            for i in range(len(pdf)):
+                raw = raw_col[i]
+                codec = codec_col[i]
+                sr = int(sr_col[i])
+                byte_len = len(raw) if raw is not None else -1
+                sliceable = (
+                    codec in codecs.CODECS
+                    and sr > 0
+                    and byte_len > 0
+                    and byte_len % codecs.bytes_per_sample(codec) == 0
+                )
+                if not sliceable:
+                    ids.append(id_col[i])
+                    parts.append(part_col[i])
+                    seg_idx.append(-1)
+                    start_samp.append(0)
+                    end_samp.append(0)
+                    n_bytes.append(max(byte_len, 0))
+                    ok.append(False)
+                    payloads.append(b"")
+                    continue
+                bps = codecs.bytes_per_sample(codec)
+                n_samp = byte_len // bps
+                w = max(1, int(round(window_ms * sr / 1000.0)))
+                h = max(1, int(round(hop_ms * sr / 1000.0)))
+                k_max = 0 if n_samp <= w else -(-(n_samp - w) // h)
+                for k in range(k_max + 1):
+                    a = k * h
+                    b = min(a + w, n_samp)
+                    ids.append(id_col[i])
+                    parts.append(part_col[i])
+                    seg_idx.append(k)
+                    start_samp.append(a)
+                    end_samp.append(b)
+                    n_bytes.append((b - a) * bps)
+                    ok.append(True)
+                    if emit_bytes:
+                        payloads.append(raw[a * bps : b * bps])
+            out = {
+                "clip_id": np.asarray(ids, dtype=object),
+                "part": np.asarray(parts, dtype=np.int32),
+                "seg_idx": np.asarray(seg_idx, dtype=np.int32),
+                "start_samp": np.asarray(start_samp, dtype=np.int64),
+                "end_samp": np.asarray(end_samp, dtype=np.int64),
+                "n_bytes": np.asarray(n_bytes, dtype=np.int64),
+                "slice_ok": np.asarray(ok, dtype=bool),
+            }
+            if emit_bytes:
+                out["bytes"] = pd.Series(payloads, dtype=object)
+            yield pd.DataFrame(out)
+
+    pruned = clips.select("clip_id", "part", "bytes", "codec", "sr_hz")
+    return pruned.mapInPandas(batches, schema=schema)

@@ -26,6 +26,52 @@ from pyspark.sql import functions as F
 from ..functions import text as T
 
 
+def segment_plan(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    dur_col: str = "dur_ms",
+    window_ms: int = 30_000,
+    hop_ms: int = 15_000,
+) -> DataFrame:
+    """Fixed-window segmentation plan: map each item of duration ``dur_col``
+    (ms) to overlapping training windows of ``window_ms`` advancing by
+    ``hop_ms`` — the standard chunking step that turns long recordings into
+    trainable examples (ASR/SSL pipelines window 30 s context from
+    arbitrary-length clips).
+
+    Segment ``k`` covers ``[k*hop, min(k*hop + window, dur))``; the last
+    window starts at the smallest multiple of ``hop`` whose window reaches
+    ``dur`` (``k_max = ceil((dur - window) / hop)`` when ``dur > window``,
+    else 0), so every sample is covered and no window starts past the end.
+    Items with ``dur <= 0`` emit no segments.
+
+    Purely declarative: one projection + ``explode(sequence(...))`` —
+    codegen end-to-end, no shuffle, no UDF; output rows ~ ``dur/hop`` per
+    item, generated executor-side. ``k_max >= 0`` always, so the
+    descending-``sequence`` pitfall (CLAUDE.md) cannot trigger.
+    """
+    if window_ms <= 0 or hop_ms <= 0:
+        raise ValueError("window_ms and hop_ms must be positive")
+    dur = F.col(dur_col).cast("long")
+    k_max = F.when(
+        dur <= F.lit(window_ms), F.lit(0).cast("long")
+    ).otherwise(F.ceil((dur - F.lit(window_ms)) / F.lit(float(hop_ms))).cast("long"))
+    segs = df.where(dur > 0).select(
+        F.col(id_col),
+        dur.alias("__dur"),
+        F.explode(F.sequence(F.lit(0).cast("long"), k_max)).alias("seg_idx"),
+    )
+    start = F.col("seg_idx") * F.lit(hop_ms)
+    end = F.least(start + F.lit(window_ms), F.col("__dur"))
+    return segs.select(
+        id_col,
+        "seg_idx",
+        start.cast("long").alias("start_ms"),
+        end.cast("long").alias("end_ms"),
+        (end - start).cast("long").alias("seg_ms"),
+    )
+
+
 def pack_offsets(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1576,6 +1576,87 @@ def q77(spark, sf_dir):
 
 
 @q(
+    "q78_segment_plan",
+    """
+    WITH d AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) * 60 AS dur
+        FROM documents WHERE length(text) > 0
+    ),
+    k AS (
+        SELECT doc_id, dur,
+               CASE WHEN dur <= 30000 THEN 0
+                    ELSE CAST(ceil((dur - 30000) / 15000.0) AS BIGINT)
+               END AS k_max
+        FROM d
+    ),
+    s AS (
+        SELECT doc_id, dur,
+               unnest(generate_series(0, k_max)) AS seg_idx
+        FROM k
+    )
+    SELECT doc_id,
+           CAST(seg_idx AS BIGINT) AS seg_idx,
+           CAST(seg_idx * 15000 AS BIGINT) AS start_ms,
+           CAST(LEAST(seg_idx * 15000 + 30000, dur) AS BIGINT) AS end_ms,
+           CAST(LEAST(seg_idx * 15000 + 30000, dur) - seg_idx * 15000 AS BIGINT)
+               AS seg_ms
+    FROM s
+    """,
+)
+def q78(spark, sf_dir):
+    """Training-window segmentation plan (packing.segment_plan): every doc
+    mapped to overlapping 30 s windows with a 15 s hop — the chunking step
+    that turns arbitrary-length recordings into fixed-context training
+    examples. Duration is derived deterministically from text length
+    (60 ms/char) so the plan is SQL-expressible and hash-gated; the binary
+    twin that actually cuts payload bytes on sample boundaries is
+    q79_segment_slices.
+
+    Plan: one codegen projection + explode(sequence) — no shuffle, no UDF;
+    rows are generated executor-side (~dur/hop per item), so 10^12 clips
+    segment without any driver involvement."""
+    from .operators import packing
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.length("text") > 0)
+        .select(
+            "doc_id", (F.length("text").cast("long") * 60).alias("dur_ms")
+        )
+    )
+    return packing.segment_plan(
+        docs, id_col="doc_id", dur_col="dur_ms", window_ms=30_000, hop_ms=15_000
+    )
+
+
+@q("q79_segment_slices")
+def q79(spark, sf_dir):
+    """Materialized training windows (media.slice_segments): each clip's
+    payload cut into 1 s / 0.5 s-hop segments on exact sample boundaries,
+    geometry computed from the ACTUAL decodable sample count; unsliceable
+    payloads (unknown codec, torn byte length) surface as slice_ok=false
+    rows. Aggregated per partition: clips, segments, sliced bytes,
+    unsliceable count, max segment end. Binary payloads => no SQL oracle;
+    rows-only driver check + exact numpy oracle in
+    tests/test_media_streaming.py."""
+    from .operators import media
+    from .sources import synth
+
+    t = synth.generate_clips(n_clips=400, n_parts=8, seed=11)
+    clips = spark.createDataFrame(t.clips.to_pandas())
+    segs = media.slice_segments(clips, window_ms=1_000, hop_ms=500)
+    return segs.groupBy("part").agg(
+        F.countDistinct("clip_id").alias("n_clips"),
+        F.sum(F.col("slice_ok").cast("long")).alias("n_segs"),
+        F.sum(F.when(F.col("slice_ok"), F.col("n_bytes")).otherwise(F.lit(0))).alias(
+            "seg_bytes"
+        ),
+        F.sum((~F.col("slice_ok")).cast("long")).alias("n_unsliceable"),
+        F.max(F.when(F.col("slice_ok"), F.col("end_samp"))).alias("max_end_samp"),
+    )
+
+
+@q(
     "q76_lm_quality_score",
     """
     WITH w AS (SELECT doc_id, {words} AS ws FROM documents),

@@ -106,6 +106,14 @@ RULES = [
         lambda p: p.count("HashAggregate") >= 3,
     ),
     (
+        "q78_segment_plan",
+        "segmentation is shuffle-free codegen (explode, no Exchange/UDF)",
+        lambda p: "Generate" in p
+        and "Exchange" not in p
+        and "ArrowEvalPython" not in p
+        and "BatchEvalPython" not in p,
+    ),
+    (
         "q31_column_stats",
         "one scan, no join, all stats in one agg",
         lambda p: "Join" not in p,

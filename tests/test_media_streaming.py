@@ -209,3 +209,72 @@ def test_windowed_event_stats_batch(spark):
     assert len(got) == 2
     assert got.loc[0, "n_events"] == 2 and got.loc[0, "mean_value"] == 2.0
     assert got.loc[1, "n_events"] == 1 and got.loc[1, "max_value"] == 10.0
+
+
+# ---------------------------------------------------------------------------
+# training-window slicing (media.slice_segments / packing.segment_plan)
+# ---------------------------------------------------------------------------
+
+def _expected_segments(n_samp: int, sr: int, window_ms: int, hop_ms: int):
+    w = max(1, int(round(window_ms * sr / 1000.0)))
+    h = max(1, int(round(hop_ms * sr / 1000.0)))
+    k_max = 0 if n_samp <= w else -(-(n_samp - w) // h)
+    return [(k, k * h, min(k * h + w, n_samp)) for k in range(k_max + 1)]
+
+
+def test_slice_segments_match_numpy_oracle(spark):
+    t = synth.generate_clips(n_clips=200, n_parts=4, seed=11)
+    pdf = t.clips.to_pandas()
+    clips = spark.createDataFrame(pdf)
+    got = (
+        media.slice_segments(clips, window_ms=200, hop_ms=100, emit_bytes=True)
+        .toPandas()
+        .sort_values(["clip_id", "seg_idx"])
+    )
+    by_clip = {cid: g for cid, g in got.groupby("clip_id")}
+
+    checked_segs = 0
+    for _, row in pdf.drop_duplicates("clip_id").iterrows():
+        g = by_clip[row["clip_id"]].drop_duplicates(["seg_idx", "start_samp"])
+        if row["codec"] not in codecs.CODECS:
+            assert list(g["slice_ok"]) == [False]
+            assert list(g["seg_idx"]) == [-1]
+            continue
+        bps = codecs.bytes_per_sample(row["codec"])
+        n_samp = len(row["bytes"]) // bps
+        exp = _expected_segments(n_samp, int(row["sr_hz"]), 200, 100)
+        assert list(g["seg_idx"]) == [e[0] for e in exp]
+        assert list(g["start_samp"]) == [e[1] for e in exp]
+        assert list(g["end_samp"]) == [e[2] for e in exp]
+        # byte-exact slice on sample boundaries; full coverage, window overlap
+        for (_, a, b), raw in zip(exp, g["bytes"]):
+            assert bytes(raw) == row["bytes"][a * bps : b * bps]
+        assert exp[-1][2] == n_samp  # last window reaches the end
+        if len(exp) > 1:
+            assert exp[-1][1] < n_samp  # no window starts past the end
+        checked_segs += len(exp)
+    assert checked_segs > 400
+
+
+def test_segment_plan_matches_slice_geometry(spark):
+    """The Catalyst plan (packing.segment_plan) and the byte slicer agree on
+    geometry when dur_ms is exact (sr=1000 => 1 sample per ms)."""
+    from audit_anomaly_detection_etl_spark.operators import packing
+
+    rows = [("a", 250), ("b", 1000), ("c", 1001), ("d", 5000), ("e", 4501)]
+    df = spark.createDataFrame(rows, "clip_id string, dur_ms long")
+    plan = (
+        packing.segment_plan(df, window_ms=1_000, hop_ms=500)
+        .toPandas()
+        .sort_values(["clip_id", "seg_idx"])
+    )
+    for cid, dur in rows:
+        exp = _expected_segments(dur, 1000, 1_000, 500)
+        g = plan[plan["clip_id"] == cid]
+        assert list(g["seg_idx"]) == [e[0] for e in exp]
+        assert list(g["start_ms"]) == [e[1] for e in exp]
+        assert list(g["end_ms"]) == [e[2] for e in exp]
+        assert list(g["seg_ms"]) == [e[2] - e[1] for e in exp]
+    # dur <= 0 emits nothing
+    z = spark.createDataFrame([("z", 0)], "clip_id string, dur_ms long")
+    assert packing.segment_plan(z).count() == 0

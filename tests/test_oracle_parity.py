@@ -96,6 +96,9 @@ def test_every_query_runs(spark, sf001):
         "q51_anomaly_attribution",
         "q61_wav_container_check",
         "q62_resample_audio",
+        "q69_audio_neardup",
+        "q77_audio_qa_signals",
+        "q79_segment_slices",
     }
     for name in missing_oracle:
         out = entry_mod.queries()[name](spark, sf001)
