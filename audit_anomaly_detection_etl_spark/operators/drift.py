@@ -218,3 +218,66 @@ def drift_verdicts(
             }
         )
     return out
+
+
+def payload_drift(
+    clips_ref: DataFrame,
+    clips_cur: DataFrame,
+    lo: float = -60.0,
+    hi: float = 0.0,
+    n_bins: int = 30,
+    psi_threshold: float = 0.25,
+    min_n: int = 200,
+) -> DataFrame:
+    """Payload-LEVEL drift: PSI + KS over the decoded RMS-dBFS distribution
+    of two snapshots — catches content shifts the metadata tier cannot see
+    (gain/AGC change, a new noisy recording source, re-mastered audio),
+    since dur_ms/sr_hz histograms are identical when only the waveform
+    changed.
+
+    Plan shape: one ``mapInPandas`` decode pass per snapshot
+    (media.audio_features — Arrow-batched, per-codec vectorized), dBFS
+    conversion and equi-width bucketing in Catalyst, hash-agg to
+    ``n_bins`` rows per side; the PSI/KS comparison is driver-side numpy
+    over two n_bins arrays (same O(bins) collect budget as drift_metrics).
+    Undecodable clips are excluded (the codec/payload checks own those).
+
+    Returns one row: (col, n_ref, n_cur, psi, ks, low_n, drifted).
+    """
+    from . import media
+
+    spec = BinSpec("rms_dbfs", lo, hi, n_bins)
+
+    def counts_of(clips: DataFrame) -> np.ndarray:
+        feats = media.audio_features(clips)
+        dbfs = feats.where(F.col("decode_ok") & (F.col("rms") > 0)).select(
+            (F.lit(20.0) * F.log10(F.col("rms"))).alias("rms_dbfs")
+        )
+        rows = histogram(dbfs, spec).collect()
+        arr = np.zeros(n_bins, dtype=np.float64)
+        for r in rows:
+            arr[r["bin"]] = float(r["count"])
+        return arr
+
+    ref = counts_of(clips_ref)
+    cur = counts_of(clips_cur)
+    n_ref, n_cur = float(ref.sum()), float(cur.sum())
+    psi_v = _stats.psi(ref, cur)
+    ks_v = _stats.ks_statistic(ref, cur)
+    low_n = min(n_ref, n_cur) < min_n
+    spark = clips_ref.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                spec.col,
+                int(n_ref),
+                int(n_cur),
+                round(float(psi_v), 6),
+                round(float(ks_v), 6),
+                bool(low_n),
+                bool((not low_n) and psi_v > psi_threshold),
+            )
+        ],
+        "col string, n_ref long, n_cur long, psi double, ks double, "
+        "low_n boolean, drifted boolean",
+    )

@@ -1575,6 +1575,38 @@ def q77(spark, sf_dir):
     )
 
 
+@q("q80_payload_drift")
+def q80(spark, sf_dir):
+    """Payload-level drift detection (drift.payload_drift): PSI/KS over the
+    decoded RMS-dBFS distribution between snapshots — the content-drift
+    tier the metadata histograms (q32) cannot see. Two comparisons: a
+    fresh generation from the same process (must NOT drift) and the same
+    corpus re-mastered at 0.45x gain (must drift; ~-7 dB shift). The gain
+    re-encode is driver-side fixture prep, like q55's staging — the
+    measured plan is the two mapInPandas decode passes + hash-agg
+    histograms. Binary payloads => rows-only driver check; exact numpy
+    PSI oracle in tests/test_media_streaming.py."""
+    from .functions import codecs
+    from .operators import drift
+    from .sources import synth
+
+    base = synth.generate_clips(n_clips=300, n_parts=8, seed=7).clips.to_pandas()
+    fresh = synth.generate_clips(n_clips=300, n_parts=8, seed=8).clips.to_pandas()
+    gained = base.copy()
+    gained["bytes"] = [
+        codecs.encode(codecs.decode(b, c) * 0.45, c) if c in codecs.CODECS else b
+        for b, c in zip(gained["bytes"], gained["codec"])
+    ]
+    a = spark.createDataFrame(base)
+    out_same = drift.payload_drift(a, spark.createDataFrame(fresh)).select(
+        F.lit("same_dist").alias("snapshot"), "*"
+    )
+    out_gain = drift.payload_drift(a, spark.createDataFrame(gained)).select(
+        F.lit("gain_shift").alias("snapshot"), "*"
+    )
+    return out_same.unionByName(out_gain)
+
+
 @q(
     "q78_segment_plan",
     """

@@ -278,3 +278,59 @@ def test_segment_plan_matches_slice_geometry(spark):
     # dur <= 0 emits nothing
     z = spark.createDataFrame([("z", 0)], "clip_id string, dur_ms long")
     assert packing.segment_plan(z).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# payload-level drift (drift.payload_drift)
+# ---------------------------------------------------------------------------
+
+def test_payload_drift_matches_numpy_psi_oracle(spark):
+    from audit_anomaly_detection_etl_spark.functions import stats as _stats
+    from audit_anomaly_detection_etl_spark.operators import drift
+
+    base = synth.generate_clips(n_clips=250, n_parts=4, seed=7).clips.to_pandas()
+    gained = base.copy()
+    gained["bytes"] = [
+        codecs.encode(codecs.decode(b, c) * 0.45, c) if c in codecs.CODECS else b
+        for b, c in zip(gained["bytes"], gained["codec"])
+    ]
+
+    lo, hi, n_bins = -60.0, 0.0, 30
+    got = drift.payload_drift(
+        spark.createDataFrame(base),
+        spark.createDataFrame(gained),
+        lo=lo,
+        hi=hi,
+        n_bins=n_bins,
+        min_n=100,
+    ).collect()[0]
+
+    def counts(pdf):
+        arr = np.zeros(n_bins)
+        for b, c in zip(pdf["bytes"], pdf["codec"]):
+            if c not in codecs.CODECS:
+                continue
+            pcm = codecs.decode(b, c).astype(np.float64)
+            rms = np.sqrt(np.mean(pcm**2))
+            if rms <= 0:
+                continue
+            dbfs = 20.0 * np.log10(rms)
+            # width_bucket clamp semantics: edge bins absorb out-of-range
+            k = int(np.floor((dbfs - lo) / (hi - lo) * n_bins))
+            arr[min(max(k, 0), n_bins - 1)] += 1
+        return arr
+
+    ref, cur = counts(base), counts(gained)
+    assert got["n_ref"] == int(ref.sum()) and got["n_cur"] == int(cur.sum())
+    np.testing.assert_allclose(got["psi"], round(_stats.psi(ref, cur), 6), atol=1e-9)
+    np.testing.assert_allclose(
+        got["ks"], round(_stats.ks_statistic(ref, cur), 6), atol=1e-9
+    )
+    assert got["drifted"]  # 0.45x gain is ~-7 dB: must trip PSI
+
+    # same-process regeneration must NOT drift
+    fresh = synth.generate_clips(n_clips=250, n_parts=4, seed=8).clips.to_pandas()
+    same = drift.payload_drift(
+        spark.createDataFrame(base), spark.createDataFrame(fresh), min_n=100
+    ).collect()[0]
+    assert not same["drifted"] and same["psi"] < 0.1

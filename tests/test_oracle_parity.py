@@ -99,6 +99,7 @@ def test_every_query_runs(spark, sf001):
         "q69_audio_neardup",
         "q77_audio_qa_signals",
         "q79_segment_slices",
+        "q80_payload_drift",
     }
     for name in missing_oracle:
         out = entry_mod.queries()[name](spark, sf001)
