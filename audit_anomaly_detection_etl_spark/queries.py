@@ -1575,6 +1575,48 @@ def q77(spark, sf_dir):
     )
 
 
+@q(
+    "q81_rate_anomaly",
+    """
+    WITH c AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type, MEDIAN(CAST(n_events AS DOUBLE)) AS med FROM c
+        GROUP BY 1
+    ),
+    d AS (
+        SELECT c.*, m.med FROM c JOIN m USING (event_type)
+    ),
+    md AS (
+        SELECT event_type, MEDIAN(abs(n_events - med)) AS mad FROM d
+        GROUP BY 1
+    )
+    SELECT d.event_type, bucket_ts, CAST(n_events AS BIGINT) AS n_events,
+           ROUND(med, 6) AS med_rate,
+           ROUND(mad, 6) AS mad_rate,
+           ROUND(0.6745 * (n_events - med) / NULLIF(mad, 0.0), 6) AS robust_z,
+           CAST(CASE WHEN mad = 0.0
+                     THEN CASE WHEN n_events != med THEN 1 ELSE 0 END
+                     WHEN abs(0.6745 * (n_events - med) / mad) > 3.5
+                     THEN 1 ELSE 0 END AS INTEGER) AS anomalous
+    FROM d JOIN md USING (event_type)
+    """,
+)
+def q81(spark, sf_dir):
+    """Ingestion-rate anomaly monitor (outliers.rate_anomaly): per
+    (event_type, hour) event counts scored with a robust MAD z against the
+    type's own rate history — flags producer stalls and replay storms at
+    the bucket level before any row-level check runs. Detail rows collapse
+    to a tiny (types x hours) count table first; both medians and both
+    join-backs run broadcast on that aggregate."""
+    from .operators import outliers
+
+    return outliers.rate_anomaly(_t(spark, sf_dir, "events"))
+
+
 @q("q80_payload_drift")
 def q80(spark, sf_dir):
     """Payload-level drift detection (drift.payload_drift): PSI/KS over the

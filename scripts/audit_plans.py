@@ -106,6 +106,13 @@ RULES = [
         lambda p: p.count("HashAggregate") >= 3,
     ),
     (
+        "q81_rate_anomaly",
+        "median/MAD join-backs broadcast on the bucket-count aggregate",
+        lambda p: "BroadcastHashJoin" in p
+        and "SortMergeJoin" not in p
+        and "CartesianProduct" not in p,
+    ),
+    (
         "q78_segment_plan",
         "segmentation is shuffle-free codegen (explode, no Exchange/UDF)",
         lambda p: "Generate" in p

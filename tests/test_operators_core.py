@@ -202,3 +202,32 @@ def test_global_low_quantile_flag(spark):
     exp = pdf.v < q1 - 1.5 * (q3 - q1)
     assert (out.sort_values("v").low_outlier.to_numpy() == exp[pdf.v.sort_values().index].to_numpy()).all()
     assert out.low_outlier.sum() == exp.sum() >= 2  # the 2 planted + any natural
+
+
+def test_rate_anomaly_flags_spike_and_mad_zero(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # type "a": 20 events/hour for 48 hours, then a 200-event replay storm
+    for h in range(48):
+        n = 200 if h == 40 else 20
+        for i in range(n):
+            rows.append(("a", base + dt.timedelta(hours=h, seconds=i)))
+    # type "b": perfectly constant 5/hour -> MAD = 0 -> NULL z, never flagged
+    for h in range(48):
+        for i in range(5):
+            rows.append(("b", base + dt.timedelta(hours=h, seconds=i)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = outliers.rate_anomaly(df).toPandas()
+
+    a = out[out.event_type == "a"].set_index("bucket_ts")
+    spike = a.loc[base + dt.timedelta(hours=40)]
+    # 47/48 buckets identical => MAD = 0 => the lone storm flags via the
+    # off-median fallback (NULL z), steady buckets stay clean
+    assert spike["anomalous"] == 1 and spike["n_events"] == 200
+    steady = a.drop(index=base + dt.timedelta(hours=40))
+    assert (steady["anomalous"] == 0).all()
+    b = out[out.event_type == "b"]
+    assert (b["anomalous"] == 0).all()
+    assert b["robust_z"].isna().all() and (b["mad_rate"] == 0).all()
