@@ -133,3 +133,48 @@ def mixing_weights(
         F.round(w, 6).alias("weight"),
         F.round(w / p, 6).alias("sample_factor"),
     )
+
+
+def split_leakage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    splits: Sequence[tuple[str, float]] = DEFAULT_SPLITS,
+    salt: str = "",
+    prefix_chars: int | None = None,
+) -> DataFrame:
+    """Cross-split contamination: normalized-content fingerprints
+    (T.fingerprint_md5) that land in MORE than one split — the id-hash
+    splitter guarantees a *document* never straddles splits, but duplicate
+    *content* under different ids does, and an eval example whose text sits
+    in train is leakage that silently inflates benchmark scores.
+
+    ``prefix_chars`` switches the key from the whole normalized text to its
+    first N characters — the prefix-dedup heuristic (near-identical
+    train/eval examples usually share an opening even when tails diverge).
+
+    Per leaked fingerprint: distinct-split count, doc count, the sorted
+    split list, and a representative doc id. Hash agg on the fingerprint
+    (map-side combine); per-group state is bounded by ``len(splits)``, so
+    10^12 docs reduce to one shuffle of fingerprint groups — the same
+    budget as exact dedup (q20).
+    """
+    d = assign_split(docs, id_col, splits, salt)
+    norm = T.normalized_text(F.col(text_col))
+    if prefix_chars is not None:
+        norm = F.substring(norm, 1, prefix_chars)
+    g = (
+        d.select(
+            F.md5(norm).alias("text_md5"),
+            "split",
+            F.col(id_col).alias("doc_id"),
+        )
+        .groupBy("text_md5")
+        .agg(
+            F.countDistinct("split").cast("long").alias("n_splits"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.array_join(F.array_sort(F.collect_set("split")), ",").alias("splits"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+    return g.where(F.col("n_splits") > 1)

@@ -1493,6 +1493,37 @@ def _split_case_sql() -> str:
 
 
 @q(
+    "q82_split_leakage",
+    """
+    WITH d AS (
+        SELECT doc_id, md5(substr({norm}, 1, 48)) AS text_md5,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS h
+        FROM documents
+    ),
+    s AS (SELECT doc_id, text_md5, {case} AS split FROM d)
+    SELECT text_md5,
+           CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           array_to_string(list_sort(list_distinct(list(split))), ',') AS splits,
+           MIN(doc_id) AS first_doc
+    FROM s GROUP BY text_md5
+    HAVING COUNT(DISTINCT split) > 1
+    """.format(norm=_sql_norm("text"), case=_split_case_sql()),
+)
+def q82(spark, sf_dir):
+    """Cross-split contamination audit (sampling.split_leakage): normalized
+    content fingerprints appearing in more than one of train/val/test — the
+    eval-integrity check the id-hash splitter alone cannot give (duplicate
+    content under different doc ids straddles splits). Keyed on the 48-char
+    normalized-text prefix (prefix-dedup heuristic) so shared openings are
+    caught even when tails diverge. One fingerprint hash-agg, per-group
+    state bounded by the split count."""
+    from .operators import sampling
+
+    return sampling.split_leakage(_t(spark, sf_dir, "documents"), prefix_chars=48)
+
+
+@q(
     "q74_split_assignment",
     """
     WITH b AS (SELECT source,

@@ -70,3 +70,28 @@ def test_mixing_weights_alpha_one_is_natural(spark):
     df = spark.createDataFrame(rows, "source string, text string")
     got = {r["source"]: r["sample_factor"] for r in sampling.mixing_weights(df, alpha=1.0).collect()}
     assert got == {"s0": 1.0, "s1": 1.0}
+
+
+def test_split_leakage_finds_planted_cross_split_dup(spark):
+    from audit_anomaly_detection_etl_spark.operators import sampling
+
+    # find two ids hashing to different splits, then give them identical text
+    probe = spark.createDataFrame(
+        [(f"id-{i}",) for i in range(200)], "doc_id string"
+    )
+    assigned = {r["doc_id"]: r["split"] for r in sampling.assign_split(probe).collect()}
+    by_split = {}
+    for k, v in assigned.items():
+        by_split.setdefault(v, []).append(k)
+    assert len(by_split) >= 2
+    (s1, ids1), (s2, ids2) = sorted(by_split.items())[:2]
+
+    rows = [(ids1[0], "THE  leaked Text"), (ids2[0], "the leaked text")]
+    rows += [(i, f"unique text {i}") for i in ids1[1:4] + ids2[1:4]]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = sampling.split_leakage(docs).collect()
+    assert len(out) == 1
+    leak = out[0]
+    assert leak["n_splits"] == 2 and leak["n_docs"] == 2
+    assert leak["splits"] == ",".join(sorted([s1, s2]))
+    assert leak["first_doc"] == min(ids1[0], ids2[0])
