@@ -1524,6 +1524,51 @@ def q82(spark, sf_dir):
 
 
 @q(
+    "q83_embedding_qa",
+    """
+    WITH m AS (
+        SELECT vec_id,
+               CAST(len(embedding) AS INT) AS dim,
+               CAST(len(list_filter(embedding, x -> isnan(x) OR isinf(x)))
+                    AS INT) AS n_nonfinite,
+               sqrt(coalesce(list_sum(list_transform(
+                    CAST(embedding AS DOUBLE[]), x -> x * x)), 0)) AS nrm
+        FROM embeddings
+    ),
+    d0 AS (SELECT mode(dim) AS dim0 FROM m),
+    prof AS (
+        SELECT avg(CASE WHEN n_nonfinite = 0 AND nrm > 1e-6 AND dim = dim0
+                        THEN nrm END) AS mu,
+               stddev_samp(CASE WHEN n_nonfinite = 0 AND nrm > 1e-6
+                                AND dim = dim0 THEN nrm END) AS sd
+        FROM m, d0
+    )
+    SELECT vec_id, dim, n_nonfinite,
+           ROUND(nrm, 6) AS l2_norm,
+           ROUND(CASE WHEN sd > 0 AND n_nonfinite = 0 AND nrm > 1e-6
+                      AND dim = dim0 THEN (nrm - mu) / sd END, 6) AS norm_z,
+           dim != dim0 AS dim_mismatch,
+           n_nonfinite > 0 AS nonfinite,
+           nrm <= 1e-6 AS zero_norm,
+           coalesce(CASE WHEN sd > 0 AND n_nonfinite = 0 AND nrm > 1e-6
+                         AND dim = dim0
+                         THEN abs((nrm - mu) / sd) > 4.0 END,
+                    FALSE) AS norm_outlier
+    FROM m, d0, prof
+    """,
+)
+def q83(spark, sf_dir):
+    """Embedding hygiene validation (operators/embedqa.py): per-vector
+    verdicts on dim mismatch vs the corpus modal dim, NaN/Inf elements,
+    zero norm (undefined cosine), and finite-norm outliers (|z| > 4 vs the
+    clean-vector profile) — the vector analogue of the audio payload
+    checks. One narrow codegen pass + two broadcast 1-row aggregates."""
+    from .operators import embedqa
+
+    return embedqa.embedding_qa(_t(spark, sf_dir, "embeddings"))
+
+
+@q(
     "q74_split_assignment",
     """
     WITH b AS (SELECT source,
