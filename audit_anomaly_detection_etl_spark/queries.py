@@ -1569,6 +1569,64 @@ def q83(spark, sf_dir):
 
 
 @q(
+    "q84_windowed_drift",
+    """
+    WITH e AS (SELECT ts, value FROM events WHERE value IS NOT NULL),
+    c AS (SELECT CAST(LEAST(GREATEST(FLOOR(value / 25.0), 0), 19) AS INT) AS bin,
+                 date_trunc('day', ts) AS ws, COUNT(*) AS n
+          FROM e GROUP BY 1, 2),
+    ref AS (SELECT bin, CAST(SUM(n) AS DOUBLE) AS rn FROM c GROUP BY bin),
+    reftot AS (SELECT SUM(rn) AS m FROM ref),
+    bins AS (SELECT CAST(range AS INT) AS bin FROM range(0, 20)),
+    refp AS (SELECT b.bin,
+                    GREATEST(coalesce(rn, 0) / (SELECT m FROM reftot), 1e-9) AS pe,
+                    coalesce(rn, 0) / (SELECT m FROM reftot) AS pe_raw
+             FROM bins b LEFT JOIN ref USING (bin)),
+    wins AS (SELECT ws, CAST(SUM(n) AS DOUBLE) AS total FROM c GROUP BY ws),
+    dense AS (SELECT w.ws, w.total, b.bin, CAST(coalesce(c.n, 0) AS DOUBLE) AS n
+              FROM wins w CROSS JOIN bins b
+              LEFT JOIN c ON c.ws = w.ws AND c.bin = b.bin),
+    terms AS (SELECT ws, total, bin,
+                     GREATEST(n / total, 1e-9) AS pa, n / total AS pa_raw,
+                     pe, pe_raw
+              FROM dense JOIN refp USING (bin)),
+    cdf AS (SELECT ws, total, (pa - pe) * LN(pa / pe) AS term,
+                   SUM(pa_raw - pe_raw) OVER (PARTITION BY ws ORDER BY bin) AS d
+            FROM terms)
+    SELECT CAST(ws AS TIMESTAMP) AS window_start,
+           CAST(ws + INTERVAL 1 DAY AS TIMESTAMP) AS window_end,
+           CAST(total AS BIGINT) AS n_events,
+           ROUND(SUM(term), 6) AS psi,
+           ROUND(MAX(ABS(d)), 6) AS ks,
+           ROUND(1.36 * sqrt((m + total) / (m * total)), 6) AS ks_crit,
+           (SUM(term) > 0.25 OR MAX(ABS(d)) > 1.36 * sqrt((m + total) / (m * total)))
+               AS drifted
+    FROM cdf, reftot GROUP BY ws, total, m
+    """,
+)
+def q84(spark, sf_dir):
+    """Windowed distribution drift (streaming/drift_stream.py, batch path):
+    per-day event-time histograms of ``value`` scored PSI + KS against the
+    table-wide reference profile — the same plan Structured Streaming runs
+    incrementally (watermarked window counts; the finalize touches only the
+    #windows x #bins aggregate, ref profile is a 20-double literal, never a
+    join). Oracle replicates the eps-floored PSI and un-floored ECDF KS of
+    functions/stats exactly."""
+    import numpy as np
+
+    from .operators.drift import BinSpec, histogram
+    from .streaming import drift_stream
+
+    ev = _t(spark, sf_dir, "events")
+    spec = BinSpec(col="value", lo=0.0, hi=500.0, n_bins=20)
+    ref = np.zeros(spec.n_bins, dtype=np.int64)
+    for r in histogram(ev, spec).collect():  # bounded: <= n_bins rows
+        ref[r["bin"]] = r["count"]
+    hist = drift_stream.windowed_histogram(ev, spec, ts_col="ts", window="1 day")
+    return drift_stream.psi_over_windows(hist, spec, ref)
+
+
+@q(
     "q74_split_assignment",
     """
     WITH b AS (SELECT source,

@@ -235,6 +235,20 @@ RULES = [
         and p.count("HashAggregate") >= 2,
     ),
     (
+        "q83_embedding_qa",
+        "profile join-backs broadcast 1-row aggs (no shuffle join, no window)",
+        lambda p: "SortMergeJoin" not in p
+        and "CartesianProduct" not in p
+        and _nodes(p, "Window") == 0,
+    ),
+    (
+        "q84_windowed_drift",
+        "windowed drift is pure hash-agg; ref profile is a literal (no join at all)",
+        lambda p: p.count("HashAggregate") >= 2
+        and "Join" not in p
+        and _nodes(p, "Window") == 0,
+    ),
+    (
         "q68_repetition_signals",
         "repetition metrics are pure two-phase hash aggs (no window, no nested loop)",
         lambda p: p.count("HashAggregate") >= 4
