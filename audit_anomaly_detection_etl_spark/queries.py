@@ -1627,6 +1627,69 @@ def q84(spark, sf_dir):
 
 
 @q(
+    "q85_filter_verdicts",
+    """
+    WITH w AS (SELECT doc_id, text, {words} AS ws FROM documents),
+    s AS (SELECT doc_id, len(ws) AS n_words,
+            CASE WHEN len(ws) > 0
+                 THEN list_sum(list_transform(ws, x -> len(x)))
+                      / CAST(len(ws) AS DOUBLE) ELSE 0.0 END AS mwl,
+            CASE WHEN len(ws) > 0
+                 THEN CAST(len(list_filter(ws,
+                        x -> x IN ('the','a','of','to','and'))) AS DOUBLE)
+                      / len(ws) ELSE 0.0 END AS stopr,
+            CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+                / GREATEST(len(ws), 1) AS punctr
+          FROM w),
+    toks AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+    tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+    ts AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS topf
+           FROM tc GROUP BY doc_id),
+    bgs AS (SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                          i -> array_to_string(list_slice(ws, i, i + 1), ' '))) AS bg
+            FROM w),
+    bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bgs GROUP BY doc_id, bg),
+    bs AS (SELECT doc_id,
+                  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                      / SUM(c) AS dupbf
+           FROM bc GROUP BY doc_id),
+    f AS (SELECT s.doc_id, n_words,
+            n_words < 16 AS too_short,
+            n_words > 100000 AS too_long,
+            (mwl < 2.0 OR mwl > 12.0) AS word_len_out,
+            punctr > 0.2 AS high_punct,
+            stopr < 0.02 AS low_stopword,
+            COALESCE(topf > 0.2 OR COALESCE(dupbf, 0.0) > 0.1, FALSE) AS repetitive
+          FROM s LEFT JOIN ts USING (doc_id) LEFT JOIN bs USING (doc_id))
+    SELECT doc_id, CAST(n_words AS INT) AS n_words,
+           too_short, too_long, word_len_out, high_punct, low_stopword, repetitive,
+           CAST(too_short::INT + too_long::INT + word_len_out::INT
+                + high_punct::INT + low_stopword::INT + repetitive::INT AS INT)
+               AS n_fail,
+           (too_short::INT + too_long::INT + word_len_out::INT + high_punct::INT
+                + low_stopword::INT + repetitive::INT = 0) AS keep,
+           CASE WHEN too_short THEN 'too_short'
+                WHEN too_long THEN 'too_long'
+                WHEN word_len_out THEN 'word_len_out'
+                WHEN high_punct THEN 'high_punct'
+                WHEN low_stopword THEN 'low_stopword'
+                WHEN repetitive THEN 'repetitive' END AS first_fail
+    FROM f
+    """.format(words=_sql_words(_sql_norm("text"))),
+)
+def q85(spark, sf_dir):
+    """Composite corpus-filter verdicts (operators/quality_filter.py): the
+    ordered C4/Gopher rule stack — length, word-length, punctuation,
+    stopword, repetition — with per-document keep/n_fail/first_fail
+    attribution. Codegen scalars + the q68 explode-agg repetition shape +
+    one entity-grained join."""
+    from .operators import quality_filter
+
+    return quality_filter.filter_verdicts(_t(spark, sf_dir, "documents"))
+
+
+@q(
     "q74_split_assignment",
     """
     WITH b AS (SELECT source,

@@ -249,6 +249,14 @@ RULES = [
         and _nodes(p, "Window") == 0,
     ),
     (
+        "q85_filter_verdicts",
+        "rule stack: hash aggs + entity-grained hash join, no window/cartesian/UDF",
+        lambda p: p.count("HashAggregate") >= 4
+        and _nodes(p, "Window") == 0
+        and "CartesianProduct" not in p
+        and "BatchEvalPython" not in p,
+    ),
+    (
         "q68_repetition_signals",
         "repetition metrics are pure two-phase hash aggs (no window, no nested loop)",
         lambda p: p.count("HashAggregate") >= 4
