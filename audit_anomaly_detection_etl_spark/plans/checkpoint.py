@@ -43,6 +43,11 @@ class PartitionVerdict:
     snapshot_id: str
     spec_hash: str
     engine_version: str
+    # partition-grain lineage: marker validity is keyed on THIS (plus the
+    # spec hash), not on snapshot_id — an incremental ingest that touches
+    # other partitions must not void this one's verdict. snapshot_id stays
+    # recorded for reporting/audit. "" = pre-fingerprint marker -> stale.
+    part_fingerprint: str = ""
 
 
 class CheckpointStore:
@@ -95,7 +100,17 @@ class CheckpointStore:
         except (json.JSONDecodeError, AttributeError):
             return None
 
-    def completed(self, snapshot_id: str, spec_hash: str) -> dict[int, PartitionVerdict]:
+    def completed(
+        self,
+        snapshot_id: str,
+        spec_hash: str,
+        fingerprints: dict[int, str] | None = None,
+    ) -> dict[int, PartitionVerdict]:
+        """Markers still valid under the current lineage. With
+        ``fingerprints`` (partition -> manifest digest), validity is
+        partition-grained: spec hash AND that partition's own fingerprint —
+        a write elsewhere in the table leaves this marker valid. Without it
+        (legacy callers), falls back to whole-snapshot equality."""
         out = {}
         if not os.path.isdir(self.root):
             return out
@@ -107,17 +122,26 @@ class CheckpointStore:
             except ValueError:
                 continue
             v = self.read(part)
-            if v and v.snapshot_id == snapshot_id and v.spec_hash == spec_hash:
+            if not v or v.spec_hash != spec_hash:
+                continue
+            if fingerprints is not None:
+                if v.part_fingerprint and v.part_fingerprint == fingerprints.get(part):
+                    out[part] = v
+            elif v.snapshot_id == snapshot_id:
                 out[part] = v
         return out
 
 
 def plan_resume(
     table_root: str, store: CheckpointStore, spec_hash: str
-) -> tuple[str, list[int], dict[int, PartitionVerdict]]:
-    """(snapshot_id, pending partitions, already-valid verdicts)."""
+) -> tuple[str, list[int], dict[int, PartitionVerdict], dict[int, str]]:
+    """(snapshot_id, pending partitions, already-valid verdicts,
+    per-partition fingerprints). Pending = partitions with no marker valid
+    at partition grain — after an incremental ingest only the touched
+    partitions re-validate."""
     snap = tableio.snapshot_id(table_root)
     parts = [p.part for p in tableio.list_partitions(table_root)]
-    done = store.completed(snap, spec_hash)
+    fps = tableio.partition_fingerprints(table_root)
+    done = store.completed(snap, spec_hash, fps)
     pending = [p for p in parts if p not in done]
-    return snap, pending, done
+    return snap, pending, done, fps

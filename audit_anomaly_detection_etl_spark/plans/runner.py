@@ -163,7 +163,7 @@ def run_suite(
     spec = spec or SuiteSpec()
     store = CheckpointStore(checkpoint_dir)
     spec_hash = spec.spec_hash()
-    snap, pending, done = plan_resume(clips_root, store, spec_hash)
+    snap, pending, done, part_fps = plan_resume(clips_root, store, spec_hash)
 
     full = tableio.read_table(spark, clips_root)
     schema_issues = (
@@ -307,6 +307,7 @@ def run_suite(
                 snapshot_id=snap,
                 spec_hash=spec_hash,
                 engine_version=__version__,
+                part_fingerprint=part_fps.get(int(p), ""),
             )
             store.write(v)
             done[p] = v

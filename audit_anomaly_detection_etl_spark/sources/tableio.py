@@ -69,6 +69,30 @@ def snapshot_id(root: str) -> str:
     return h.hexdigest()[:16]
 
 
+def partition_fingerprints(root: str) -> dict[int, str]:
+    """Per-partition digest of that partition's OWN file manifest (relative
+    names + sizes) — lineage at partition grain. The global ``snapshot_id``
+    changes on ANY write to the table; a partition fingerprint changes only
+    when that partition's files change, so an incremental ingest that
+    appends to 3 of 10^5 partitions re-validates exactly those 3 (checkpoint
+    markers elsewhere stay valid). Matches Iceberg's per-partition manifest
+    entries the same way snapshot_id matches its snapshot ids.
+    """
+    out: dict[int, str] = {}
+    for name in sorted(os.listdir(root)):
+        m = _PART_RE.match(name)
+        if not m:
+            continue
+        pdir = os.path.join(root, name)
+        h = hashlib.sha256()
+        for f in sorted(os.listdir(pdir)):
+            if f.endswith(".parquet"):
+                h.update(f.encode())
+                h.update(str(os.path.getsize(os.path.join(pdir, f))).encode())
+        out[int(m.group(1))] = h.hexdigest()[:16]
+    return out
+
+
 def read_table(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(root)
 

@@ -96,6 +96,39 @@ def test_rerun_is_noop_and_idempotent(spark, clip_dir, tmp_path):
     }
 
 
+def test_incremental_ingest_revalidates_only_touched_partitions(
+    spark, clip_dir, tmp_path
+):
+    """Partition-grain lineage: appending a file to ONE partition (which
+    changes the global snapshot_id) must re-validate exactly that partition
+    — every other marker stays valid under its own manifest fingerprint."""
+    import shutil
+
+    data = tmp_path / "data"
+    shutil.copytree(clip_dir, data)
+    ckdir = tmp_path / "ck_inc"
+    first = _run(spark, str(data), ckdir)
+    assert len(first.ran_parts) == 16
+
+    # incremental ingest into part=3: append a copy of one of its files
+    pdir = os.path.join(str(data), "clips", "part=3")
+    src = next(f for f in sorted(os.listdir(pdir)) if f.endswith(".parquet"))
+    shutil.copy(os.path.join(pdir, src), os.path.join(pdir, "appended-0.parquet"))
+
+    res = _run(spark, str(data), ckdir)
+    assert res.snapshot_id != first.snapshot_id
+    assert res.ran_parts == [3]
+    assert sorted(res.skipped_parts) == [p for p in range(16) if p != 3]
+    # untouched partitions keep their original verdicts verbatim
+    for p in res.skipped_parts:
+        a, b = res.verdicts[p], first.verdicts[p]
+        assert (a.passed, a.n_rows, a.n_violations) == (b.passed, b.n_rows, b.n_violations)
+    # the touched partition re-validated against its new contents
+    # (file duplicated -> every clip_id in it is now a duplicate)
+    assert res.verdicts[3].n_rows == 2 * first.verdicts[3].n_rows
+    assert not res.verdicts[3].passed
+
+
 def test_spec_change_invalidates_checkpoints(spark, clip_dir, tmp_path):
     ckdir = tmp_path / "ck5"
     _run(spark, clip_dir, ckdir)
