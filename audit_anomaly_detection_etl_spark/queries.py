@@ -1690,6 +1690,41 @@ def q85(spark, sf_dir):
 
 
 @q(
+    "q86_fd_audit",
+    """
+    WITH c AS (SELECT l_returnflag,
+                      coalesce(CAST(l_linestatus AS VARCHAR), ' null') AS rv,
+                      COUNT(*) AS c
+               FROM lineitem GROUP BY 1, 2),
+    p AS (SELECT l_returnflag, CAST(SUM(c) AS BIGINT) AS n_rows,
+                 CAST(MAX(c) AS BIGINT) AS maxc,
+                 CAST(COUNT(DISTINCT rv) AS INT) AS n_rhs_values
+          FROM c GROUP BY 1),
+    d AS (SELECT c.l_returnflag, MIN(rv) AS dominant_rhs
+          FROM c JOIN p USING (l_returnflag) WHERE c = maxc GROUP BY 1)
+    SELECT p.l_returnflag,
+           CASE WHEN dominant_rhs = ' null' THEN NULL ELSE dominant_rhs END
+               AS dominant_rhs,
+           n_rhs_values, n_rows,
+           n_rows - maxc AS n_violations,
+           ROUND(1.0 - CAST(n_rows - maxc AS DOUBLE) / n_rows, 6) AS conformance,
+           n_rhs_values = 1 AS fd_holds
+    FROM p JOIN d USING (l_returnflag)
+    """,
+)
+def q86(spark, sf_dir):
+    """Conditional functional-dependency audit (operators/fdaudit.py):
+    data-driven check of the candidate dependency l_returnflag ->
+    l_linestatus — per lhs group the dominant rhs value, deviating row
+    count and conformance ratio (the cross-column invariant audit the
+    static constraint matrix q36 cannot express). One two-phase hash agg
+    over the data, then lhs-grain joins on the reduced counts."""
+    from .operators import fdaudit
+
+    return fdaudit.fd_audit(_t(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_linestatus")
+
+
+@q(
     "q74_split_assignment",
     """
     WITH b AS (SELECT source,
