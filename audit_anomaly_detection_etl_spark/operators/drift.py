@@ -175,6 +175,80 @@ def metrics_from_counts(
     return out
 
 
+def categorical_drift(
+    df: DataFrame,
+    cat_col: str,
+    ts_col: str = "ts",
+    bucket: str = "day",
+    z_alpha: float = 1.6449,
+) -> DataFrame:
+    """Chi-square drift of a CATEGORICAL column per time bucket vs the
+    table-wide distribution — the counterpart of the numeric PSI/KS checks
+    (a new event type appearing, or one type's share collapsing, moves
+    chi-square long before any numeric histogram).
+
+    Per bucket: ``chi2 = sum (obs - exp)^2 / exp`` over the dense
+    bucket x category grid (absent categories count as obs=0 — that IS the
+    signal), ``dof = n_categories - 1``, and a drifted flag against the
+    Wilson-Hilferty critical value ``dof * (1 - 2/(9 dof) + z * sqrt(2/(9
+    dof)))^3`` (chi-square upper-alpha quantile approximation — closed form,
+    so both engines compute it identically; z_alpha=1.6449 is alpha=0.05).
+    The reference distribution here is the table's own global one, so every
+    bucket category has exp > 0 by construction; with an external reference
+    profile, guard exp=0 categories separately before trusting chi2.
+
+    Scale shape: ONE scan of the detail table down to (bucket, category)
+    counts (two-phase hash agg); every later step — bucket totals, global
+    category shares, the dense grid (broadcast nested-loop of two
+    aggregate-grain sides), the chi2 sum — runs on that reduced table.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts")
+    counts = (
+        df.where(F.col(cat_col).isNotNull())
+        .groupBy(b, F.col(cat_col).alias("cat"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    buckets = counts.groupBy("bucket_ts").agg(F.sum("n").alias("bt"))
+    cats = counts.groupBy("cat").agg(F.sum("n").alias("ct"))
+    grand = cats.agg(F.sum("ct").alias("gt"))
+    cat_share = cats.crossJoin(F.broadcast(grand)).select(
+        "cat", (F.col("ct").cast("double") / F.col("gt")).alias("share")
+    )
+    grid = buckets.crossJoin(F.broadcast(cat_share))
+    dense = grid.join(counts, ["bucket_ts", "cat"], "left").select(
+        "bucket_ts",
+        "bt",
+        "cat",
+        F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("obs"),
+        (F.col("share") * F.col("bt").cast("double")).alias("exp"),
+    )
+    per = dense.groupBy("bucket_ts").agg(
+        F.sum(
+            F.when(
+                F.col("exp") > 0,
+                (F.col("obs") - F.col("exp")) * (F.col("obs") - F.col("exp"))
+                / F.col("exp"),
+            )
+        ).alias("__chi2"),
+        F.sum(F.when(F.col("exp") > 0, 1).otherwise(0)).cast("int").alias("__ncat"),
+        F.first("bt").cast("long").alias("n_events"),
+    )
+    dof = (F.col("__ncat") - 1).cast("int")
+    h = 2.0 / (9.0 * dof.cast("double"))
+    crit = dof.cast("double") * F.pow(
+        F.lit(1.0) - h + F.lit(z_alpha) * F.sqrt(h), F.lit(3.0)
+    )
+    return per.select(
+        F.col("bucket_ts").alias("window_start"),
+        "n_events",
+        F.col("__ncat").alias("n_categories"),
+        F.round(F.col("__chi2"), 6).alias("chi2"),
+        dof.alias("dof"),
+        F.round(crit, 6).alias("chi2_crit"),
+        (F.col("__chi2") > crit).alias("drifted"),
+    )
+
+
 def drift_metrics(
     df: DataFrame,
     hist_ref: DataFrame,

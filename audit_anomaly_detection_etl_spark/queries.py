@@ -1725,6 +1725,47 @@ def q86(spark, sf_dir):
 
 
 @q(
+    "q87_categorical_drift",
+    """
+    WITH c AS (SELECT date_trunc('day', ts) AS b, event_type AS cat, COUNT(*) AS n
+               FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+    bt AS (SELECT b, CAST(SUM(n) AS DOUBLE) AS bt FROM c GROUP BY b),
+    ct AS (SELECT cat, CAST(SUM(n) AS DOUBLE) AS ct FROM c GROUP BY cat),
+    g AS (SELECT SUM(ct) AS gt FROM ct),
+    grid AS (SELECT bt.b, bt.bt, ct.cat, ct.ct / (SELECT gt FROM g) AS share
+             FROM bt CROSS JOIN ct),
+    dense AS (SELECT grid.b, grid.bt, grid.cat,
+                     CAST(coalesce(c.n, 0) AS DOUBLE) AS obs,
+                     share * grid.bt AS exp
+              FROM grid LEFT JOIN c ON c.b = grid.b AND c.cat = grid.cat),
+    per AS (SELECT b, CAST(MAX(bt) AS BIGINT) AS n_events,
+                   SUM((obs - exp) * (obs - exp) / exp) AS chi2,
+                   CAST(COUNT(*) AS INT) AS ncat
+            FROM dense GROUP BY b)
+    SELECT CAST(b AS TIMESTAMP) AS window_start, n_events,
+           ncat AS n_categories,
+           ROUND(chi2, 6) AS chi2,
+           CAST(ncat - 1 AS INT) AS dof,
+           ROUND((ncat - 1) * POW(1.0 - 2.0 / (9.0 * (ncat - 1))
+                 + 1.6449 * sqrt(2.0 / (9.0 * (ncat - 1))), 3.0), 6) AS chi2_crit,
+           chi2 > (ncat - 1) * POW(1.0 - 2.0 / (9.0 * (ncat - 1))
+                 + 1.6449 * sqrt(2.0 / (9.0 * (ncat - 1))), 3.0) AS drifted
+    FROM per
+    """,
+)
+def q87(spark, sf_dir):
+    """Categorical drift (operators/drift.categorical_drift): per-day
+    chi-square of the event_type distribution vs the table-wide shares,
+    flagged against the Wilson-Hilferty alpha=0.05 critical value — the
+    categorical counterpart of the numeric PSI/KS window checks (q84).
+    One scan to (day, type) counts; everything downstream is
+    aggregate-grain."""
+    from .operators import drift as drift_ops
+
+    return drift_ops.categorical_drift(_t(spark, sf_dir, "events"), "event_type")
+
+
+@q(
     "q74_split_assignment",
     """
     WITH b AS (SELECT source,
