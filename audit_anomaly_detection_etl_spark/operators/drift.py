@@ -200,13 +200,19 @@ def categorical_drift(
     Scale shape: ONE scan of the detail table down to (bucket, category)
     counts (two-phase hash agg); every later step — bucket totals, global
     category shares, the dense grid (broadcast nested-loop of two
-    aggregate-grain sides), the chi2 sum — runs on that reduced table.
+    aggregate-grain sides), the chi2 sum — runs on that reduced table. The
+    counts table feeds four otherwise-unshared subtrees (bucket totals,
+    category totals, grand total, the dense join-back); Catalyst does not
+    share common subplans, so without reuse the DETAIL scan runs 4x — the
+    lazy localCheckpoint (same trade-offs as dedup.minhash_lsh_pairs)
+    pins the tiny aggregate-grain table once instead.
     """
     b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts")
     counts = (
         df.where(F.col(cat_col).isNotNull())
         .groupBy(b, F.col(cat_col).alias("cat"))
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
     )
     buckets = counts.groupBy("bucket_ts").agg(F.sum("n").alias("bt"))
     cats = counts.groupBy("cat").agg(F.sum("n").alias("ct"))

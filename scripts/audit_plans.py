@@ -257,6 +257,17 @@ RULES = [
         and "BatchEvalPython" not in p,
     ),
     (
+        "q87_categorical_drift",
+        "chi2 grid built from aggregate-grain sides: detail scanned once via "
+        "checkpointed counts (no parquet rescan), BNLJ only between aggregates, "
+        "no window/cartesian/UDF",
+        lambda p: _nodes(p, "Scan parquet") == 0
+        and _nodes(p, "BroadcastNestedLoopJoin") <= 2
+        and "CartesianProduct" not in p
+        and _nodes(p, "Window") == 0
+        and "BatchEvalPython" not in p,
+    ),
+    (
         "q68_repetition_signals",
         "repetition metrics are pure two-phase hash aggs (no window, no nested loop)",
         lambda p: p.count("HashAggregate") >= 4
