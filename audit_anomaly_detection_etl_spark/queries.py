@@ -1766,6 +1766,49 @@ def q87(spark, sf_dir):
 
 
 @q(
+    "q88_benford_audit",
+    """
+    WITH base AS (SELECT l_suppkey,
+                         CAST(NULLIF(substr(regexp_replace(CAST(l_extendedprice AS VARCHAR),
+                              '[^1-9]', '', 'g'), 1, 1), '') AS INT) AS d
+                  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+    c AS (SELECT l_suppkey, d, COUNT(*) AS n FROM base WHERE d IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT l_suppkey, CAST(SUM(n) AS DOUBLE) AS nt FROM c GROUP BY 1),
+    digits AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) AS v(d)),
+    dense AS (SELECT t.l_suppkey, t.nt, digits.d,
+                     CAST(coalesce(c.n, 0) AS DOUBLE) AS obs,
+                     log10(1.0 + 1.0 / digits.d) AS exp_share
+              FROM t CROSS JOIN digits
+              LEFT JOIN c ON c.l_suppkey = t.l_suppkey AND c.d = digits.d),
+    per AS (SELECT l_suppkey, CAST(MAX(nt) AS BIGINT) AS n_values,
+                   SUM(abs(obs / nt - exp_share)) / 9.0 AS mad,
+                   SUM((obs - exp_share * nt) * (obs - exp_share * nt)
+                       / (exp_share * nt)) AS chi2
+            FROM dense GROUP BY 1)
+    SELECT l_suppkey, n_values,
+           ROUND(mad, 6) AS mad, ROUND(chi2, 6) AS chi2,
+           CASE WHEN mad < 0.006 THEN 'close'
+                WHEN mad < 0.012 THEN 'acceptable'
+                WHEN mad < 0.015 THEN 'marginal'
+                ELSE 'nonconforming' END AS conformity
+    FROM per
+    """,
+)
+def q88(spark, sf_dir):
+    """Benford first-digit conformance audit
+    (operators/benford.benford_audit): per-supplier MAD/chi-square of the
+    extended-price first-significant-digit distribution vs Benford's law,
+    labeled with Nigrini's conformance bands — the model-free fabricated-
+    data screen that complements the magnitude screens (q03-q08). Exact
+    string-based digit extraction; one scan to (group, digit) counts."""
+    from .operators import benford
+
+    return benford.benford_audit(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", ["l_suppkey"]
+    )
+
+
+@q(
     "q74_split_assignment",
     """
     WITH b AS (SELECT source,

@@ -268,6 +268,15 @@ RULES = [
         and "BatchEvalPython" not in p,
     ),
     (
+        "q88_benford_audit",
+        "benford grid built from aggregate-grain sides: detail scanned once via "
+        "checkpointed (group, digit) counts, no window/cartesian/UDF",
+        lambda p: _nodes(p, "Scan parquet") == 0
+        and "CartesianProduct" not in p
+        and _nodes(p, "Window") == 0
+        and "BatchEvalPython" not in p,
+    ),
+    (
         "q68_repetition_signals",
         "repetition metrics are pure two-phase hash aggs (no window, no nested loop)",
         lambda p: p.count("HashAggregate") >= 4
