@@ -1809,6 +1809,55 @@ def q88(spark, sf_dir):
 
 
 @q(
+    "q89_wasserstein_drift",
+    """
+    WITH c AS (SELECT date_trunc('day', ts) AS b,
+                      CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 10.0), 0), 24) AS INT) AS bin,
+                      COUNT(*) AS n
+               FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    bt AS (SELECT b, CAST(SUM(n) AS DOUBLE) AS bt FROM c GROUP BY b),
+    g AS (SELECT bin, CAST(SUM(n) AS DOUBLE) AS ct FROM c GROUP BY bin),
+    t AS (SELECT SUM(ct) AS gt FROM g),
+    gs AS (SELECT bin, ct / (SELECT gt FROM t) AS q FROM g),
+    bins AS (SELECT CAST(UNNEST(range(0, 25)) AS INT) AS bin),
+    grid AS (SELECT bt.b, bt.bt, bins.bin FROM bt CROSS JOIN bins),
+    dense AS (SELECT grid.b, grid.bt, grid.bin,
+                     CAST(coalesce(c.n, 0) AS DOUBLE) / grid.bt AS p,
+                     coalesce(gs.q, 0.0) AS q
+              FROM grid
+              LEFT JOIN c ON c.b = grid.b AND c.bin = grid.bin
+              LEFT JOIN gs ON gs.bin = grid.bin),
+    cum AS (SELECT b, bt,
+                   SUM(p) OVER (PARTITION BY b ORDER BY bin) AS cp,
+                   SUM(q) OVER (PARTITION BY b ORDER BY bin) AS cq
+            FROM dense)
+    SELECT CAST(b AS TIMESTAMP) AS window_start,
+           CAST(MAX(bt) AS BIGINT) AS n_values,
+           ROUND(10.0 * SUM(ABS(cp - cq)), 6) AS w1,
+           ROUND(10.0 * SUM(ABS(cp - cq)) / 250.0, 6) AS w1_norm,
+           (10.0 * SUM(ABS(cp - cq)) / 250.0) > 0.10 AS drifted
+    FROM cum GROUP BY b
+    """,
+)
+def q89(spark, sf_dir):
+    """Wasserstein-1 (earth-mover) drift (operators/drift.wasserstein_drift):
+    per-day W1 distance between the day's equi-width histogram of
+    events.value and the table-wide one, in the column's own units plus a
+    range-normalized drifted flag. Completes the drift family: PSI
+    (share-space, q31/q84), KS (worst CDF gap), chi-square (categorical,
+    q87) — W1 is the CDF *area* gap, robust to empty bins and sensitive to
+    mean shifts KS saturates on. One detail scan to (day, bin) counts;
+    cumulative sums run on the aggregate-grain dense grid in a partitioned
+    window."""
+    from .operators import drift as drift_ops
+
+    return drift_ops.wasserstein_drift(
+        _t(spark, sf_dir, "events"),
+        drift_ops.BinSpec("value", 0.0, 250.0, 25),
+    )
+
+
+@q(
     "q74_split_assignment",
     """
     WITH b AS (SELECT source,

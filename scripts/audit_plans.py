@@ -277,6 +277,15 @@ RULES = [
         and "BatchEvalPython" not in p,
     ),
     (
+        "q89_wasserstein_drift",
+        "W1 cumsums run on aggregate-grain grid: detail scanned once via "
+        "checkpointed (day, bin) counts, windows all partitioned, no cartesian/UDF",
+        lambda p: _nodes(p, "Scan parquet") == 0
+        and unpartitioned_windows(p) == 0
+        and "CartesianProduct" not in p
+        and "BatchEvalPython" not in p,
+    ),
+    (
         "q68_repetition_signals",
         "repetition metrics are pure two-phase hash aggs (no window, no nested loop)",
         lambda p: p.count("HashAggregate") >= 4

@@ -1,0 +1,54 @@
+"""Semantic oracle for operators/drift.wasserstein_drift: a numpy
+re-computation of binned W1 on a synthetic corpus where one day's
+distribution is mean-shifted — that day (and only that day) must flag."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from audit_anomaly_detection_etl_spark.operators import drift
+
+
+def _w1_numpy(day_counts, global_counts, width):
+    p = day_counts / day_counts.sum()
+    q = global_counts / global_counts.sum()
+    return width * np.abs(np.cumsum(p) - np.cumsum(q)).sum()
+
+
+@pytest.fixture(scope="module")
+def shifted_df(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for day in range(4):
+        base = dt.datetime(2024, 3, 1 + day)
+        # days 0-2: values ~ N(40, 8); day 3: shifted to N(80, 8)
+        mu = 80.0 if day == 3 else 40.0
+        for i, v in enumerate(rng.normal(mu, 8.0, size=500)):
+            rows.append((base + dt.timedelta(seconds=i), float(np.clip(v, 0, 120))))
+    return spark.createDataFrame(rows, "ts timestamp, value double")
+
+
+def test_w1_matches_numpy_and_flags_shifted_day(shifted_df):
+    spec = drift.BinSpec("value", 0.0, 120.0, 24)
+    out = drift.wasserstein_drift(shifted_df, spec, w1_norm_threshold=0.10)
+    got = {r["window_start"].day: r for r in out.collect()}
+    assert len(got) == 4
+
+    # numpy oracle from the same binning
+    pdf = shifted_df.toPandas()
+    pdf["day"] = pdf["ts"].dt.day
+    width = 120.0 / 24
+    bins = np.clip(np.floor(pdf["value"] / width).astype(int), 0, 23)
+    glob = np.bincount(bins, minlength=24).astype(float)
+    for day, g in pdf.groupby("day"):
+        dc = np.bincount(bins[g.index], minlength=24).astype(float)
+        want = _w1_numpy(dc, glob, width)
+        assert got[day]["w1"] == pytest.approx(want, abs=1e-5)
+        assert got[day]["n_values"] == 500
+
+    # only the shifted day crosses the 10%-of-range transport threshold
+    assert got[4]["drifted"] is True
+    assert all(got[d]["drifted"] is False for d in (1, 2, 3))
+    # shifted day moved ~3/4 of its mass by ~40 units => w1 ~ 30
+    assert got[4]["w1"] > 20.0
