@@ -1858,6 +1858,32 @@ def q89(spark, sf_dir):
 
 
 @q(
+    "q90_hot_key_audit",
+    """
+    WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+    s AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot, CAST(COUNT(*) AS DOUBLE) AS nkeys
+          FROM c)
+    SELECT user_id, CAST(n AS BIGINT) AS n_rows,
+           ROUND(n / tot, 6) AS share,
+           ROUND(n / (tot / nkeys), 6) AS skew_ratio,
+           CAST(CEIL(n / (tot / nkeys)) AS INT) AS salt_buckets
+    FROM c CROSS JOIN s
+    WHERE n > 1.25 * (tot / nkeys)
+    """,
+)
+def q90(spark, sf_dir):
+    """Hot-key skew audit (operators/skew.hot_keys): the keys whose row
+    count exceeds 1.25x the mean rows-per-key, with the salting fan-out
+    that would even them out — the planning-side complement of AQE's
+    runtime skew-join splitter (AQE cannot split a single hot KEY for an
+    aggregation; salting can). One detail scan to per-key counts; the
+    stats row broadcasts back onto the counts subtree."""
+    from .operators import skew
+
+    return skew.hot_keys(_t(spark, sf_dir, "events"), ["user_id"])
+
+
+@q(
     "q74_split_assignment",
     """
     WITH b AS (SELECT source,

@@ -286,6 +286,16 @@ RULES = [
         and "BatchEvalPython" not in p,
     ),
     (
+        "q90_hot_key_audit",
+        "hot-key audit runs on checkpointed per-key counts: no detail rescan, "
+        "stats row broadcast, no window/cartesian/UDF",
+        lambda p: _nodes(p, "Scan parquet") == 0
+        and _nodes(p, "BroadcastNestedLoopJoin") <= 1
+        and "CartesianProduct" not in p
+        and _nodes(p, "Window") == 0
+        and "BatchEvalPython" not in p,
+    ),
+    (
         "q68_repetition_signals",
         "repetition metrics are pure two-phase hash aggs (no window, no nested loop)",
         lambda p: p.count("HashAggregate") >= 4
