@@ -1884,6 +1884,65 @@ def q90(spark, sf_dir):
 
 
 @q(
+    "q91_chronology_audit",
+    """
+    WITH s AS (SELECT user_id,
+                      epoch_us(ts) - epoch_us(lag(ts) OVER
+                          (PARTITION BY user_id ORDER BY event_id)) AS back_us
+               FROM events)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE back_us < 0) AS BIGINT) AS n_inversions,
+           ROUND(COALESCE(MAX(CASE WHEN back_us < 0 THEN -back_us ELSE 0 END),
+                          0) / 1e6, 6) AS max_backstep_sec,
+           COUNT(*) FILTER (WHERE back_us < 0) = 0 AS monotonic
+    FROM s GROUP BY user_id
+    """,
+)
+def q91(spark, sf_dir):
+    """Chronology audit (operators/sequence.chronology_audit): per-user
+    count of timestamp inversions in event_id arrival order, plus the
+    largest backward jump — the ingest-side version of the reference's
+    backward-jump interview scan (SURVEY.md W3). Lag window partitioned by
+    the entity key (never a global sort); integer-microsecond arithmetic
+    end-to-end."""
+    from .operators import sequence
+
+    return sequence.chronology_audit(
+        _t(spark, sf_dir, "events"), "user_id", "event_id", "ts"
+    )
+
+
+@q(
+    "q92_sequence_gaps",
+    """
+    WITH a AS (SELECT CAST(FLOOR(event_id / 1000) AS BIGINT) AS id_bucket,
+                      MIN(event_id) AS first_id, MAX(event_id) AS last_id,
+                      COUNT(*) AS n_present,
+                      COUNT(DISTINCT event_id) AS n_distinct
+               FROM events WHERE event_id IS NOT NULL GROUP BY 1)
+    SELECT id_bucket, first_id, last_id,
+           CAST(n_present AS BIGINT) AS n_present,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(last_id - first_id + 1 - n_distinct AS BIGINT) AS n_missing,
+           CAST(n_present - n_distinct AS BIGINT) AS n_dup,
+           (last_id - first_id + 1 - n_distinct = 0
+            AND n_present = n_distinct) AS complete
+    FROM a
+    """,
+)
+def q92(spark, sf_dir):
+    """Dense-id completeness audit (operators/sequence.sequence_gaps):
+    per-1000-id range, holes (span minus distinct) and duplicate surrogate
+    ids — dropped or double-delivered events localized to the id range
+    where they happened. Bucketing by id DIV size needs no global min/max
+    pass; the report is span/size rows regardless of table size."""
+    from .operators import sequence
+
+    return sequence.sequence_gaps(_t(spark, sf_dir, "events"), "event_id", 1000)
+
+
+@q(
     "q74_split_assignment",
     """
     WITH b AS (SELECT source,

@@ -66,6 +66,7 @@ WINDOW_PARTITIONED_QUERIES = [
     "q66_stratified_cap",
     "q69_audio_neardup",
     "q72_sequence_packing",
+    "q91_chronology_audit",
 ]
 
 RULES = [
@@ -294,6 +295,14 @@ RULES = [
         and "CartesianProduct" not in p
         and _nodes(p, "Window") == 0
         and "BatchEvalPython" not in p,
+    ),
+    (
+        "q92_sequence_gaps",
+        "id-range completeness is one two-phase hash agg pass: no window, "
+        "no join, scan pruned to the id column",
+        lambda p: _nodes(p, "Window") == 0
+        and "Join" not in p
+        and "ReadSchema: struct<event_id:bigint>" in p,
     ),
     (
         "q68_repetition_signals",
