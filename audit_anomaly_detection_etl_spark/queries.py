@@ -1943,6 +1943,54 @@ def q92(spark, sf_dir):
 
 
 @q(
+    "q93_association_audit",
+    """
+    WITH cells AS (SELECT event_type AS a, EXTRACT(hour FROM ts) AS b,
+                          COUNT(*) AS n
+                   FROM events
+                   WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                   GROUP BY 1, 2),
+    rt AS (SELECT a, CAST(SUM(n) AS DOUBLE) AS rt FROM cells GROUP BY a),
+    ct AS (SELECT b, CAST(SUM(n) AS DOUBLE) AS ct FROM cells GROUP BY b),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot,
+                   CAST(COUNT(DISTINCT a) AS INT) AS n_a,
+                   CAST(COUNT(DISTINCT b) AS INT) AS n_b
+            FROM cells),
+    s AS (SELECT SUM((CAST(cells.n AS DOUBLE) * CAST(cells.n AS DOUBLE))
+                     / (rt.rt * ct.ct)) AS s
+          FROM cells JOIN rt USING (a) JOIN ct USING (b)),
+    f AS (SELECT tot.*, s.s,
+                 tot.tot * (s.s - 1.0) AS chi2,
+                 CAST((tot.n_a - 1) * (tot.n_b - 1) AS INT) AS dof
+          FROM s CROSS JOIN tot)
+    SELECT 'event_type' AS col_a, 'hour' AS col_b,
+           CAST(tot AS BIGINT) AS n, n_a, n_b, dof,
+           ROUND(chi2, 6) AS chi2,
+           ROUND(dof * POW(1.0 - 2.0 / (9.0 * dof)
+                 + 1.6449 * sqrt(2.0 / (9.0 * dof)), 3.0), 6) AS chi2_crit,
+           ROUND(sqrt(GREATEST(chi2, 0.0)
+                 / (tot * LEAST(n_a - 1, n_b - 1))), 6) AS cramers_v,
+           chi2 > dof * POW(1.0 - 2.0 / (9.0 * dof)
+                 + 1.6449 * sqrt(2.0 / (9.0 * dof)), 3.0) AS associated
+    FROM f
+    """,
+)
+def q93(spark, sf_dir):
+    """Categorical-association audit (operators/association.cramers_v):
+    chi-square independence + Cramér's V between the event-type mix and
+    hour-of-day — the balance check marginal drift metrics cannot see (a
+    producer biased toward one hour keeps both marginals plausible). Only
+    OBSERVED contingency cells materialize (chi2 = n(sum obs^2/(rt ct) - 1));
+    one detail scan to (type, hour) counts."""
+    from .operators import association
+
+    ev = _t(spark, sf_dir, "events")
+    return association.cramers_v(
+        ev, "event_type", F.hour("ts"), label_a="event_type", label_b="hour"
+    )
+
+
+@q(
     "q74_split_assignment",
     """
     WITH b AS (SELECT source,

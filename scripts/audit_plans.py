@@ -305,6 +305,16 @@ RULES = [
         and "ReadSchema: struct<event_id:bigint>" in p,
     ),
     (
+        "q93_association_audit",
+        "cramers-v runs on checkpointed contingency cells: no detail rescan, "
+        "only observed cells (no dense-grid fill), broadcast-only joins, no window",
+        lambda p: _nodes(p, "Scan parquet") == 0
+        and _nodes(p, "BroadcastNestedLoopJoin") <= 1
+        and "CartesianProduct" not in p
+        and _nodes(p, "Window") == 0
+        and "BatchEvalPython" not in p,
+    ),
+    (
         "q68_repetition_signals",
         "repetition metrics are pure two-phase hash aggs (no window, no nested loop)",
         lambda p: p.count("HashAggregate") >= 4
