@@ -335,3 +335,60 @@ def ngram_contamination(
         F.countDistinct("g").alias("matched_grams"),
         F.countDistinct("bench_id").alias("bench_docs"),
     )
+
+
+def edit_verified_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_len: int = 24,
+    sim_threshold: float = 0.9,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup candidate pairs VERIFIED by exact edit distance.
+
+    The probabilistic tiers (MinHash q22, SimHash q23, winnowing q58)
+    propose candidates; this is the precision pass a curation pipeline runs
+    on the survivors before deleting data: pairs whose normalized texts
+    share a ``prefix_len``-char prefix are scored with full Levenshtein and
+    ``edit_sim = 1 - lev / max(len_a, len_b)``, keeping only pairs at or
+    above ``sim_threshold``.
+
+    Levenshtein is O(len_a * len_b) PER PAIR — the expensive exact kernel —
+    so the candidate generator must bound the pair count, never the corpus
+    square. Prefix blocking here is the cheapest such generator (one hash
+    self-join on a fixed-width key); hot prefixes (boilerplate openings) are
+    dropped at ``max_bucket`` like every other blocking tier. In a real
+    pipeline the input is the candidate output of q22/q58; the distance runs
+    JVM-side (Catalyst ``levenshtein``), no Python.
+    """
+    nt = (
+        _spread(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            T.normalized_text(F.col(text_col)).alias("nt"),
+        )
+        .where(F.length("nt") >= prefix_len)
+        .withColumn("pfx", F.substring("nt", 1, prefix_len))
+        .localCheckpoint(eager=False)  # consumed 3x: sizes + both join sides
+    )
+    sizes = nt.groupBy("pfx").agg(F.count(F.lit(1)).alias("bn"))
+    ok = nt.join(F.broadcast(sizes.where(F.col("bn") > max_bucket)), "pfx", "left_anti")
+    a = ok.alias("a")
+    b = ok.alias("b")
+    lev = F.levenshtein(F.col("a.nt"), F.col("b.nt"))
+    mx = F.greatest(F.length("a.nt"), F.length("b.nt")).cast("double")
+    sim = F.lit(1.0) - lev.cast("double") / mx
+    return (
+        a.join(
+            b,
+            (F.col("a.pfx") == F.col("b.pfx")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            lev.cast("int").alias("lev"),
+            F.round(sim, 6).alias("edit_sim"),
+            (sim >= F.lit(sim_threshold)).alias("near_dup"),
+        )
+    )

@@ -1991,6 +1991,37 @@ def q93(spark, sf_dir):
 
 
 @q(
+    "q94_edit_verified_pairs",
+    """
+    WITH d AS (SELECT doc_id, {norm} AS nt FROM documents),
+    k AS (SELECT doc_id, nt, substr(nt, 1, 24) AS pfx FROM d
+          WHERE length(nt) >= 24),
+    sz AS (SELECT pfx FROM k GROUP BY pfx HAVING COUNT(*) <= 1000),
+    ok AS (SELECT k.* FROM k JOIN sz USING (pfx))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.nt, b.nt) AS INT) AS lev,
+           ROUND(1.0 - levenshtein(a.nt, b.nt)
+                 / CAST(GREATEST(length(a.nt), length(b.nt)) AS DOUBLE), 6)
+               AS edit_sim,
+           (1.0 - levenshtein(a.nt, b.nt)
+                 / CAST(GREATEST(length(a.nt), length(b.nt)) AS DOUBLE)) >= 0.9
+               AS near_dup
+    FROM ok a JOIN ok b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+    """.format(norm=_sql_norm("text")),
+)
+def q94(spark, sf_dir):
+    """Exact edit-distance verification of near-dup candidates
+    (operators/dedup.edit_verified_pairs): prefix-blocked pairs scored with
+    full Levenshtein and an edit-similarity ratio — the precision pass run
+    on the probabilistic tiers' survivors (q22/q23/q58) before deletion.
+    The O(L^2)-per-pair kernel runs JVM-side (Catalyst levenshtein) on a
+    bounded candidate set (hot prefixes dropped at max_bucket)."""
+    from .operators import dedup as dedup_ops
+
+    return dedup_ops.edit_verified_pairs(_t(spark, sf_dir, "documents"))
+
+
+@q(
     "q74_split_assignment",
     """
     WITH b AS (SELECT source,

@@ -315,6 +315,15 @@ RULES = [
         and "BatchEvalPython" not in p,
     ),
     (
+        "q94_edit_verified_pairs",
+        "levenshtein verification: bounded prefix-block self-join (no cartesian), "
+        "JVM-side distance (no Python), no window",
+        lambda p: "CartesianProduct" not in p
+        and "BatchEvalPython" not in p
+        and _nodes(p, "Window") == 0
+        and "levenshtein" in p,
+    ),
+    (
         "q68_repetition_signals",
         "repetition metrics are pure two-phase hash aggs (no window, no nested loop)",
         lambda p: p.count("HashAggregate") >= 4
