@@ -30,6 +30,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..functions import codecs
 
@@ -712,3 +713,59 @@ def slice_segments(
 
     pruned = clips.select("clip_id", "part", "bytes", "codec", "sr_hz")
     return pruned.mapInPandas(batches, schema=schema)
+
+
+# codecs.decode returns normalized float PCM in [-1, 1) -> full scale is 1.0
+_FULL_SCALE = 1.0
+
+
+def loudness_audit(
+    features: DataFrame,
+    target_dbfs: float = -20.0,
+    tolerance_db: float = 1.0,
+) -> DataFrame:
+    """Normalization-gain / clipping-headroom audit over audio_features
+    output — pure Catalyst on the already-decoded per-clip RMS and peak (no
+    second decode pass; compose ``loudness_audit(audio_features(clips))``
+    and the two fuse into one mapInPandas + one projection).
+
+    Per clip: ``rms_dbfs``/``peak_dbfs`` (20*log10(x / 32768)), the
+    ``gain_db`` that would move RMS to ``target_dbfs``, the available
+    ``headroom_db`` before the peak hits full scale, and a verdict:
+
+    - ``ok``          |gain| <= tolerance_db — already at target loudness
+    - ``boost``       needs gain up and the peak survives it
+    - ``boost_clips`` needs gain up but gain > headroom: normalizing this
+      clip WOULD hard-clip — it must be limited or rejected, the exact rows
+      a loudness-normalizing training pipeline has to quarantine
+    - ``attenuate``   needs gain down (always safe)
+    - ``undecodable`` decode failed or the clip is digital silence (rms=0,
+      dBFS undefined)
+    """
+    rms_db = F.lit(20.0) * F.log10(F.col("rms") / F.lit(_FULL_SCALE))
+    peak_db = F.lit(20.0) * F.log10(F.col("peak") / F.lit(_FULL_SCALE))
+    gain = F.lit(target_dbfs) - rms_db
+    headroom = -peak_db
+    bad = (
+        ~F.col("decode_ok")
+        | F.col("rms").isNull()
+        | F.isnan("rms")
+        | (F.col("rms") <= 0)
+    )
+    verdict = (
+        F.when(bad, F.lit("undecodable"))
+        .when(F.abs(gain) <= tolerance_db, F.lit("ok"))
+        .when((gain > 0) & (gain > headroom), F.lit("boost_clips"))
+        .when(gain > 0, F.lit("boost"))
+        .otherwise(F.lit("attenuate"))
+    )
+    null_if_bad = lambda c: F.when(~bad, c)  # noqa: E731
+    return features.select(
+        "clip_id",
+        "part",
+        F.round(null_if_bad(rms_db), 6).alias("rms_dbfs"),
+        F.round(null_if_bad(peak_db), 6).alias("peak_dbfs"),
+        F.round(null_if_bad(gain), 6).alias("gain_db"),
+        F.round(null_if_bad(headroom), 6).alias("headroom_db"),
+        verdict.alias("verdict"),
+    )

@@ -2922,6 +2922,28 @@ def q44(spark, sf_dir):
     )
 
 
+@q("q95_loudness_audit")
+def q95(spark, sf_dir):
+    """Loudness-normalization gain / clipping-headroom audit
+    (operators/media.loudness_audit over audio_features): per clip the gain
+    to hit -20 dBFS RMS, the headroom before the peak clips, and a verdict
+    (ok / boost / boost_clips / attenuate / undecodable) — boost_clips rows
+    are the clips a normalizing pipeline must limit or quarantine. Binary
+    decode => rows-only for the driver; exact numpy dBFS oracle in
+    tests/test_loudness.py."""
+    from .operators import media
+    from .sources import synth
+
+    t = synth.generate_clips(n_clips=400, n_parts=8, seed=7)
+    clips = spark.createDataFrame(t.clips.to_pandas())
+    audit = media.loudness_audit(media.audio_features(clips))
+    return audit.groupBy("part", "verdict").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("gain_db"), 6).alias("mean_gain_db"),
+        F.round(F.min("headroom_db"), 6).alias("min_headroom_db"),
+    )
+
+
 @q(
     "q45_frame_plan",
     """

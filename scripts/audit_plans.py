@@ -324,6 +324,12 @@ RULES = [
         and "levenshtein" in p,
     ),
     (
+        "q95_loudness_audit",
+        "loudness audit fuses with audio_features into ONE mapInPandas pass "
+        "(dBFS/gain/verdict are Catalyst projections), no row-wise Python",
+        lambda p: _nodes(p, "MapInPandas") == 1 and "BatchEvalPython" not in p,
+    ),
+    (
         "q68_repetition_signals",
         "repetition metrics are pure two-phase hash aggs (no window, no nested loop)",
         lambda p: p.count("HashAggregate") >= 4
