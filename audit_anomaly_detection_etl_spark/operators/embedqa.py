@@ -98,3 +98,78 @@ def embedding_qa(
         (F.col("__norm") <= zero_tol).alias("zero_norm"),
         F.coalesce(F.abs(z) > z_thresh, F.lit(False)).alias("norm_outlier"),
     )
+
+
+def label_noise_audit(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Centroid-margin label-noise screen: flag vectors that sit closer to
+    ANOTHER label's centroid than to their own — the classic first-pass
+    mislabeled-example detector (the cheap end of confident-learning; a
+    vector whose margin is negative is either labeled wrong or lives on a
+    genuine class boundary, and both deserve human eyes before training).
+
+    Two narrow passes over the vectors, both JVM-side:
+    1. centroids: posexplode -> (label, pos) avg -> re-assembled per-label
+       array (n_labels rows — tiny). The explode multiplies rows by dim but
+       feeds straight into a two-phase hash agg (map-side combine), so the
+       shuffle carries n_labels x dim rows per task.
+    2. scoring: vectors crossJoin the BROADCAST centroid table; squared
+       distance is a sequential zip_with/aggregate fold (no explode, no
+       Python); one hash agg to (vec, own/nearest-other) grain. The
+       nearest-other argmin is min(struct(d2, label)) — deterministic
+       tie-break by label on both engines.
+
+    Deliberately NOT localCheckpoint'ed: the two consumers of the input need
+    different projections and at 10^12 rows re-scanning pruned parquet twice
+    beats pinning the full vector column once.
+
+    Returns (vec_id, label, own_d2, nearest_other_label, nearest_other_d2,
+    margin, suspect): margin = nearest_other_d2 - own_d2, suspect when
+    margin < 0.
+    """
+    e = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).where(F.col("v").isNotNull() & F.col("label").isNotNull())
+
+    pos = e.select("label", F.posexplode("v").alias("pos", "val"))
+    cpos = pos.groupBy("label", "pos").agg(F.avg("val").alias("c"))
+    cent = (
+        cpos.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+        .select(F.col("label").alias("cand"), "cv")
+    )
+
+    d2 = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d = e.crossJoin(F.broadcast(cent)).select("vec_id", "label", "cand", d2.alias("d2"))
+    agg = d.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("cand") == F.col("label"), F.col("d2"))).alias("own_d2"),
+        F.min(
+            F.when(
+                F.col("cand") != F.col("label"), F.struct(F.col("d2"), F.col("cand"))
+            )
+        ).alias("m"),
+    )
+    margin = F.col("m.d2") - F.col("own_d2")
+    return agg.select(
+        "vec_id",
+        "label",
+        F.round("own_d2", 6).alias("own_d2"),
+        F.col("m.cand").alias("nearest_other_label"),
+        F.round("m.d2", 6).alias("nearest_other_d2"),
+        F.round(margin, 6).alias("margin"),
+        (margin < 0).alias("suspect"),
+    )

@@ -2022,6 +2022,45 @@ def q94(spark, sf_dir):
 
 
 @q(
+    "q96_label_noise_audit",
+    """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+    p AS (SELECT CAST(UNNEST(range(1, 65)) AS INT) AS pos),
+    cpos AS (SELECT label, pos, AVG(v[pos]) AS c
+             FROM e CROSS JOIN p GROUP BY label, pos),
+    cent AS (SELECT label AS cand, list(c ORDER BY pos) AS cv
+             FROM cpos GROUP BY label),
+    d AS (SELECT e.vec_id, e.label, cent.cand,
+                 list_sum(list_transform(range(1, 65),
+                          i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS d2
+          FROM e CROSS JOIN cent),
+    ow AS (SELECT vec_id, label, d2 AS own_d2 FROM d WHERE cand = label),
+    oth AS (SELECT vec_id, d2, cand,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cand) AS rn
+            FROM d WHERE cand != label)
+    SELECT ow.vec_id, ow.label,
+           ROUND(own_d2, 6) AS own_d2,
+           oth.cand AS nearest_other_label,
+           ROUND(oth.d2, 6) AS nearest_other_d2,
+           ROUND(oth.d2 - own_d2, 6) AS margin,
+           oth.d2 < own_d2 AS suspect
+    FROM ow JOIN oth ON ow.vec_id = oth.vec_id AND oth.rn = 1
+    """,
+)
+def q96(spark, sf_dir):
+    """Label-noise screen (operators/embedqa.label_noise_audit): per vector
+    the squared distance to its own label centroid vs the nearest other
+    centroid — negative margin flags probable mislabels / class-boundary
+    rows for review before training. Centroids via one explode+hash-agg
+    pass; scoring via broadcast centroids + zip_with fold (no explode, no
+    Python)."""
+    from .operators import embedqa
+
+    return embedqa.label_noise_audit(_t(spark, sf_dir, "embeddings"))
+
+
+@q(
     "q74_split_assignment",
     """
     WITH b AS (SELECT source,

@@ -330,6 +330,15 @@ RULES = [
         lambda p: _nodes(p, "MapInPandas") == 1 and "BatchEvalPython" not in p,
     ),
     (
+        "q96_label_noise_audit",
+        "label-noise scoring: centroids broadcast onto vectors (one BNLJ), "
+        "distance is a JVM fold (no Python), no window",
+        lambda p: _nodes(p, "BroadcastNestedLoopJoin") <= 1
+        and "CartesianProduct" not in p
+        and "BatchEvalPython" not in p
+        and _nodes(p, "Window") == 0,
+    ),
+    (
         "q68_repetition_signals",
         "repetition metrics are pure two-phase hash aggs (no window, no nested loop)",
         lambda p: p.count("HashAggregate") >= 4
