@@ -108,3 +108,68 @@ def referential_violations(
         F.lit(1.0).alias("severity"),
     )
     return missing.select(*VIOLATION_COLS).unionByName(orphans.select(*VIOLATION_COLS))
+
+
+def fk_health_matrix(
+    edges: list[tuple[str, DataFrame, str, str, DataFrame, str]],
+) -> DataFrame:
+    """One-report referential health across EVERY foreign-key edge of a
+    schema: for each (edge_name, child_df, fk_col, parent_name, parent_df,
+    pk_col), the child row count, distinct FK values, orphaned rows
+    (FK value absent from the parent), null FKs, and an ok verdict.
+
+    The reference checks one relationship at a time
+    (data_processing/nodes.py merge-validate); a lake with a dozen tables
+    needs the whole matrix in one run — this is the suite-level
+    "referential" check generalized to any number of edges.
+
+    Scale shape per edge: the child reduces to DISTINCT FK values FIRST
+    (two-phase hash agg), so the anti-join against the parent runs at key
+    grain, never row grain — orphan ROW counts come from joining the
+    (distinct value, count) table, not re-scanning the child. Parents are
+    typically dimension-sized: Spark broadcasts them under AQE; a huge
+    parent degrades to a key-grain sort-merge join. Edges are independent
+    one-row aggregates unioned at the end — Spark runs them as parallel
+    jobs inside one action.
+    """
+    reports = []
+    for edge_name, child, fk, parent_name, parent, pk in edges:
+        vals = (
+            child.select(F.col(fk).alias("__v"))
+            .groupBy("__v")
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        pkeys = parent.select(F.col(pk).alias("__v")).distinct()
+        orphan = vals.where(F.col("__v").isNotNull()).join(pkeys, "__v", "left_anti")
+        per_edge = vals.agg(
+            F.sum("__n").cast("long").alias("child_rows"),
+            F.sum(F.when(F.col("__v").isNotNull(), F.col("__n")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("nonnull_rows"),
+            F.count(F.when(F.col("__v").isNotNull(), F.lit(1))).cast("long").alias(
+                "distinct_fk"
+            ),
+        ).crossJoin(
+            F.broadcast(
+                orphan.agg(
+                    F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("orphan_rows"),
+                    F.count(F.lit(1)).cast("long").alias("orphan_values"),
+                )
+            )
+        )
+        reports.append(
+            per_edge.select(
+                F.lit(edge_name).alias("edge"),
+                F.lit(parent_name).alias("parent"),
+                "child_rows",
+                (F.col("child_rows") - F.col("nonnull_rows")).alias("null_fk_rows"),
+                "distinct_fk",
+                "orphan_values",
+                "orphan_rows",
+                ((F.col("orphan_rows") == 0) & (F.col("child_rows") == F.col("nonnull_rows"))).alias("ok"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

@@ -2061,6 +2061,141 @@ def q96(spark, sf_dir):
 
 
 @q(
+    "q97_fk_health_matrix",
+    """
+    SELECT 'lineitem.l_orderkey' AS edge, 'orders' AS parent,
+           e.child_rows, e.null_fk_rows, e.distinct_fk,
+           o.orphan_values, o.orphan_rows,
+           (o.orphan_rows = 0 AND e.null_fk_rows = 0) AS ok
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS child_rows,
+                 CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT) AS null_fk_rows,
+                 CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS distinct_fk
+          FROM lineitem) e
+    CROSS JOIN (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS orphan_values,
+                       CAST(COUNT(*) AS BIGINT) AS orphan_rows
+                FROM lineitem WHERE l_orderkey IS NOT NULL
+                  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)) o
+    
+    UNION ALL
+
+    SELECT 'lineitem.l_partkey' AS edge, 'part' AS parent,
+           e.child_rows, e.null_fk_rows, e.distinct_fk,
+           o.orphan_values, o.orphan_rows,
+           (o.orphan_rows = 0 AND e.null_fk_rows = 0) AS ok
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS child_rows,
+                 CAST(COUNT(*) - COUNT(l_partkey) AS BIGINT) AS null_fk_rows,
+                 CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS distinct_fk
+          FROM lineitem) e
+    CROSS JOIN (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS orphan_values,
+                       CAST(COUNT(*) AS BIGINT) AS orphan_rows
+                FROM lineitem WHERE l_partkey IS NOT NULL
+                  AND l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey IS NOT NULL)) o
+    
+    UNION ALL
+
+    SELECT 'lineitem.l_suppkey' AS edge, 'supplier' AS parent,
+           e.child_rows, e.null_fk_rows, e.distinct_fk,
+           o.orphan_values, o.orphan_rows,
+           (o.orphan_rows = 0 AND e.null_fk_rows = 0) AS ok
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS child_rows,
+                 CAST(COUNT(*) - COUNT(l_suppkey) AS BIGINT) AS null_fk_rows,
+                 CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS distinct_fk
+          FROM lineitem) e
+    CROSS JOIN (SELECT CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS orphan_values,
+                       CAST(COUNT(*) AS BIGINT) AS orphan_rows
+                FROM lineitem WHERE l_suppkey IS NOT NULL
+                  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey IS NOT NULL)) o
+    
+    UNION ALL
+
+    SELECT 'orders.o_custkey' AS edge, 'customer' AS parent,
+           e.child_rows, e.null_fk_rows, e.distinct_fk,
+           o.orphan_values, o.orphan_rows,
+           (o.orphan_rows = 0 AND e.null_fk_rows = 0) AS ok
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS child_rows,
+                 CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS null_fk_rows,
+                 CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS distinct_fk
+          FROM orders) e
+    CROSS JOIN (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS orphan_values,
+                       CAST(COUNT(*) AS BIGINT) AS orphan_rows
+                FROM orders WHERE o_custkey IS NOT NULL
+                  AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)) o
+    
+    UNION ALL
+
+    SELECT 'customer.c_nationkey' AS edge, 'nation' AS parent,
+           e.child_rows, e.null_fk_rows, e.distinct_fk,
+           o.orphan_values, o.orphan_rows,
+           (o.orphan_rows = 0 AND e.null_fk_rows = 0) AS ok
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS child_rows,
+                 CAST(COUNT(*) - COUNT(c_nationkey) AS BIGINT) AS null_fk_rows,
+                 CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS distinct_fk
+          FROM customer) e
+    CROSS JOIN (SELECT CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS orphan_values,
+                       CAST(COUNT(*) AS BIGINT) AS orphan_rows
+                FROM customer WHERE c_nationkey IS NOT NULL
+                  AND c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey IS NOT NULL)) o
+    
+    UNION ALL
+
+    SELECT 'supplier.s_nationkey' AS edge, 'nation' AS parent,
+           e.child_rows, e.null_fk_rows, e.distinct_fk,
+           o.orphan_values, o.orphan_rows,
+           (o.orphan_rows = 0 AND e.null_fk_rows = 0) AS ok
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS child_rows,
+                 CAST(COUNT(*) - COUNT(s_nationkey) AS BIGINT) AS null_fk_rows,
+                 CAST(COUNT(DISTINCT s_nationkey) AS BIGINT) AS distinct_fk
+          FROM supplier) e
+    CROSS JOIN (SELECT CAST(COUNT(DISTINCT s_nationkey) AS BIGINT) AS orphan_values,
+                       CAST(COUNT(*) AS BIGINT) AS orphan_rows
+                FROM supplier WHERE s_nationkey IS NOT NULL
+                  AND s_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey IS NOT NULL)) o
+    
+    UNION ALL
+
+    SELECT 'nation.n_regionkey' AS edge, 'region' AS parent,
+           e.child_rows, e.null_fk_rows, e.distinct_fk,
+           o.orphan_values, o.orphan_rows,
+           (o.orphan_rows = 0 AND e.null_fk_rows = 0) AS ok
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS child_rows,
+                 CAST(COUNT(*) - COUNT(n_regionkey) AS BIGINT) AS null_fk_rows,
+                 CAST(COUNT(DISTINCT n_regionkey) AS BIGINT) AS distinct_fk
+          FROM nation) e
+    CROSS JOIN (SELECT CAST(COUNT(DISTINCT n_regionkey) AS BIGINT) AS orphan_values,
+                       CAST(COUNT(*) AS BIGINT) AS orphan_rows
+                FROM nation WHERE n_regionkey IS NOT NULL
+                  AND n_regionkey NOT IN (SELECT r_regionkey FROM region WHERE r_regionkey IS NOT NULL)) o
+    """,
+)
+def q97(spark, sf_dir):
+    """Whole-schema referential health matrix
+    (operators/referential.fk_health_matrix): every FK edge of the star
+    schema in one report — child rows, null FKs, distinct FK values,
+    orphaned values/rows, ok verdict. Each edge reduces the child to
+    DISTINCT key grain before the anti-join (two-phase agg; parent
+    broadcast under AQE); the seven edges run as parallel one-row
+    aggregates unioned at the end."""
+    from .operators import referential as ref_ops
+
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    re_ = _t(spark, sf_dir, "region")
+    pa = _t(spark, sf_dir, "part")
+    return ref_ops.fk_health_matrix([
+        ("lineitem.l_orderkey", li, "l_orderkey", "orders", od, "o_orderkey"),
+        ("lineitem.l_partkey", li, "l_partkey", "part", pa, "p_partkey"),
+        ("lineitem.l_suppkey", li, "l_suppkey", "supplier", su, "s_suppkey"),
+        ("orders.o_custkey", od, "o_custkey", "customer", cu, "c_custkey"),
+        ("customer.c_nationkey", cu, "c_nationkey", "nation", na, "n_nationkey"),
+        ("supplier.s_nationkey", su, "s_nationkey", "nation", na, "n_nationkey"),
+        ("nation.n_regionkey", na, "n_regionkey", "region", re_, "r_regionkey"),
+    ])
+
+
+@q(
     "q74_split_assignment",
     """
     WITH b AS (SELECT source,

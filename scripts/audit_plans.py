@@ -339,6 +339,15 @@ RULES = [
         and _nodes(p, "Window") == 0,
     ),
     (
+        "q97_fk_health_matrix",
+        "fk matrix: key-grain anti-joins (child pre-aggregated to distinct "
+        "FK values), no cartesian/window/Python",
+        lambda p: "LeftAnti" in p
+        and "CartesianProduct" not in p
+        and _nodes(p, "Window") == 0
+        and "BatchEvalPython" not in p,
+    ),
+    (
         "q68_repetition_signals",
         "repetition metrics are pure two-phase hash aggs (no window, no nested loop)",
         lambda p: p.count("HashAggregate") >= 4
