@@ -102,3 +102,73 @@ def column_stats(
         *gb, F.col("n_rows"), F.explode(F.array(*structs)).alias("s")
     ).select(*gb, "s.column", "s.min", "s.max", "s.mean", "s.stddev", "s.null_rate", "n_rows")
     return exploded
+
+
+def profile_diff(
+    ref_stats: DataFrame,
+    cur_stats: DataFrame,
+    z_threshold: float = 3.0,
+    null_rate_eps: float = 0.001,
+) -> DataFrame:
+    """Profile-regression report between two ``column_stats`` outputs (old
+    snapshot vs new snapshot, train split vs eval split, yesterday vs
+    today): per column the paired stats, a two-sample z for the mean shift,
+    the null-rate delta, and three verdicts —
+
+    - ``mean_drift``:     |mean_c - mean_r| / sqrt(sd_r^2/n_r + sd_c^2/n_c)
+                          exceeds ``z_threshold``
+    - ``null_regressed``: null rate rose by more than ``null_rate_eps``
+    - ``range_breach``:   the new data exceeds the reference min/max
+                          envelope (new extremes the old constraints never
+                          saw)
+
+    This is the check that catches "the pipeline still runs but the new
+    snapshot is subtly different" — the reference re-derives bounds from
+    scratch each run (data_processing/nodes.py sigma bounds) and so cannot
+    see slow regressions; diffing profiles across runs can.
+
+    Scale shape: both inputs are already column-grain (one row per column —
+    dozens of rows), so the join is a broadcast hash join of two aggregate
+    results; cost is the two single-pass profile scans that produced them.
+    """
+    r = ref_stats.select(
+        "column",
+        F.col("n_rows").alias("n_ref"),
+        F.col("mean").alias("mean_ref"),
+        F.col("stddev").alias("sd_ref"),
+        F.col("null_rate").alias("nr_ref"),
+        F.col("min").alias("min_ref"),
+        F.col("max").alias("max_ref"),
+    )
+    c = cur_stats.select(
+        "column",
+        F.col("n_rows").alias("n_cur"),
+        F.col("mean").alias("mean_cur"),
+        F.col("stddev").alias("sd_cur"),
+        F.col("null_rate").alias("nr_cur"),
+        F.col("min").alias("min_cur"),
+        F.col("max").alias("max_cur"),
+    )
+    j = r.join(F.broadcast(c), "column")
+    se = F.sqrt(
+        F.col("sd_ref") * F.col("sd_ref") / F.col("n_ref")
+        + F.col("sd_cur") * F.col("sd_cur") / F.col("n_cur")
+    )
+    z = F.abs(F.col("mean_cur") - F.col("mean_ref")) / se
+    null_delta = F.col("nr_cur") - F.col("nr_ref")
+    breach = (F.col("min_cur") < F.col("min_ref")) | (F.col("max_cur") > F.col("max_ref"))
+    return j.select(
+        "column",
+        "n_ref",
+        "n_cur",
+        F.round("mean_ref", 6).alias("mean_ref"),
+        F.round("mean_cur", 6).alias("mean_cur"),
+        F.round(z, 6).alias("mean_shift_z"),
+        F.round("nr_ref", 6).alias("null_rate_ref"),
+        F.round("nr_cur", 6).alias("null_rate_cur"),
+        F.coalesce(z > F.lit(z_threshold), F.lit(False)).alias("mean_drift"),
+        F.coalesce(null_delta > F.lit(null_rate_eps), F.lit(False)).alias(
+            "null_regressed"
+        ),
+        F.coalesce(breach, F.lit(False)).alias("range_breach"),
+    )

@@ -2196,6 +2196,67 @@ def q97(spark, sf_dir):
 
 
 @q(
+    "q98_profile_diff",
+    """
+    WITH r AS (
+      SELECT 'o_totalprice' AS "column",
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             AVG(o_totalprice) AS mean, STDDEV_SAMP(o_totalprice) AS stddev,
+             CAST(COUNT(*) - COUNT(o_totalprice) AS DOUBLE) / COUNT(*) AS null_rate,
+             CAST(MIN(o_totalprice) AS DOUBLE) AS mn, CAST(MAX(o_totalprice) AS DOUBLE) AS mx
+      FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00' UNION ALL 
+      SELECT 'o_custkey' AS "column",
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             AVG(o_custkey) AS mean, STDDEV_SAMP(o_custkey) AS stddev,
+             CAST(COUNT(*) - COUNT(o_custkey) AS DOUBLE) / COUNT(*) AS null_rate,
+             CAST(MIN(o_custkey) AS DOUBLE) AS mn, CAST(MAX(o_custkey) AS DOUBLE) AS mx
+      FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+    c AS (
+      SELECT 'o_totalprice' AS "column",
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             AVG(o_totalprice) AS mean, STDDEV_SAMP(o_totalprice) AS stddev,
+             CAST(COUNT(*) - COUNT(o_totalprice) AS DOUBLE) / COUNT(*) AS null_rate,
+             CAST(MIN(o_totalprice) AS DOUBLE) AS mn, CAST(MAX(o_totalprice) AS DOUBLE) AS mx
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' UNION ALL 
+      SELECT 'o_custkey' AS "column",
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             AVG(o_custkey) AS mean, STDDEV_SAMP(o_custkey) AS stddev,
+             CAST(COUNT(*) - COUNT(o_custkey) AS DOUBLE) / COUNT(*) AS null_rate,
+             CAST(MIN(o_custkey) AS DOUBLE) AS mn, CAST(MAX(o_custkey) AS DOUBLE) AS mx
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
+    SELECT r."column", r.n_rows AS n_ref, c.n_rows AS n_cur,
+           ROUND(r.mean, 6) AS mean_ref, ROUND(c.mean, 6) AS mean_cur,
+           ROUND(ABS(c.mean - r.mean)
+                 / sqrt(r.stddev * r.stddev / r.n_rows
+                        + c.stddev * c.stddev / c.n_rows), 6) AS mean_shift_z,
+           ROUND(r.null_rate, 6) AS null_rate_ref,
+           ROUND(c.null_rate, 6) AS null_rate_cur,
+           COALESCE(ABS(c.mean - r.mean)
+                 / sqrt(r.stddev * r.stddev / r.n_rows
+                        + c.stddev * c.stddev / c.n_rows) > 3.0, FALSE) AS mean_drift,
+           COALESCE(c.null_rate - r.null_rate > 0.001, FALSE) AS null_regressed,
+           COALESCE(c.mn < r.mn OR c.mx > r.mx, FALSE) AS range_breach
+    FROM r JOIN c USING ("column")
+    """,
+)
+def q98(spark, sf_dir):
+    """Cross-snapshot profile regression (operators/column_stats.profile_diff
+    over two column_stats passes): orders before vs after 1997 — per-column
+    mean-shift z, null-rate delta, and min/max envelope breaches. Catches
+    the "pipeline still runs but the new snapshot is subtly different"
+    failures that re-derived bounds cannot see. Two single-pass profile
+    scans; the diff joins two column-grain aggregates (broadcast)."""
+    from .operators import column_stats as cs
+
+    od = _t(spark, sf_dir, "orders")
+    cut = "1997-01-01 00:00:00"
+    num = ["o_totalprice", "o_custkey"]
+    ref = cs.column_stats(od.where(F.col("o_orderdate") < cut), num)
+    cur = cs.column_stats(od.where(F.col("o_orderdate") >= cut), num)
+    return cs.profile_diff(ref, cur)
+
+
+@q(
     "q74_split_assignment",
     """
     WITH b AS (SELECT source,

@@ -348,6 +348,15 @@ RULES = [
         and "BatchEvalPython" not in p,
     ),
     (
+        "q98_profile_diff",
+        "profile diff: two single-pass profile scans with the date predicate "
+        "pushed down, column-grain broadcast join, no window/Python",
+        lambda p: _nodes(p, "Scan parquet") == 2
+        and "PushedFilters: [IsNotNull(o_orderdate)" in p
+        and _nodes(p, "Window") == 0
+        and "BatchEvalPython" not in p,
+    ),
+    (
         "q68_repetition_signals",
         "repetition metrics are pure two-phase hash aggs (no window, no nested loop)",
         lambda p: p.count("HashAggregate") >= 4

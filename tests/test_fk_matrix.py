@@ -33,3 +33,40 @@ def test_fk_matrix_counts_orphans_and_nulls(spark):
     assert good["child_rows"] == 2
     assert good["orphan_rows"] == 0 and good["null_fk_rows"] == 0
     assert good["ok"] is True
+
+
+def test_profile_diff_flags_planted_regressions(spark):
+    """profile_diff: mean shift, null regression, and range breach each fire
+    on a planted current snapshot and stay quiet on a clean one."""
+    import numpy as np
+
+    from audit_anomaly_detection_etl_spark.operators import column_stats as cs
+
+    rng = np.random.default_rng(5)
+    ref_rows = [(float(v), float(w)) for v, w in zip(
+        rng.normal(100, 5, 400), rng.uniform(0, 1, 400))]
+    # cur: 'a' mean shifted +10 and one value beyond ref max; 'b' gains nulls
+    cur_rows = [(float(v), float(w) if i % 10 else None) for i, (v, w) in enumerate(
+        zip(rng.normal(110, 5, 400), rng.uniform(0, 1, 400)))]
+    # range breach kept mild (150 ~ 8 sigma) so it doesn't inflate sd_cur
+    # enough to mask the mean-shift z
+    cur_rows[0] = (150.0, 0.5)
+    ref = spark.createDataFrame(ref_rows, "a double, b double")
+    cur = spark.createDataFrame(cur_rows, "a double, b double")
+    out = {
+        r["column"]: r
+        for r in cs.profile_diff(
+            cs.column_stats(ref, ["a", "b"]), cs.column_stats(cur, ["a", "b"])
+        ).collect()
+    }
+    assert out["a"]["mean_drift"] is True
+    assert out["a"]["range_breach"] is True
+    assert out["a"]["null_regressed"] is False
+    assert out["b"]["null_regressed"] is True
+    assert out["b"]["mean_drift"] is False
+
+    # identical snapshots -> all quiet
+    same = cs.profile_diff(cs.column_stats(ref, ["a"]), cs.column_stats(ref, ["a"]))
+    r = same.collect()[0]
+    assert not (r["mean_drift"] or r["null_regressed"] or r["range_breach"])
+    assert r["mean_shift_z"] == 0.0
