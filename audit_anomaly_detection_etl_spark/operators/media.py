@@ -769,3 +769,39 @@ def loudness_audit(
         F.round(null_if_bad(headroom), 6).alias("headroom_db"),
         verdict.alias("verdict"),
     )
+
+
+def loudness_violations(
+    clips: DataFrame,
+    target_dbfs: float = -20.0,
+    tolerance_db: float = 1.0,
+    key_col: str = "clip_id",
+    part_col: str = "part",
+) -> DataFrame:
+    """Suite adapter for ``loudness_audit``: standard violation rows for
+    clips that CANNOT be loudness-normalized without hard-clipping
+    (verdict ``boost_clips``) — the quarantine set of a normalizing
+    pipeline. Undecodable clips are deliberately NOT re-reported here (the
+    codec/payload checks own that defect; same no-double-count rule as
+    speaking_rate). Severity 3.0: above referential orphans, below
+    uniqueness/payload corruption.
+
+    Cost note: this runs its own audio_features decode pass; enable it in a
+    suite that SKIPS the payload check, or accept a second decode of the
+    wave (the waves are checkpoint-bounded either way).
+    """
+    audit = loudness_audit(audio_features(clips), target_dbfs, tolerance_db)
+    bad = audit.where(F.col("verdict") == "boost_clips")
+    return bad.select(
+        F.col("clip_id").alias("key") if key_col == "clip_id" else F.col(key_col).alias("key"),
+        F.lit("loudness").alias("check"),
+        F.concat(
+            F.lit("gain_db="),
+            F.round(F.col("gain_db"), 2).cast("string"),
+            F.lit(" exceeds headroom_db="),
+            F.round(F.col("headroom_db"), 2).cast("string"),
+            F.lit(f" normalizing to {target_dbfs} dBFS would clip"),
+        ).alias("detail"),
+        F.col(part_col).alias("part"),
+        F.lit(3.0).alias("severity"),
+    )

@@ -106,6 +106,17 @@ def _wave_violations(
                 part_col=spec.schema_spec.part_col,
             )
         )
+    if "loudness" in checks:
+        target, tol = spec.loudness_bounds
+        parts.append(
+            media.loudness_violations(
+                wave_df,
+                target_dbfs=target,
+                tolerance_db=tol,
+                key_col=spec.schema_spec.key_col,
+                part_col=spec.schema_spec.part_col,
+            )
+        )
     if not parts:
         return None
     out = parts[0]

@@ -49,6 +49,11 @@ class SuiteSpec:
     # transcript<->audio plausibility bounds (words/sec); the check itself is
     # opt-in via checks=(..., "speaking_rate") — see media.speaking_rate_violations
     speaking_rate_bounds: tuple = (0.3, 6.0)
+    # loudness-normalization feasibility (target dBFS, ok-tolerance dB);
+    # opt-in via checks=(..., "loudness") — see media.loudness_violations.
+    # NOTE: runs its own decode pass; pair with a suite that skips payload
+    # or accept the second decode of the wave.
+    loudness_bounds: tuple = (-20.0, 1.0)
     # partitioning contract: when the table is bucket-partitioned by
     # hash(key) (Iceberg bucket(clip_id) / our crc32 synth), uniqueness and
     # referential checks decompose per-partition and resume safely. If False
@@ -86,12 +91,12 @@ class SuiteSpec:
 
 _SPEC_KEYS = {
     "schema", "drift", "psi_threshold", "checks", "key_partitioned",
-    "uniqueness_salts", "speaking_rate_bounds",
+    "uniqueness_salts", "speaking_rate_bounds", "loudness_bounds",
 }
 
 # every check name the runner understands — the default SuiteSpec.checks
 # tuple is the default-ON subset, not the universe
-ALL_CHECKS = SuiteSpec().checks + ("speaking_rate",)
+ALL_CHECKS = SuiteSpec().checks + ("speaking_rate", "loudness")
 _SCHEMA_KEYS = {"columns", "key_col", "part_col"}
 _COLUMN_KEYS = {"name", "dtype", "nullable", "allowed", "min_value", "max_value"}
 _DRIFT_KEYS = {"col", "lo", "hi", "n_bins"}
@@ -151,6 +156,11 @@ def spec_from_dict(doc: dict) -> SuiteSpec:
         if not (isinstance(b, (list, tuple)) and len(b) == 2):
             raise ValueError("speaking_rate_bounds must be [min_wps, max_wps]")
         kwargs["speaking_rate_bounds"] = (float(b[0]), float(b[1]))
+    if "loudness_bounds" in doc:
+        b = doc["loudness_bounds"]
+        if not (isinstance(b, (list, tuple)) and len(b) == 2):
+            raise ValueError("loudness_bounds must be [target_dbfs, tolerance_db]")
+        kwargs["loudness_bounds"] = (float(b[0]), float(b[1]))
     if "key_partitioned" in doc:
         kwargs["key_partitioned"] = bool(doc["key_partitioned"])
     if "uniqueness_salts" in doc:

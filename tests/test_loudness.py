@@ -104,3 +104,40 @@ def test_loudness_verdict_edges(spark):
     assert out["c2"] == "ok"
     assert out["c3"] == "boost_clips"
     assert out["c4"] == "undecodable"
+
+
+def test_loudness_in_suite(spark, clip_dir, tmp_path):
+    """Wire-through: checks=("loudness",) with an absurdly high target makes
+    every decodable non-silent clip a boost_clips violation."""
+    import os
+
+    from audit_anomaly_detection_etl_spark.plans.runner import run_suite
+    from audit_anomaly_detection_etl_spark.plans.spec import SuiteSpec
+
+    spec = SuiteSpec(checks=("loudness",), loudness_bounds=(60.0, 1.0))
+    res = run_suite(
+        spark,
+        clips_root=os.path.join(clip_dir, "clips"),
+        ref_root=None,
+        hist_ref_path=None,
+        checkpoint_dir=str(tmp_path / "ck"),
+        spec=spec,
+    )
+    total = sum(v.violations_by_check.get("loudness", 0) for v in res.verdicts.values())
+    assert total > 1000  # nearly all 1200 clips need +gain beyond headroom
+    assert all(set(v.violations_by_check) <= {"loudness"} for v in res.verdicts.values())
+
+
+def test_spec_loader_accepts_loudness(tmp_path):
+    from audit_anomaly_detection_etl_spark.plans.spec import (
+        SuiteSpec,
+        spec_from_file,
+    )
+
+    p = tmp_path / "s.json"
+    p.write_text('{"checks": ["schema", "loudness"], "loudness_bounds": [-18, 2]}')
+    spec = spec_from_file(str(p))
+    assert "loudness" in spec.checks
+    assert spec.loudness_bounds == (-18.0, 2.0)
+    # bounds participate in the lineage hash
+    assert spec.spec_hash() != SuiteSpec(checks=("schema", "loudness")).spec_hash()
