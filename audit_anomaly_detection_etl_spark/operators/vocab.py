@@ -65,3 +65,74 @@ def distinct_counts(
             6,
         ).alias("rows_per_distinct"),
     )
+
+
+def zipf_audit(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_n: int = 200,
+    slope_lo: float = -1.5,
+    slope_hi: float = -0.5,
+    min_r2: float = 0.8,
+) -> DataFrame:
+    """Zipf rank-frequency conformance of the corpus vocabulary: natural
+    language follows ``tf ~ rank^-s`` with s near 1 — a corpus whose
+    log-log rank-frequency line is too flat (machine-generated /
+    boilerplate-heavy text) or badly non-linear (template spam at the head)
+    fails this audit before any per-document quality filter fires.
+
+    One explode + hash agg to (term, tf); the head of the distribution is
+    taken with ``orderBy(tf desc, term).limit(top_n)`` — a
+    TakeOrderedAndProject, which reduces map-side: no global sort, no
+    full-vocabulary shuffle. Ranks are then a row_number over the
+    ALREADY-BOUNDED top_n rows (<= top_n by construction — same bounded
+    exemption as q32's histogram windows), and the least-squares fit of
+    ln(tf) on ln(rank) is closed-form sums, so both engines compute it
+    identically.
+
+    Returns one row: (n_terms, top_tf, slope, r2, zipf_ok).
+    """
+    from pyspark.sql.window import Window
+
+    counts = (
+        docs.select(F.explode(T.words(T.normalized_text(F.col(text_col)))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    top = counts.orderBy(F.col("tf").desc(), F.col("t")).limit(top_n)
+    ranked = top.select(
+        "tf",
+        F.row_number()
+        .over(Window.orderBy(F.col("tf").desc(), F.col("t")))
+        .alias("rank"),
+    )
+    xy = ranked.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("tf").cast("double")).alias("y"),
+        F.col("tf"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.max("tf").cast("long").alias("top_tf"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / denx
+    r2 = (num * num) / (denx * deny)
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        "top_tf",
+        F.round(slope, 6).alias("slope"),
+        F.round(r2, 6).alias("r2"),
+        (
+            (slope >= F.lit(slope_lo))
+            & (slope <= F.lit(slope_hi))
+            & (r2 >= F.lit(min_r2))
+        ).alias("zipf_ok"),
+    )

@@ -2257,6 +2257,41 @@ def q98(spark, sf_dir):
 
 
 @q(
+    "q99_zipf_audit",
+    """
+    WITH tok AS (SELECT UNNEST({words}) AS t FROM documents),
+    c AS (SELECT t, COUNT(*) AS tf FROM tok GROUP BY t),
+    top AS (SELECT t, tf FROM c ORDER BY tf DESC, t LIMIT 200),
+    rk AS (SELECT tf, ROW_NUMBER() OVER (ORDER BY tf DESC, t) AS rank FROM top),
+    xy AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(tf AS DOUBLE)) AS y, tf
+           FROM rk),
+    s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy,
+                 CAST(MAX(tf) AS BIGINT) AS top_tf
+          FROM xy)
+    SELECT CAST(n AS BIGINT) AS n_terms, top_tf,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2,
+           ((n * sxy - sx * sy) / (n * sxx - sx * sx) >= -1.5
+            AND (n * sxy - sx * sy) / (n * sxx - sx * sx) <= -0.5
+            AND (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                / ((n * sxx - sx * sx) * (n * syy - sy * sy)) >= 0.8) AS zipf_ok
+    FROM s
+    """.format(words=_sql_words(_sql_norm("text"))),
+)
+def q99(spark, sf_dir):
+    """Zipf rank-frequency conformance audit (operators/vocab.zipf_audit):
+    least-squares slope + r2 of ln(tf) on ln(rank) over the top-200 terms —
+    flags machine-generated or template-heavy corpora whose head is too
+    flat or too kinked for natural language. TakeOrderedAndProject bounds
+    the head (no full-vocab sort); the fit is closed-form sums."""
+    from .operators import vocab as vocab_ops
+
+    return vocab_ops.zipf_audit(_t(spark, sf_dir, "documents"))
+
+
+@q(
     "q74_split_assignment",
     """
     WITH b AS (SELECT source,

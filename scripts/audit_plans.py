@@ -357,6 +357,14 @@ RULES = [
         and "BatchEvalPython" not in p,
     ),
     (
+        "q99_zipf_audit",
+        "zipf head is TakeOrderedAndProject-bounded (no full-vocab sort); the "
+        "only window runs over the <=200-row head (bounded exemption, like q32)",
+        lambda p: _nodes(p, "TakeOrderedAndProject") >= 1
+        and "CartesianProduct" not in p
+        and "BatchEvalPython" not in p,
+    ),
+    (
         "q68_repetition_signals",
         "repetition metrics are pure two-phase hash aggs (no window, no nested loop)",
         lambda p: p.count("HashAggregate") >= 4

@@ -66,3 +66,30 @@ def test_approx_plan_has_no_expand(spark, docs):
     assert "Expand" in exact_plan or exact_plan.count("HashAggregate") >= 4
     assert "Expand" not in approx_plan
     assert approx_plan.count("Exchange") <= exact_plan.count("Exchange")
+
+
+def test_zipf_audit_separates_natural_from_uniform(spark):
+    """A corpus drawn from a true Zipf law fits slope ~ -1 with high r2; a
+    uniform-frequency vocabulary is flat and fails the audit."""
+    from audit_anomaly_detection_etl_spark.operators import vocab
+
+    # deterministic zipf corpus: term k (1-based) appears floor(2000/k) times
+    zipf_docs = []
+    for k in range(1, 101):
+        zipf_docs.extend([f"term{k:03d}"] * (2000 // k))
+    df = spark.createDataFrame(
+        [(" ".join(zipf_docs),)], "text string"
+    )
+    r = vocab.zipf_audit(df, top_n=100).collect()[0]
+    assert r["n_terms"] == 100
+    assert r["top_tf"] == 2000
+    assert -1.1 < r["slope"] < -0.9
+    assert r["r2"] > 0.99
+    assert r["zipf_ok"] is True
+
+    flat = spark.createDataFrame(
+        [(" ".join([f"w{k}" for k in range(200)] * 10),)], "text string"
+    )
+    r = vocab.zipf_audit(flat, top_n=100).collect()[0]
+    assert r["slope"] == 0.0 or abs(r["slope"]) < 0.05
+    assert r["zipf_ok"] is False
