@@ -2292,6 +2292,68 @@ def q99(spark, sf_dir):
 
 
 @q(
+    "q100_funnel_conversion",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+    s AS (
+      SELECT user_id, event_id, ts, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM g),
+    per AS (SELECT user_id, session_no,
+                   MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS fc,
+                   MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS lp,
+                   MIN(ts) AS t0
+            FROM s GROUP BY 1, 2)
+    SELECT CAST(date_trunc('day', t0) AS TIMESTAMP) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(fc) AS BIGINT) AS n_with_click,
+           CAST(COUNT(CASE WHEN fc < lp THEN 1 END) AS BIGINT) AS n_converted,
+           ROUND(CAST(COUNT(CASE WHEN fc < lp THEN 1 END) AS DOUBLE)
+                 / NULLIF(COUNT(fc), 0), 6) AS conv_rate
+    FROM per GROUP BY 1
+    """,
+)
+def q100(spark, sf_dir):
+    """Session-funnel conversion audit: per day, the share of sessions
+    where a click is STRICTLY FOLLOWED by a purchase inside the same
+    30-min-gap session (q47 semantics) — ordered-containment over
+    sessionized logs, the behavioral-integrity check a rate monitor (q81)
+    cannot express. Partitioned windows only; sessions then days are two
+    hash aggs."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    new_s = F.when(
+        F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > 1_800_000_000), 1
+    ).otherwise(0)
+    sess = ev.withColumn("new_session", new_s).withColumn(
+        "session_no",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per = sess.groupBy("user_id", "session_no").agg(
+        F.min(F.when(F.col("event_type") == "click", us)).alias("fc"),
+        F.max(F.when(F.col("event_type") == "purchase", us)).alias("lp"),
+        F.min("ts").alias("t0"),
+    )
+    conv = F.sum(F.when(F.col("fc") < F.col("lp"), 1).otherwise(0))
+    clicks = F.count("fc")
+    return per.groupBy(F.date_trunc("day", F.col("t0")).alias("day")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        clicks.cast("long").alias("n_with_click"),
+        conv.cast("long").alias("n_converted"),
+        F.round(F.try_divide(conv.cast("double"), clicks), 6).alias("conv_rate"),
+    )
+
+
+@q(
     "q74_split_assignment",
     """
     WITH b AS (SELECT source,

@@ -67,6 +67,7 @@ WINDOW_PARTITIONED_QUERIES = [
     "q69_audio_neardup",
     "q72_sequence_packing",
     "q91_chronology_audit",
+    "q100_funnel_conversion",
 ]
 
 RULES = [
