@@ -54,6 +54,9 @@ HEADLINE = [
     "q57_ivf_ann",              # IVF coarse lists + nprobe probing
     "q58_winnow_fingerprints",  # rolling-hash winnowing (native HOFs)
     "q68_repetition_signals",   # explode + two-phase agg repetition metrics
+    "q89_wasserstein_drift",    # aggregate-grain dense grid + partitioned cumsum
+    "q94_edit_verified_pairs",  # bounded prefix-block self-join + JVM levenshtein
+    "q97_fk_health_matrix",     # 7 key-grain anti-join edges in one action
 ]
 
 
