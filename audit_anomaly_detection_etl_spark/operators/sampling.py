@@ -178,3 +178,64 @@ def split_leakage(
         )
     )
     return g.where(F.col("n_splits") > 1)
+
+
+def mixture_materialize(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.3,
+    rate: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Materialize the temperature-weighted training mixture that
+    ``mixing_weights`` only *reports*: each document is emitted
+    ``floor(epochs_s)`` times plus one more with probability
+    ``frac(epochs_s)``, where ``epochs_s = rate * sample_factor(source)``
+    — so low-resource sources upsample (multiple copies) and dominant
+    sources downsample (hash-thresholded keep), and the realized token
+    shares converge to the alpha-temperature distribution.
+
+    Determinism contract (same as assign_split/q74): the extra-copy coin is
+    ``hash16(doc_id || salt) < floor(frac * 65536)`` — a pure function of
+    the id, so re-runs, backfills and both engines agree row-for-row; no
+    RNG state anywhere.
+
+    Scale shape: per-source epochs are aggregate-grain (one row per source,
+    broadcast back); the copy fan-out is ``explode(sequence(1, n))`` guarded
+    for n < 1 (F.sequence runs DESCENDING on an empty range — see CLAUDE.md)
+    — a narrow projection, no shuffle beyond the weights aggregation.
+
+    Returns (doc_id, source, copy) with copy in [1, n_copies].
+    """
+    # same aggregates as mixing_weights but UNROUNDED (the report rounds for
+    # display; the sampler must not compound rounding)
+    tok = F.size(T.words(T.normalized_text(F.col(text_col)))).cast("long")
+    per = (
+        docs.select(F.col(source_col).alias("source"), tok.alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").alias("n_tokens"))
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias("tot_pw"),
+    )
+    p = F.col("n_tokens").cast("double") / F.col("tot_tokens")
+    wgt = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) / F.col("tot_pw")
+    factors = per.crossJoin(F.broadcast(tot)).select(
+        "source", (F.lit(rate) * wgt / p).alias("epochs")
+    )
+    j = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
+    ).join(F.broadcast(factors), "source")
+    base = F.floor(F.col("epochs")).cast("int")
+    frac_thresh = F.floor((F.col("epochs") - base) * _BUCKETS).cast("int")
+    extra = (hash_bucket(F.col("doc_id"), salt) < frac_thresh).cast("int")
+    n_copies = (base + extra).alias("n_copies")
+    fan = j.select("doc_id", "source", n_copies).where(F.col("n_copies") >= 1)
+    return fan.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy"),
+    )

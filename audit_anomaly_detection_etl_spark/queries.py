@@ -2354,6 +2354,42 @@ def q100(spark, sf_dir):
 
 
 @q(
+    "q101_mixture_materialize",
+    """
+    WITH per AS (SELECT source, CAST(SUM(len({words})) AS BIGINT) AS n_tokens
+                 FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tot_tokens,
+                   SUM(POW(CAST(n_tokens AS DOUBLE), 0.3)) AS tot_pw
+            FROM per),
+    f AS (SELECT source,
+                 1.0 * (POW(CAST(n_tokens AS DOUBLE), 0.3) / tot_pw)
+                     / (CAST(n_tokens AS DOUBLE) / tot_tokens) AS epochs
+          FROM per CROSS JOIN tot),
+    j AS (SELECT d.doc_id, d.source,
+                 CAST(FLOOR(f.epochs) AS INT) AS base,
+                 CAST(FLOOR((f.epochs - FLOOR(f.epochs)) * 65536) AS INT) AS ft,
+                 ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix'), 1, 4))::BIGINT AS h
+          FROM documents d JOIN f USING (source)),
+    n AS (SELECT doc_id, source,
+                 base + CASE WHEN h < ft THEN 1 ELSE 0 END AS n_copies
+          FROM j)
+    SELECT doc_id, source, CAST(UNNEST(range(1, n_copies + 1)) AS INT) AS copy
+    FROM n WHERE n_copies >= 1
+    """.format(words=_sql_words(_sql_norm("text"))),
+)
+def q101(spark, sf_dir):
+    """Deterministic mixture materialization
+    (operators/sampling.mixture_materialize): emit each doc
+    floor(epochs)+coin times under the alpha=0.3 temperature weights (q75)
+    — upsampled low-resource sources, hash-thresholded downsampling, zero
+    RNG state (the coin is md5(doc_id||salt)); per-source epochs broadcast
+    back, fan-out is a guarded explode(sequence), no extra shuffle."""
+    from .operators import sampling
+
+    return sampling.mixture_materialize(_t(spark, sf_dir, "documents"))
+
+
+@q(
     "q74_split_assignment",
     """
     WITH b AS (SELECT source,

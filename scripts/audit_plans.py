@@ -366,6 +366,15 @@ RULES = [
         and "BatchEvalPython" not in p,
     ),
     (
+        "q101_mixture_materialize",
+        "mixture fan-out: per-source epochs broadcast back (no window), "
+        "guarded explode(sequence) copy expansion, no cartesian/Python",
+        lambda p: _nodes(p, "Window") == 0
+        and "CartesianProduct" not in p
+        and "BatchEvalPython" not in p
+        and _nodes(p, "Generate") >= 1,
+    ),
+    (
         "q68_repetition_signals",
         "repetition metrics are pure two-phase hash aggs (no window, no nested loop)",
         lambda p: p.count("HashAggregate") >= 4

@@ -95,3 +95,43 @@ def test_split_leakage_finds_planted_cross_split_dup(spark):
     assert leak["n_splits"] == 2 and leak["n_docs"] == 2
     assert leak["splits"] == ",".join(sorted([s1, s2]))
     assert leak["first_doc"] == min(ids1[0], ids2[0])
+
+
+def test_mixture_materialize_converges_to_temperature_shares(spark):
+    """The realized mixture's per-source doc mass must track epochs_s =
+    weight/p (alpha temperature), and the copy fan-out must be exact:
+    every doc appears floor(epochs) or floor(epochs)+1 times."""
+    import math
+
+    from audit_anomaly_detection_etl_spark.operators import sampling
+
+    # two lopsided sources: 'big' 900 docs x 20 tokens, 'small' 100 x 20
+    rows = []
+    for i in range(900):
+        rows.append((i, "big", "tok " * 20))
+    for i in range(900, 1000):
+        rows.append((i, "small", "tok " * 20))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = sampling.mixture_materialize(df, alpha=0.3).toPandas()
+
+    # exact epochs from the same arithmetic
+    nb, ns = 900 * 20, 100 * 20
+    tot, tot_pw = nb + ns, nb**0.3 + ns**0.3
+    def epochs(n):
+        return (n**0.3 / tot_pw) / (n / tot)
+
+    eb, es = epochs(nb), epochs(ns)
+    per_doc = out.groupby("doc_id").size()
+    by_src = out.groupby("source")["doc_id"].count()
+    # per-doc copy count is floor(e) or floor(e)+1, never anything else
+    for src, e, ids in (("big", eb, range(900)), ("small", es, range(900, 1000))):
+        counts = {per_doc.get(i, 0) for i in ids}
+        assert counts <= {math.floor(e), math.floor(e) + 1}, (src, counts)
+    # realized mass within a few % of expectation (hash coin, not RNG)
+    assert abs(by_src["big"] / 900 - eb) < 0.05
+    assert abs(by_src["small"] / 100 - es) < 0.1
+    # deterministic: second run identical
+    out2 = sampling.mixture_materialize(df, alpha=0.3).toPandas()
+    a = out.sort_values(["doc_id", "copy"]).reset_index(drop=True)
+    b = out2.sort_values(["doc_id", "copy"]).reset_index(drop=True)
+    assert a.equals(b)
