@@ -805,3 +805,93 @@ def loudness_violations(
         F.col(part_col).alias("part"),
         F.lit(3.0).alias("severity"),
     )
+
+
+TRANSCODE_QA_SCHEMA = (
+    "clip_id string, part int, transcode_ok boolean, snr_db double, verdict string"
+)
+
+# err == 0 (bit-exact round trip) would be +inf dB; cap so the column stays
+# a plain double for parquet/compare purposes
+_SNR_CAP_DB = 120.0
+
+
+def transcode_qa(
+    clips: DataFrame,
+    target_codec: str = "ulaw",
+    min_snr_db: float = 25.0,
+    transparent_snr_db: float = 40.0,
+) -> DataFrame:
+    """Round-trip transcode fidelity audit: decode each clip, re-encode to
+    ``target_codec``, decode again, and report per-clip SNR of the round
+    trip — run BEFORE a pipeline bulk-transcodes a corpus to a cheaper
+    codec, to find the clips the lossy target mangles (hot signals near
+    full scale saturate G.711's companding; already-quiet clips lose
+    mantissa bits).
+
+    Same vectorization discipline as audio_features/payload: per-codec-group
+    concatenated decode, ONE vectorized encode+decode of the concatenation
+    (both G.711 kernels are samplewise-stateless, so concatenation is
+    transparent), and per-clip SNR from two ``np.add.reduceat`` sums —
+    no per-row Python. Verdicts: ``transparent`` (snr >= 40 dB, capped at
+    120 for bit-exact trips), ``acceptable`` (>= min_snr_db), ``degraded``,
+    ``undecodable``.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            raw_col = pdf["bytes"].to_numpy()
+            codec_col = pdf["codec"].to_numpy()
+            byte_lens = np.array(
+                [len(r) if r is not None else -1 for r in raw_col], dtype=np.int64
+            )
+            ok = np.zeros(n, dtype=bool)
+            snr = np.full(n, np.nan)
+            for codec in pd.unique(codec_col):
+                if codec not in codecs.CODECS:
+                    continue
+                bps = codecs.bytes_per_sample(codec)
+                idx = np.flatnonzero(
+                    (codec_col == codec) & (byte_lens > 0) & (byte_lens % bps == 0)
+                )
+                if idx.size == 0:
+                    continue
+                lens = byte_lens[idx] // bps
+                ref = codecs.decode(
+                    b"".join(raw_col[i] for i in idx), codec
+                ).astype(np.float64)
+                rt = codecs.decode(
+                    codecs.encode(ref, target_codec), target_codec
+                ).astype(np.float64)
+                seg = np.zeros(idx.size, dtype=np.int64)
+                np.cumsum(lens[:-1], out=seg[1:])
+                sig = np.add.reduceat(ref * ref, seg)
+                err = np.add.reduceat((ref - rt) * (ref - rt), seg)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    s = 10.0 * np.log10(sig / err)
+                s = np.where(err <= 0, _SNR_CAP_DB, np.minimum(s, _SNR_CAP_DB))
+                # zero-signal clips: SNR undefined -> leave NaN, not ok
+                ok[idx] = sig > 0
+                snr[idx] = np.where(sig > 0, s, np.nan)
+            verdict = np.where(
+                ~ok,
+                "undecodable",
+                np.where(
+                    snr >= transparent_snr_db,
+                    "transparent",
+                    np.where(snr >= min_snr_db, "acceptable", "degraded"),
+                ),
+            )
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"].to_numpy(),
+                    "part": pdf["part"].to_numpy(),
+                    "transcode_ok": ok,
+                    "snr_db": np.round(snr, 6),
+                    "verdict": verdict,
+                }
+            )
+
+    pruned = clips.select("clip_id", "part", "bytes", "codec")
+    return pruned.mapInPandas(batches, schema=TRANSCODE_QA_SCHEMA)

@@ -3312,6 +3312,28 @@ def q95(spark, sf_dir):
     )
 
 
+@q("q102_transcode_qa")
+def q102(spark, sf_dir):
+    """Transcode round-trip fidelity audit (operators/media.transcode_qa):
+    per clip, SNR of decode -> re-encode-to-ulaw -> decode vs the original
+    PCM, with transparent/acceptable/degraded/undecodable verdicts — run
+    before bulk-transcoding a corpus to a cheaper codec. Vectorized
+    concat decode + one samplewise encode + reduceat SNR sums; binary
+    decode => rows-only for the driver, exact numpy oracle in
+    tests/test_transcode.py."""
+    from .operators import media
+    from .sources import synth
+
+    t = synth.generate_clips(n_clips=400, n_parts=8, seed=7)
+    clips = spark.createDataFrame(t.clips.to_pandas())
+    qa = media.transcode_qa(clips, target_codec="ulaw")
+    return qa.groupBy("part", "verdict").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("snr_db"), 6).alias("mean_snr_db"),
+        F.round(F.min("snr_db"), 6).alias("min_snr_db"),
+    )
+
+
 @q(
     "q45_frame_plan",
     """

@@ -375,6 +375,12 @@ RULES = [
         and _nodes(p, "Generate") >= 1,
     ),
     (
+        "q102_transcode_qa",
+        "transcode QA is ONE mapInPandas pass (concat decode + samplewise "
+        "re-encode + reduceat SNR), no row-wise Python",
+        lambda p: _nodes(p, "MapInPandas") == 1 and "BatchEvalPython" not in p,
+    ),
+    (
         "q68_repetition_signals",
         "repetition metrics are pure two-phase hash aggs (no window, no nested loop)",
         lambda p: p.count("HashAggregate") >= 4

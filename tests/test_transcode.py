@@ -1,0 +1,64 @@
+"""Exact numpy oracle for operators/media.transcode_qa: the round-trip SNR
+per clip recomputed on the driver, plus verdict edges (bit-exact cap,
+degraded hot signal, undecodable)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from audit_anomaly_detection_etl_spark.functions import codecs
+from audit_anomaly_detection_etl_spark.operators import media
+from audit_anomaly_detection_etl_spark.sources import synth
+
+
+def _snr(ref, rt):
+    sig = float((ref**2).sum())
+    err = float(((ref - rt) ** 2).sum())
+    if err <= 0:
+        return 120.0
+    return min(10.0 * np.log10(sig / err), 120.0)
+
+
+def test_transcode_qa_matches_numpy_oracle(spark):
+    t = synth.generate_clips(n_clips=200, n_parts=4, seed=13)
+    clips = spark.createDataFrame(t.clips.to_pandas())
+    got = media.transcode_qa(clips, "ulaw").toPandas().set_index("clip_id")
+    checked = 0
+    for _, row in t.clips.to_pandas().iterrows():
+        g = got.loc[row["clip_id"]]
+        if isinstance(g, pd.DataFrame):
+            g = g.iloc[0]
+        if row["codec"] not in codecs.CODECS:
+            assert g["verdict"] == "undecodable"
+            continue
+        ref = codecs.decode(row["bytes"], row["codec"]).astype(np.float64)
+        rt = codecs.decode(codecs.encode(ref, "ulaw"), "ulaw").astype(np.float64)
+        assert g["snr_db"] == pytest.approx(round(_snr(ref, rt), 6), abs=2e-6)
+        checked += 1
+    assert checked > 150
+
+
+def test_transcode_verdict_edges(spark):
+    sr = 8000
+    tt = np.arange(sr, dtype=np.float64) / sr
+    sine = lambda a: (a * np.sin(2 * np.pi * 300 * tt))  # noqa: E731
+    rows = [
+        # pcm16 -> pcm16 identity round trip = bit exact -> 120 cap
+        ("exact", 0, codecs.encode(sine(0.5), "pcm_s16le"), "pcm_s16le", sr),
+        # moderate sine through ulaw ~ 30+ dB
+        ("mid", 0, codecs.encode(sine(0.3), "pcm_s16le"), "pcm_s16le", sr),
+        ("badcodec", 0, b"\\x00" * 100, "opus", sr),
+        ("silence", 0, codecs.encode(np.zeros(100), "pcm_s16le"), "pcm_s16le", sr),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["clip_id", "part", "bytes", "codec", "sr_hz"])
+    )
+    # identity target: pcm16 -> pcm16
+    out = media.transcode_qa(df, "pcm_s16le").toPandas().set_index("clip_id")
+    assert out.loc["exact"]["snr_db"] == 120.0
+    assert out.loc["exact"]["verdict"] == "transparent"
+    assert out.loc["badcodec"]["verdict"] == "undecodable"
+    assert out.loc["silence"]["verdict"] == "undecodable"  # zero signal
+
+    out2 = media.transcode_qa(df, "ulaw").toPandas().set_index("clip_id")
+    assert 20.0 < out2.loc["mid"]["snr_db"] < 120.0
