@@ -64,3 +64,67 @@ def stateful_duplicate_monitor(
         outputMode="update",
         timeoutConf=getattr(GroupStateTimeout, timeout),
     )
+
+
+def stateful_chronology_monitor(
+    stream: DataFrame,
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming version of operators/sequence.chronology_audit: per entity,
+    the state store carries the high-water timestamp (epoch microseconds)
+    seen so far; any arrival whose timestamp is EARLIER than the entity's
+    high water is an out-of-order event, detected across micro-batches
+    (batch 1 ends at 12:00, batch 7 delivers 11:58 -> emit) — the defect a
+    stateless per-batch lag() can only see inside one batch.
+
+    Emits ``(group, n_late, max_backstep_sec, high_water_us)`` for batches
+    containing at least one late arrival for that entity. Within a batch,
+    rows are compared in ascending ``ts`` order against the running high
+    water: late = strictly below the PRE-BATCH high water (intra-batch
+    reordering inside one micro-batch is delivery jitter, not a data
+    defect — the batch checker q91 owns intra-order). State is one long per
+    entity, executor-partitioned; same store economics as the duplicate
+    monitor.
+    """
+    out_schema = f"{group_col} long, n_late long, max_backstep_sec double, high_water_us long"
+    state_schema = "hw long"
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        hw = state.get[0] if state.exists else None
+        n_late = 0
+        max_back = 0
+        new_hw = hw
+        for pdf in pdfs:
+            us = (pdf[ts_col].astype("datetime64[us]").astype("int64")).to_numpy()
+            if us.size == 0:
+                continue
+            if hw is not None:
+                late = us < hw
+                n_late += int(late.sum())
+                if late.any():
+                    max_back = max(max_back, int((hw - us[late]).max()))
+            mx = int(us.max())
+            new_hw = mx if new_hw is None else max(new_hw, mx)
+        if new_hw is not None:
+            state.update((new_hw,))
+        if n_late > 0:
+            yield pd.DataFrame(
+                {
+                    group_col: [key[0]],
+                    "n_late": [n_late],
+                    "max_backstep_sec": [max_back / 1e6],
+                    "high_water_us": [new_hw],
+                }
+            )
+
+    return stream.groupBy(group_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -60,3 +60,63 @@ def test_duplicates_detected_within_and_across_batches(spark, tmp_path):
     _run_once(spark, src, sink, ck)
     b_rows = [r for r in spark.read.parquet(sink).collect() if r["clip_id"] == "b"]
     assert max(r["n_seen"] for r in b_rows) == 3
+
+
+# ---------------------------------------------------------------------------
+# chronology monitor
+# ---------------------------------------------------------------------------
+
+def _write_events(path: str, rows: list[tuple[int, str]]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for uid, ts in rows:
+            f.write(json.dumps({"user_id": uid, "ts": ts}) + "\n")
+
+
+def _run_chrono(spark, src: str, sink: str, ck: str) -> None:
+    stream = (
+        spark.readStream.schema("user_id long, ts string")
+        .json(src)
+        .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts")
+    )
+    late = stateful.stateful_chronology_monitor(stream)
+
+    def dump(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(sink)
+
+    q = (
+        late.writeStream.foreachBatch(dump)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_chronology_monitor_detects_cross_batch_late_arrivals(spark, tmp_path):
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+
+    # batch 1: user 1 up to 12:00, user 2 up to 11:00 — no late rows, and
+    # intra-batch disorder (12:00 before 11:59 in file order) must NOT fire
+    _write_events(
+        os.path.join(src, "b1.jsonl"),
+        [(1, "2024-06-01 12:00:00"), (1, "2024-06-01 11:59:00"),
+         (2, "2024-06-01 11:00:00")],
+    )
+    _run_chrono(spark, src, sink, ck)
+    assert not os.path.exists(sink) or spark.read.parquet(sink).count() == 0
+
+    # batch 2 (same checkpoint): user 1 delivers 11:58 — 120 s behind the
+    # persisted high water -> late; user 2 moves forward -> silent
+    _write_events(
+        os.path.join(src, "b2.jsonl"),
+        [(1, "2024-06-01 11:58:00"), (2, "2024-06-01 11:30:00")],
+    )
+    _run_chrono(spark, src, sink, ck)
+    rows = {r["user_id"]: r for r in spark.read.parquet(sink).collect()}
+    assert set(rows) == {1}
+    assert rows[1]["n_late"] == 1
+    assert rows[1]["max_backstep_sec"] == 120.0
