@@ -458,3 +458,46 @@ def wasserstein_drift(
             "drifted",
         )
     )
+
+
+def novel_categories(
+    cur: DataFrame,
+    ref: DataFrame,
+    cat_col: str,
+) -> DataFrame:
+    """Dictionary diff of a categorical column between a reference snapshot
+    and the current one: values that APPEARED (absent from ref) and values
+    that VANISHED (absent from cur), with both sides' counts.
+
+    The chi-square/PSI drift checks are share-weighted — a brand-new enum
+    value carrying 0.01% of rows barely moves them, but it is usually the
+    loudest schema signal there is (a new producer version, a new locale, a
+    typo'd label). This check is exact set difference at category grain:
+    every novel value surfaces regardless of mass.
+
+    Scale shape: both sides reduce to (category, count) first (two-phase
+    hash agg at dictionary grain — tiny), then one full-outer join of the
+    two dictionaries; only asymmetric rows are emitted. No detail-grain
+    join, no window.
+
+    Returns (category, status in {'novel','vanished'}, n_cur, n_ref).
+    """
+    c = (
+        cur.where(F.col(cat_col).isNotNull())
+        .groupBy(F.col(cat_col).alias("category"))
+        .agg(F.count(F.lit(1)).alias("n_cur"))
+    )
+    r = (
+        ref.where(F.col(cat_col).isNotNull())
+        .groupBy(F.col(cat_col).alias("category"))
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+    )
+    j = c.join(r, "category", "full_outer")
+    return j.where(F.col("n_cur").isNull() | F.col("n_ref").isNull()).select(
+        "category",
+        F.when(F.col("n_ref").isNull(), F.lit("novel"))
+        .otherwise(F.lit("vanished"))
+        .alias("status"),
+        F.coalesce(F.col("n_cur"), F.lit(0)).cast("long").alias("n_cur"),
+        F.coalesce(F.col("n_ref"), F.lit(0)).cast("long").alias("n_ref"),
+    )

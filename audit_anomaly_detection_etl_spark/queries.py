@@ -2390,6 +2390,42 @@ def q101(spark, sf_dir):
 
 
 @q(
+    "q103_novel_categories",
+    """
+    WITH c AS (SELECT event_type AS category, CAST(COUNT(*) AS BIGINT) AS n_cur
+               FROM events
+               WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+                 AND event_type IS NOT NULL
+               GROUP BY 1),
+    r AS (SELECT event_type AS category, CAST(COUNT(*) AS BIGINT) AS n_ref
+          FROM events
+          WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+            AND event_type IS NOT NULL
+          GROUP BY 1)
+    SELECT COALESCE(c.category, r.category) AS category,
+           CASE WHEN r.category IS NULL THEN 'novel' ELSE 'vanished' END AS status,
+           COALESCE(c.n_cur, 0) AS n_cur,
+           COALESCE(r.n_ref, 0) AS n_ref
+    FROM c FULL OUTER JOIN r USING (category)
+    WHERE c.category IS NULL OR r.category IS NULL
+    """,
+)
+def q103(spark, sf_dir):
+    """Category-dictionary diff (operators/drift.novel_categories): enum
+    values that appeared or vanished between the first and second half of
+    the month — exact set difference at dictionary grain, catching the
+    0.01%%-mass novel value chi-square/PSI are blind to. Both sides reduce
+    to (category, count) before one dictionary-grain full-outer join."""
+    from .operators import drift as drift_ops
+
+    ev = _t(spark, sf_dir, "events")
+    cut = "2024-01-16 00:00:00"
+    return drift_ops.novel_categories(
+        ev.where(F.col("ts") >= cut), ev.where(F.col("ts") < cut), "event_type"
+    )
+
+
+@q(
     "q74_split_assignment",
     """
     WITH b AS (SELECT source,

@@ -381,6 +381,15 @@ RULES = [
         lambda p: _nodes(p, "MapInPandas") == 1 and "BatchEvalPython" not in p,
     ),
     (
+        "q103_novel_categories",
+        "dictionary diff: both sides pre-aggregated to category grain before "
+        "the full-outer join; date predicates pushed to the scans; no window",
+        lambda p: _nodes(p, "Window") == 0
+        and "PushedFilters: [IsNotNull(ts)" in p
+        and "FullOuter" in p
+        and "BatchEvalPython" not in p,
+    ),
+    (
         "q68_repetition_signals",
         "repetition metrics are pure two-phase hash aggs (no window, no nested loop)",
         lambda p: p.count("HashAggregate") >= 4

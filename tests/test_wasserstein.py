@@ -52,3 +52,26 @@ def test_w1_matches_numpy_and_flags_shifted_day(shifted_df):
     assert all(got[d]["drifted"] is False for d in (1, 2, 3))
     # shifted day moved ~3/4 of its mass by ~40 units => w1 ~ 30
     assert got[4]["w1"] > 20.0
+
+
+def test_novel_categories_exact_set_difference(spark):
+    """Planted dictionary diff: tiny novel value surfaces regardless of
+    mass; vanished value reported with its reference count; shared values
+    silent."""
+    ref = spark.createDataFrame(
+        [("click",)] * 500 + [("view",)] * 300 + [("legacy",)] * 7,
+        "event_type string",
+    )
+    cur = spark.createDataFrame(
+        [("click",)] * 480 + [("view",)] * 310 + [("beta_feature",)] * 1,
+        "event_type string",
+    )
+    out = {
+        r["category"]: r
+        for r in drift.novel_categories(cur, ref, "event_type").collect()
+    }
+    assert set(out) == {"beta_feature", "legacy"}
+    assert out["beta_feature"]["status"] == "novel"
+    assert out["beta_feature"]["n_cur"] == 1 and out["beta_feature"]["n_ref"] == 0
+    assert out["legacy"]["status"] == "vanished"
+    assert out["legacy"]["n_ref"] == 7 and out["legacy"]["n_cur"] == 0
