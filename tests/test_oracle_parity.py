@@ -100,6 +100,8 @@ def test_every_query_runs(spark, sf001):
         "q77_audio_qa_signals",
         "q79_segment_slices",
         "q80_payload_drift",
+        "q95_loudness_audit",
+        "q102_transcode_qa",
     }
     for name in missing_oracle:
         out = entry_mod.queries()[name](spark, sf001)
