@@ -895,3 +895,52 @@ def transcode_qa(
 
     pruned = clips.select("clip_id", "part", "bytes", "codec")
     return pruned.mapInPandas(batches, schema=TRANSCODE_QA_SCHEMA)
+
+
+def bandwidth_audit(
+    features: DataFrame,
+    clips: DataFrame,
+    min_bw_ratio: float = 0.05,
+    silence_rms: float = 1e-4,
+) -> DataFrame:
+    """Upsampled-content detector: estimate each clip's effective bandwidth
+    from its zero-crossing rate and compare it to the Nyquist budget the
+    declared sample rate is paying for.
+
+    For a dominant tone at f, ZCR = 2f/sr, so ``est_bw_hz = zcr * sr / 2``
+    is the standard cheap spectral-centroid proxy (no FFT). A clip whose
+    ``bw_ratio = est_bw_hz / (sr/2)`` is tiny carries content band-limited
+    far below its container rate — a 300 Hz hum stored at 48 kHz, or 8 kHz
+    telephone audio naively upsampled to 48 kHz to pass a sample-rate
+    constraint: storage fraud a pipeline should catch before paying 6x the
+    bytes for it. Near-silent clips (rms < silence_rms) are exempt: ZCR of
+    noise-floor dithering is meaningless.
+
+    Pure Catalyst over the audio_features output joined back to the
+    declared sr (no second decode); compose over one shared
+    ``audio_features`` pass. Returns (clip_id, part, sr_hz, est_bw_hz,
+    bw_ratio, band_limited).
+    """
+    decl = clips.select("clip_id", "sr_hz")
+    j = features.select("clip_id", "part", "decode_ok", "rms", "zcr").join(
+        decl, "clip_id"
+    )
+    est_bw = F.col("zcr") * F.col("sr_hz").cast("double") / F.lit(2.0)
+    ratio = est_bw / (F.col("sr_hz").cast("double") / F.lit(2.0))
+    measurable = (
+        F.col("decode_ok")
+        & F.col("rms").isNotNull()
+        & ~F.isnan("rms")
+        & (F.col("rms") >= silence_rms)
+        & (F.col("sr_hz") > 0)
+    )
+    return j.select(
+        "clip_id",
+        "part",
+        "sr_hz",
+        F.round(F.when(measurable, est_bw), 6).alias("est_bw_hz"),
+        F.round(F.when(measurable, ratio), 6).alias("bw_ratio"),
+        F.coalesce(measurable & (ratio < F.lit(min_bw_ratio)), F.lit(False)).alias(
+            "band_limited"
+        ),
+    )

@@ -3370,6 +3370,27 @@ def q102(spark, sf_dir):
     )
 
 
+@q("q104_bandwidth_audit")
+def q104(spark, sf_dir):
+    """Upsampled-content detection (operators/media.bandwidth_audit): ZCR
+    x sr/2 bandwidth proxy vs the declared Nyquist budget — flags clips
+    whose content is band-limited far below the container rate (naive
+    upsampling / storage waste). Catalyst over one audio_features pass;
+    rows-only for the driver, sine/noise numpy oracle in
+    tests/test_transcode.py."""
+    from .operators import media
+    from .sources import synth
+
+    t = synth.generate_clips(n_clips=400, n_parts=8, seed=7)
+    clips = spark.createDataFrame(t.clips.to_pandas())
+    audit = media.bandwidth_audit(media.audio_features(clips), clips)
+    return audit.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("band_limited").cast("long")).alias("n_band_limited"),
+        F.round(F.avg("bw_ratio"), 6).alias("mean_bw_ratio"),
+    )
+
+
 @q(
     "q45_frame_plan",
     """

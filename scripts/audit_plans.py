@@ -390,6 +390,12 @@ RULES = [
         and "BatchEvalPython" not in p,
     ),
     (
+        "q104_bandwidth_audit",
+        "bandwidth audit composes over ONE audio_features decode pass "
+        "(Catalyst join+projection on top), no row-wise Python",
+        lambda p: _nodes(p, "MapInPandas") == 1 and "BatchEvalPython" not in p,
+    ),
+    (
         "q68_repetition_signals",
         "repetition metrics are pure two-phase hash aggs (no window, no nested loop)",
         lambda p: p.count("HashAggregate") >= 4

@@ -62,3 +62,34 @@ def test_transcode_verdict_edges(spark):
 
     out2 = media.transcode_qa(df, "ulaw").toPandas().set_index("clip_id")
     assert 20.0 < out2.loc["mid"]["snr_db"] < 120.0
+
+
+def test_bandwidth_audit_flags_upsampled_content(spark):
+    """300 Hz tone in a 48 kHz container -> band_limited; broadband noise at
+    16 kHz -> not; silence and undecodable -> exempt (never flagged)."""
+    rng = np.random.default_rng(9)
+    sr_hi, sr_lo = 48000, 16000
+    t_hi = np.arange(sr_hi, dtype=np.float64) / sr_hi
+    tone = 0.4 * np.sin(2 * np.pi * 300 * t_hi)  # zcr ~ 600/48000 -> ratio 0.0125
+    noise = (0.2 * rng.standard_normal(sr_lo)).clip(-0.9, 0.9)
+    rows = [
+        ("tone48k", 0, codecs.encode(tone, "pcm_s16le"), "pcm_s16le", sr_hi),
+        ("noise16k", 0, codecs.encode(noise, "pcm_s16le"), "pcm_s16le", sr_lo),
+        ("silent", 0, codecs.encode(np.zeros(1000), "pcm_s16le"), "pcm_s16le", sr_hi),
+        ("bad", 0, b"\\x01\\x02\\x03", "opus", sr_hi),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["clip_id", "part", "bytes", "codec", "sr_hz"])
+    )
+    out = (
+        media.bandwidth_audit(media.audio_features(df), df)
+        .toPandas()
+        .set_index("clip_id")
+    )
+    assert out.loc["tone48k"]["band_limited"]
+    assert out.loc["tone48k"]["bw_ratio"] == pytest.approx(300.0 / 24000.0, rel=0.05)
+    assert not out.loc["noise16k"]["band_limited"]
+    assert out.loc["noise16k"]["bw_ratio"] > 0.2
+    assert not out.loc["silent"]["band_limited"]
+    assert out.loc["silent"]["bw_ratio"] is None or np.isnan(out.loc["silent"]["bw_ratio"])
+    assert not out.loc["bad"]["band_limited"]
