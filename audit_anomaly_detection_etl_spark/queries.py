@@ -3391,6 +3391,26 @@ def q104(spark, sf_dir):
     )
 
 
+@q("q105_partition_health")
+def q105(spark, sf_dir):
+    """Table-maintenance audit (sources/tableio.partition_health): per
+    Iceberg-style partition, file/row/byte counts from parquet FOOTERS only
+    plus a small-file compaction recommendation — the decision table for
+    rewrite_data_files. Deterministic synthesized table (seeded synth);
+    manifest-grain driver work, rows-only for the driver; planted-small-file
+    pytest in tests/test_synth.py."""
+    import tempfile
+
+    from .sources import synth, tableio
+
+    d = tempfile.mkdtemp(prefix="q105_")
+    t = synth.generate_clips(n_clips=800, n_parts=8, seed=7)
+    synth.write_clip_tables(t, d)
+    import os
+
+    return tableio.partition_health(spark, os.path.join(d, "clips"), target_file_mb=1.0)
+
+
 @q(
     "q45_frame_plan",
     """

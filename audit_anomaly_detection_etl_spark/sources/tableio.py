@@ -106,3 +106,58 @@ def read_partitions(spark: SparkSession, root: str, parts: list[int]) -> DataFra
     from pyspark.sql import functions as F
 
     return df.where(F.col("part").isin([int(p) for p in parts]))
+
+
+def partition_health(
+    spark: SparkSession,
+    root: str,
+    target_file_mb: float = 128.0,
+    small_file_frac: float = 0.25,
+) -> DataFrame:
+    """Table-maintenance audit at MANIFEST grain: per partition, file count,
+    bytes, rows (parquet footer metadata only — no data pages read), the
+    mean file size vs the ``target_file_mb`` a healthy compaction run
+    produces, and a ``compact`` recommendation when more than one file per
+    partition averages under ``small_file_frac`` of the target.
+
+    The small-file problem is the silent killer of scan throughput at
+    10^12 rows (every file is a task + an open + a footer parse); Iceberg's
+    ``rewrite_data_files`` fixes it but something has to DECIDE where to run
+    it — this audit is that decision table. On a real deployment the same
+    report comes from the Iceberg manifests (``table.files`` metadata
+    table); here it is rebuilt from the directory manifest + parquet
+    footers, which is metadata-scale work on the driver exactly like
+    ``snapshot_id``/``partition_fingerprints`` above.
+    """
+    import pyarrow.parquet as pq
+
+    rows = []
+    for info in list_partitions(root):
+        pdir = os.path.join(root, f"part={info.part}")
+        files = [
+            os.path.join(pdir, f)
+            for f in sorted(os.listdir(pdir))
+            if f.endswith(".parquet")
+        ]
+        n_bytes = 0
+        n_rows = 0
+        for fp in files:
+            n_bytes += os.path.getsize(fp)
+            n_rows += pq.ParquetFile(fp).metadata.num_rows
+        n_files = len(files)
+        mean_mb = (n_bytes / n_files / 1048576.0) if n_files else 0.0
+        rows.append(
+            (
+                info.part,
+                n_files,
+                int(n_rows),
+                int(n_bytes),
+                round(mean_mb, 6),
+                bool(n_files > 1 and mean_mb < target_file_mb * small_file_frac),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "part int, n_files int, n_rows long, n_bytes long, "
+        "mean_file_mb double, compact boolean",
+    )

@@ -83,3 +83,41 @@ def test_partition_assignment_stable():
     t = synth.generate_clips(n_clips=500, seed=2)
     parts = set(t.clips.column("part").to_pylist())
     assert parts <= set(range(16)) and len(parts) == 16
+
+
+def test_partition_health_reports_and_flags_small_files(spark, clip_dir, tmp_path):
+    """partition_health: footer-only row counts match the table, and a
+    partition planted with many tiny files is recommended for compaction."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from audit_anomaly_detection_etl_spark.sources import tableio
+
+    root = os.path.join(clip_dir, "clips")
+    health = {r["part"]: r for r in tableio.partition_health(spark, root).collect()}
+    total_rows = sum(r["n_rows"] for r in health.values())
+    assert total_rows == spark.read.parquet(root).count()
+    assert all(r["n_files"] >= 1 for r in health.values())
+
+    # planted small-file partition: 20 one-row files
+    small_root = str(tmp_path / "clips")
+    pdir = os.path.join(small_root, "part=0")
+    os.makedirs(pdir)
+    for i in range(20):
+        pq.write_table(pa.table({"clip_id": [f"c{i}"]}), os.path.join(pdir, f"f{i}.parquet"))
+    got = tableio.partition_health(spark, small_root, target_file_mb=128.0).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_files"] == 20 and r["n_rows"] == 20
+    assert r["compact"] is True
+
+    # one healthy big file -> no compaction
+    one_root = str(tmp_path / "one")
+    odir = os.path.join(one_root, "part=0")
+    os.makedirs(odir)
+    pq.write_table(pa.table({"clip_id": [str(i) for i in range(1000)]}),
+                   os.path.join(odir, "f.parquet"))
+    r2 = tableio.partition_health(spark, one_root, target_file_mb=0.0001).collect()[0]
+    assert r2["compact"] is False  # single file never flags
