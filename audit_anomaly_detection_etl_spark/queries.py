@@ -2426,6 +2426,180 @@ def q103(spark, sf_dir):
 
 
 @q(
+    "q106_burstiness_audit",
+    """
+    WITH g AS (SELECT user_id,
+                      (epoch_us(ts) - epoch_us(lag(ts) OVER
+                          (PARTITION BY user_id ORDER BY event_id))) / 1e6 AS gap_s
+               FROM events),
+    per AS (SELECT user_id,
+                   CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+                   AVG(gap_s) AS mean_gap,
+                   STDDEV_SAMP(gap_s) AS sd_gap
+            FROM g GROUP BY user_id HAVING COUNT(gap_s) >= 2)
+    SELECT user_id, n_gaps,
+           ROUND(mean_gap, 6) AS mean_gap_s,
+           ROUND(sd_gap / mean_gap, 6) AS cv_gap,
+           ROUND((sd_gap / mean_gap - 1.0) / (sd_gap / mean_gap + 1.0), 6)
+               AS burstiness,
+           ((sd_gap / mean_gap - 1.0) / (sd_gap / mean_gap + 1.0)) < -0.7
+               AS metronomic
+    FROM per
+    """,
+)
+def q106(spark, sf_dir):
+    """Inter-arrival burstiness audit: per user, the coefficient of
+    variation of event gaps and the Goh-Barabasi burstiness B =
+    (cv-1)/(cv+1) — B near -1 is metronomic (scripted/bot traffic), near +1
+    extreme bursts; humans sit in between. A rate monitor (q81) sees volume
+    anomalies, not rhythm anomalies. Lag window partitioned by the entity;
+    one hash agg to entity grain; integer-microsecond gaps."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = (us - F.lag(us).over(w)).cast("double") / F.lit(1e6)
+    per = (
+        ev.select("user_id", gap.alias("gap_s"))
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.avg("gap_s").alias("mean_gap"),
+            F.stddev_samp("gap_s").alias("sd_gap"),
+        )
+        .where(F.col("n_gaps") >= 2)
+    )
+    cv = F.col("sd_gap") / F.col("mean_gap")
+    b = (cv - 1.0) / (cv + 1.0)
+    return per.select(
+        "user_id",
+        "n_gaps",
+        F.round("mean_gap", 6).alias("mean_gap_s"),
+        F.round(cv, 6).alias("cv_gap"),
+        F.round(b, 6).alias("burstiness"),
+        (b < -0.7).alias("metronomic"),
+    )
+
+
+@q(
+    "q107_entropy_audit",
+    """
+    WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+               FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+    per AS (SELECT user_id,
+                   CAST(SUM(n) AS BIGINT) AS n_events,
+                   CAST(COUNT(*) AS INT) AS n_types,
+                   CAST(SUM(n) AS DOUBLE) AS nt,
+                   SUM(n * ln(CAST(n AS DOUBLE))) AS s
+            FROM c GROUP BY user_id)
+    SELECT user_id, n_events, n_types,
+           ROUND(ln(nt) - s / nt, 6) AS entropy,
+           CASE WHEN n_types > 1
+                THEN ROUND((ln(nt) - s / nt) / ln(CAST(n_types AS DOUBLE)), 6)
+           END AS entropy_norm,
+           (n_types > 1 AND
+            (ln(nt) - s / nt) / ln(CAST(n_types AS DOUBLE)) < 0.5) AS low_diversity
+    FROM per
+    """,
+)
+def q107(spark, sf_dir):
+    """Behavioral-diversity entropy audit: per user, Shannon entropy of the
+    event-type mix via the shuffle-free identity H = ln N - (sum n_i ln
+    n_i)/N — computed from (user, type) counts alone, no join-back, no
+    window. Normalized by ln(k); low_diversity flags users locked on
+    (nearly) one action, the single-behavior bots the burstiness check
+    (q106) sees in time and this sees in action space."""
+    ev = _t(spark, sf_dir, "events")
+    c = (
+        ev.where(F.col("event_type").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per = c.groupBy("user_id").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("int").alias("n_types"),
+        F.sum("n").cast("double").alias("nt"),
+        F.sum(F.col("n") * F.log(F.col("n").cast("double"))).alias("s"),
+    )
+    h = F.log(F.col("nt")) - F.col("s") / F.col("nt")
+    hn = h / F.log(F.col("n_types").cast("double"))
+    return per.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.round(h, 6).alias("entropy"),
+        F.when(F.col("n_types") > 1, F.round(hn, 6)).alias("entropy_norm"),
+        ((F.col("n_types") > 1) & (hn < 0.5)).alias("low_diversity"),
+    )
+
+
+@q(
+    "q108_regression_conformance",
+    """
+    WITH s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                      SUM(l_quantity) AS sx, SUM(l_extendedprice) AS sy,
+                      SUM(l_quantity * l_extendedprice) AS sxy,
+                      SUM(l_quantity * l_quantity) AS sxx,
+                      SUM(l_extendedprice * l_extendedprice) AS syy
+               FROM lineitem),
+    fit AS (SELECT n,
+                   (sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope,
+                   sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx / n
+                       AS intercept,
+                   sqrt(((syy - sy * sy / n)
+                         - (sxy - sx * sy / n) * (sxy - sx * sy / n)
+                           / (sxx - sx * sx / n)) / (n - 2.0)) AS rsd
+            FROM s)
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           ROUND(l_extendedprice, 2) AS price,
+           ROUND(intercept + slope * l_quantity, 4) AS predicted,
+           ROUND((l_extendedprice - intercept - slope * l_quantity) / rsd, 6)
+               AS resid_z
+    FROM lineitem CROSS JOIN fit
+    WHERE ABS(l_extendedprice - intercept - slope * l_quantity) > 3.0 * rsd
+    """,
+)
+def q108(spark, sf_dir):
+    """Cross-field regression conformance: fit price ~ quantity globally in
+    ONE aggregate pass (closed-form least squares over raw sums), broadcast
+    the 1-row fit back, and emit only the rows whose residual exceeds 3
+    residual-sigmas — the relationship-level outliers the per-column sigma
+    screens (q03) cannot see because both fields are individually in range.
+    Detail table is scanned twice (sums, then filter) with column pruning;
+    output is bounded to the violators."""
+    li = _t(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    sxc = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    sxxc = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    syyc = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    slope = sxc / sxxc
+    fit = s.select(
+        slope.alias("slope"),
+        (F.col("sy") / F.col("n") - slope * F.col("sx") / F.col("n")).alias(
+            "intercept"
+        ),
+        F.sqrt((syyc - sxc * sxc / sxxc) / (F.col("n") - 2.0)).alias("rsd"),
+    )
+    j = li.crossJoin(F.broadcast(fit))
+    resid = y - F.col("intercept") - F.col("slope") * x
+    return j.where(F.abs(resid) > 3.0 * F.col("rsd")).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.round(y, 2).alias("price"),
+        F.round(F.col("intercept") + F.col("slope") * x, 4).alias("predicted"),
+        F.round(resid / F.col("rsd"), 6).alias("resid_z"),
+    )
+
+
+@q(
     "q74_split_assignment",
     """
     WITH b AS (SELECT source,

@@ -68,6 +68,7 @@ WINDOW_PARTITIONED_QUERIES = [
     "q72_sequence_packing",
     "q91_chronology_audit",
     "q100_funnel_conversion",
+    "q106_burstiness_audit",
 ]
 
 RULES = [
@@ -394,6 +395,24 @@ RULES = [
         "bandwidth audit composes over ONE audio_features decode pass "
         "(Catalyst join+projection on top), no row-wise Python",
         lambda p: _nodes(p, "MapInPandas") == 1 and "BatchEvalPython" not in p,
+    ),
+    (
+        "q107_entropy_audit",
+        "entropy via the shuffle-free identity: two hash-agg phases, no join, "
+        "no window, no Python",
+        lambda p: _nodes(p, "Window") == 0
+        and "Join" not in p
+        and "BatchEvalPython" not in p
+        and p.count("HashAggregate") >= 4,
+    ),
+    (
+        "q108_regression_conformance",
+        "regression fit is ONE 1-row aggregate broadcast back (BNLJ); detail "
+        "scans pruned; no window",
+        lambda p: _nodes(p, "BroadcastNestedLoopJoin") == 1
+        and _nodes(p, "Window") == 0
+        and "BatchEvalPython" not in p
+        and "l_orderkey" in p,
     ),
     (
         "q68_repetition_signals",
