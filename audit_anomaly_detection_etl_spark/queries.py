@@ -2600,6 +2600,95 @@ def q108(spark, sf_dir):
 
 
 @q(
+    "q109_precision_audit",
+    """
+    SELECT col, n_rows, n_subcent,
+           ROUND(CAST(n_subcent AS DOUBLE) / n_rows, 6) AS subcent_rate,
+           n_subcent = 0 AS scale_ok
+    FROM (
+      SELECT 'l_extendedprice' AS col,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(CASE WHEN ROUND(l_extendedprice, 2) != l_extendedprice
+                             THEN 1 END) AS BIGINT) AS n_subcent
+      FROM lineitem
+      UNION ALL
+      SELECT 'o_totalprice',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(CASE WHEN ROUND(o_totalprice, 2) != o_totalprice
+                             THEN 1 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'c_acctbal',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(CASE WHEN ROUND(c_acctbal, 2) != c_acctbal
+                             THEN 1 END) AS BIGINT)
+      FROM customer) t
+    """,
+)
+def q109(spark, sf_dir):
+    """Decimal-scale conformance audit: money columns carrying sub-cent
+    fractions (round(x,2) != x) — the silent unit-mismatch / double-math
+    contamination a min-max schema constraint cannot see (a value of
+    104.56000000001 is in range and wrong). One conditional-count pass per
+    table; scale_ok verdicts per column."""
+
+    def one(df, col, table):
+        v = F.col(col)
+        return df.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum((F.round(v, 2) != v).cast("long")).alias("n_subcent"),
+        )
+
+    li = one(_t(spark, sf_dir, "lineitem"), "l_extendedprice", "lineitem")
+    od = one(_t(spark, sf_dir, "orders"), "o_totalprice", "orders")
+    cu = one(_t(spark, sf_dir, "customer"), "c_acctbal", "customer")
+    u = li.unionByName(od).unionByName(cu)
+    return u.select(
+        "col",
+        "n_rows",
+        "n_subcent",
+        F.round(F.col("n_subcent").cast("double") / F.col("n_rows"), 6).alias(
+            "subcent_rate"
+        ),
+        (F.col("n_subcent") == 0).alias("scale_ok"),
+    )
+
+
+@q(
+    "q110_key_hygiene",
+    """
+    WITH k AS (SELECT p_partkey, p_name,
+                      lower(trim(regexp_replace(p_name, '{ws}', ' ', 'g'))) AS canon
+               FROM part WHERE p_name IS NOT NULL),
+    g AS (SELECT canon, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(COUNT(DISTINCT p_name) AS BIGINT) AS n_variants
+          FROM k GROUP BY canon)
+    SELECT canon, n_rows, n_variants
+    FROM g WHERE n_variants > 1
+    """.format(ws=_SQL_WS),
+)
+def q110(spark, sf_dir):
+    """Key-hygiene near-miss audit: natural keys that collide after
+    case/whitespace canonicalization but differ raw ('Clip_01 ' vs
+    'clip_01') — exact dedup (q20) treats them as distinct and the
+    uniqueness check passes, yet downstream joins fan out. Canonical-grain
+    hash agg; only colliding groups are emitted."""
+    pa = _t(spark, sf_dir, "part")
+    canon = T.normalized_text(F.col("p_name"))
+    return (
+        pa.where(F.col("p_name").isNotNull())
+        .select(canon.alias("canon"), "p_name")
+        .groupBy("canon")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("p_name").cast("long").alias("n_variants"),
+        )
+        .where(F.col("n_variants") > 1)
+    )
+
+
+@q(
     "q74_split_assignment",
     """
     WITH b AS (SELECT source,

@@ -70,3 +70,27 @@ def test_profile_diff_flags_planted_regressions(spark):
     r = same.collect()[0]
     assert not (r["mean_drift"] or r["null_regressed"] or r["range_breach"])
     assert r["mean_shift_z"] == 0.0
+
+
+def test_key_hygiene_violation_path(spark):
+    """Near-miss keys collide after canonicalization; clean keys are silent."""
+    import __spark_entry__ as e  # noqa: F401  (ensures registration imports)
+
+    from audit_anomaly_detection_etl_spark.functions import text as T
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("Clip_01 ",), ("clip_01",), ("CLIP_01",), ("clip_02",), ("clip 03",),
+         ("clip 03",)],
+        "p_name string",
+    )
+    canon = T.normalized_text(F.col("p_name"))
+    out = (
+        df.select(canon.alias("canon"), "p_name")
+        .groupBy("canon")
+        .agg(F.countDistinct("p_name").alias("n_variants"))
+        .where(F.col("n_variants") > 1)
+        .collect()
+    )
+    got = {r["canon"]: r["n_variants"] for r in out}
+    assert got == {"clip_01": 3, "clip 03": 2}  # NBSP canonicalizes to space
