@@ -136,3 +136,67 @@ def zipf_audit(
             & (r2 >= F.lit(min_r2))
         ).alias("zipf_ok"),
     )
+
+
+def vocab_divergence(
+    docs: DataFrame,
+    side_a,
+    text_col: str = "text",
+    top_k: int = 500,
+    jsd_norm_threshold: float = 0.1,
+) -> DataFrame:
+    """Jensen-Shannon divergence between two corpus slices' token
+    distributions, on the shared top-``top_k`` vocabulary (by combined
+    count, renormalized within it).
+
+    The scalar-drift checks compare numeric columns; training corpora drift
+    in CONTENT — a crawler picking up a new domain, a language bleeding into
+    an English-only slice. JSD over the head vocabulary is the standard
+    bounded ([0, ln 2]) symmetric measure of that: near 0 for same-topic
+    slices, near ln 2 for disjoint vocabularies. ``side_a`` is a boolean
+    Column splitting the corpus.
+
+    Plan shape: one explode + hash agg to (token, n_a, n_b) (conditional
+    sums — both sides in ONE pass, no self-join); the head is
+    TakeOrderedAndProject-bounded like zipf_audit; side totals broadcast
+    back; the JSD sum runs over <= top_k aggregate-grain rows. Returns one
+    row (n_tokens_a, n_tokens_b, k, jsd, jsd_norm, diverged).
+    """
+    tok = docs.select(
+        side_a.alias("a"),
+        F.explode(T.words(T.normalized_text(F.col(text_col)))).alias("t"),
+    )
+    counts = tok.groupBy("t").agg(
+        F.sum(F.when(F.col("a"), 1).otherwise(0)).alias("na"),
+        F.sum(F.when(~F.col("a"), 1).otherwise(0)).alias("nb"),
+    )
+    top = counts.orderBy(
+        (F.col("na") + F.col("nb")).desc(), F.col("t")
+    ).limit(top_k)
+    tot = top.agg(
+        F.sum("na").cast("double").alias("ta"),
+        F.sum("nb").cast("double").alias("tb"),
+        F.count(F.lit(1)).cast("int").alias("k"),
+    )
+    j = top.crossJoin(F.broadcast(tot))
+    p = F.col("na").cast("double") / F.col("ta")
+    q = F.col("nb").cast("double") / F.col("tb")
+    m = (p + q) / F.lit(2.0)
+    term = F.when(p > 0, p * F.log(p / m)).otherwise(F.lit(0.0)) + F.when(
+        q > 0, q * F.log(q / m)
+    ).otherwise(F.lit(0.0))
+    agg = j.agg(
+        (F.sum(term) / F.lit(2.0)).alias("jsd_raw"),
+        F.max("ta").cast("long").alias("n_tokens_a"),
+        F.max("tb").cast("long").alias("n_tokens_b"),
+        F.max("k").alias("k"),
+    )
+    ln2 = 0.6931471805599453
+    return agg.select(
+        "n_tokens_a",
+        "n_tokens_b",
+        "k",
+        F.round("jsd_raw", 6).alias("jsd"),
+        F.round(F.col("jsd_raw") / F.lit(ln2), 6).alias("jsd_norm"),
+        (F.col("jsd_raw") / F.lit(ln2) > F.lit(jsd_norm_threshold)).alias("diverged"),
+    )

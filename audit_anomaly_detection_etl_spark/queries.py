@@ -2689,6 +2689,49 @@ def q110(spark, sf_dir):
 
 
 @q(
+    "q111_vocab_divergence",
+    """
+    WITH tok AS (SELECT lang = 'en' AS a, UNNEST({words}) AS t FROM documents),
+    c AS (SELECT t,
+                 CAST(COUNT(CASE WHEN a THEN 1 END) AS BIGINT) AS na,
+                 CAST(COUNT(CASE WHEN NOT a THEN 1 END) AS BIGINT) AS nb
+          FROM tok GROUP BY t),
+    top AS (SELECT t, na, nb FROM c ORDER BY na + nb DESC, t LIMIT 500),
+    tot AS (SELECT CAST(SUM(na) AS DOUBLE) AS ta, CAST(SUM(nb) AS DOUBLE) AS tb,
+                   CAST(COUNT(*) AS INT) AS k
+            FROM top),
+    terms AS (SELECT (CASE WHEN na > 0 THEN (na / ta)
+                           * ln((na / ta) / ((na / ta + nb / tb) / 2.0))
+                      ELSE 0.0 END)
+                   + (CASE WHEN nb > 0 THEN (nb / tb)
+                           * ln((nb / tb) / ((na / ta + nb / tb) / 2.0))
+                      ELSE 0.0 END) AS term,
+                     ta, tb, k
+              FROM top CROSS JOIN tot)
+    SELECT CAST(MAX(ta) AS BIGINT) AS n_tokens_a,
+           CAST(MAX(tb) AS BIGINT) AS n_tokens_b,
+           MAX(k) AS k,
+           ROUND(SUM(term) / 2.0, 6) AS jsd,
+           ROUND(SUM(term) / 2.0 / 0.6931471805599453, 6) AS jsd_norm,
+           SUM(term) / 2.0 / 0.6931471805599453 > 0.1 AS diverged
+    FROM terms
+    """.format(words=_sql_words(_sql_norm("text"))),
+)
+def q111(spark, sf_dir):
+    """Content-drift JSD (operators/vocab.vocab_divergence): Jensen-Shannon
+    divergence between the English slice's and the rest's token
+    distributions over the shared top-500 vocabulary — the corpus-content
+    counterpart of the numeric drift family, bounded [0, ln 2]. One
+    explode+conditional-sum pass (no self-join), TakeOrdered-bounded head,
+    JSD summed at aggregate grain."""
+    from .operators import vocab as vocab_ops
+
+    return vocab_ops.vocab_divergence(
+        _t(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
+
+
+@q(
     "q74_split_assignment",
     """
     WITH b AS (SELECT source,

@@ -415,6 +415,14 @@ RULES = [
         and "l_orderkey" in p,
     ),
     (
+        "q111_vocab_divergence",
+        "JSD head is TakeOrdered-bounded; both sides counted in ONE pass "
+        "(conditional sums, no self-join); no window/Python",
+        lambda p: _nodes(p, "TakeOrderedAndProject") >= 1
+        and _nodes(p, "Window") == 0
+        and "BatchEvalPython" not in p,
+    ),
+    (
         "q68_repetition_signals",
         "repetition metrics are pure two-phase hash aggs (no window, no nested loop)",
         lambda p: p.count("HashAggregate") >= 4

@@ -93,3 +93,26 @@ def test_zipf_audit_separates_natural_from_uniform(spark):
     r = vocab.zipf_audit(flat, top_n=100).collect()[0]
     assert r["slope"] == 0.0 or abs(r["slope"]) < 0.05
     assert r["zipf_ok"] is False
+
+
+def test_vocab_divergence_bounds(spark):
+    """Identical slices -> JSD ~ 0; disjoint vocabularies -> JSD = ln 2."""
+    from pyspark.sql import functions as F
+
+    from audit_anomaly_detection_etl_spark.operators import vocab
+
+    same = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(200)], "i long, text string"
+    )
+    r = vocab.vocab_divergence(same, F.col("i") % 2 == 0).collect()[0]
+    assert r["jsd"] == 0.0
+    assert r["diverged"] is False
+
+    disjoint = spark.createDataFrame(
+        [(0, "aaa bbb ccc")] * 100 + [(1, "xxx yyy zzz")] * 100,
+        "side long, text string",
+    )
+    r = vocab.vocab_divergence(disjoint, F.col("side") == 0).collect()[0]
+    assert r["jsd_norm"] == 1.0  # ln2-normalized, fully disjoint
+    assert r["diverged"] is True
+    assert r["k"] == 6
