@@ -59,3 +59,49 @@ def uniqueness_violations(
         )
         .select(*VIOLATION_COLS)
     )
+
+
+def dup_locality_report(
+    df: DataFrame,
+    key_col: str = "clip_id",
+    part_col: str = "part",
+) -> DataFrame:
+    """Where do duplicates LIVE: for every duplicated key, whether all its
+    occurrences share one storage partition or straddle several — the
+    empirical test of the ``key_partitioned`` contract (plans/spec.py).
+
+    If the table is truly bucket-partitioned by hash(key), every duplicate
+    is intra-partition and per-partition uniqueness checks (which resume
+    from checkpoints wave-by-wave) are COMPLETE. Any cross-partition
+    duplicate found here is proof the contract is broken — the suite must
+    flip to ``key_partitioned=False`` (global key checks) or re-bucket the
+    table. Run this once per ingest change; it is the audit that licenses
+    the cheap path.
+
+    One salted-style two-phase agg to duplicate-key grain carrying
+    min/max/distinct partition; one summary row:
+    (n_dup_keys, n_intra_partition, n_cross_partition, max_partition_span,
+    key_partitioned_safe).
+    """
+    per_key = (
+        df.select(key_col, part_col)
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(part_col).alias("n_parts"),
+            F.min(part_col).alias("p_min"),
+            F.max(part_col).alias("p_max"),
+        )
+        .where(F.col("n") > 1)
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_keys"),
+        F.sum((F.col("n_parts") == 1).cast("long")).alias("n_intra_partition"),
+        F.sum((F.col("n_parts") > 1).cast("long")).alias("n_cross_partition"),
+        F.coalesce(F.max(F.col("p_max") - F.col("p_min")), F.lit(0))
+        .cast("long")
+        .alias("max_partition_span"),
+        F.coalesce(F.sum((F.col("n_parts") > 1).cast("long")) == 0, F.lit(True)).alias(
+            "key_partitioned_safe"
+        ),
+    )

@@ -3717,6 +3717,23 @@ def q105(spark, sf_dir):
     return tableio.partition_health(spark, os.path.join(d, "clips"), target_file_mb=1.0)
 
 
+@q("q112_dup_locality")
+def q112(spark, sf_dir):
+    """Duplicate-locality audit (operators/uniqueness.dup_locality_report):
+    do duplicated keys stay inside one storage partition (bucket contract
+    holds -> per-partition checks are complete and resumable) or straddle
+    partitions (must flip to key_partitioned=False)? One two-phase agg to
+    dup-key grain + a one-row summary. Runs on the deterministic synth
+    clips table whose injector plants intra-partition dups; rows-only for
+    the driver, planted cross-partition pytest in tests/test_fk_matrix.py."""
+    from .operators import uniqueness as u
+    from .sources import synth
+
+    t = synth.generate_clips(n_clips=800, n_parts=8, seed=7)
+    clips = spark.createDataFrame(t.clips.to_pandas())
+    return u.dup_locality_report(clips)
+
+
 @q(
     "q45_frame_plan",
     """

@@ -94,3 +94,29 @@ def test_key_hygiene_violation_path(spark):
     )
     got = {r["canon"]: r["n_variants"] for r in out}
     assert got == {"clip_01": 3, "clip 03": 2}  # NBSP canonicalizes to space
+
+
+def test_dup_locality_separates_intra_and_cross_partition(spark):
+    from audit_anomaly_detection_etl_spark.operators import uniqueness as u
+
+    rows = [
+        ("a", 0), ("a", 0),            # intra-partition dup
+        ("b", 1), ("b", 5),            # cross-partition dup, span 4
+        ("c", 2),                      # unique
+        ("d", 3), ("d", 3), ("d", 7),  # mixed -> cross, span 4
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, part int")
+    r = u.dup_locality_report(df).collect()[0]
+    assert r["n_dup_keys"] == 3
+    assert r["n_intra_partition"] == 1
+    assert r["n_cross_partition"] == 2
+    assert r["max_partition_span"] == 4
+    assert r["key_partitioned_safe"] is False
+
+    clean = spark.createDataFrame([("x", 0), ("x", 0), ("y", 1)], "clip_id string, part int")
+    r = u.dup_locality_report(clean).collect()[0]
+    assert r["n_cross_partition"] == 0 and r["key_partitioned_safe"] is True
+
+    nodups = spark.createDataFrame([("x", 0), ("y", 1)], "clip_id string, part int")
+    r = u.dup_locality_report(nodups).collect()[0]
+    assert r["n_dup_keys"] == 0 and r["key_partitioned_safe"] is True
