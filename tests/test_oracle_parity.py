@@ -102,6 +102,9 @@ def test_every_query_runs(spark, sf001):
         "q80_payload_drift",
         "q95_loudness_audit",
         "q102_transcode_qa",
+        "q104_bandwidth_audit",
+        "q105_partition_health",
+        "q112_dup_locality",
     }
     for name in missing_oracle:
         out = entry_mod.queries()[name](spark, sf001)
