@@ -2732,6 +2732,70 @@ def q111(spark, sf_dir):
 
 
 @q(
+    "q113_distinctive_terms",
+    """
+    WITH tok AS (SELECT source, UNNEST({words}) AS t FROM documents),
+    c AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS n
+          FROM tok GROUP BY 1, 2),
+    st AS (SELECT source, CAST(SUM(n) AS DOUBLE) AS ns FROM c GROUP BY source),
+    gt AS (SELECT t, CAST(SUM(n) AS DOUBLE) AS ng FROM c GROUP BY t),
+    g AS (SELECT CAST(SUM(ng) AS DOUBLE) AS ntot FROM gt),
+    z AS (SELECT c.source, c.t, c.n,
+                 ln((c.n + 0.5) / (st.ns - c.n + 0.5))
+                 - ln((gt.ng - c.n + 0.5) / ((SELECT ntot FROM g) - st.ns
+                                             - gt.ng + c.n + 0.5)) AS logodds,
+                 1.0 / (c.n + 0.5) + 1.0 / (gt.ng - c.n + 0.5) AS var
+          FROM c JOIN st USING (source) JOIN gt USING (t)),
+    r AS (SELECT source, t AS token, n, ROUND(logodds / sqrt(var), 6) AS z,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY ROUND(logodds / sqrt(var), 6) DESC,
+                                             t) AS rk
+          FROM z)
+    SELECT source, token, n, z, CAST(rk AS INT) AS rk
+    FROM r WHERE rk <= 5
+    """.format(words=_sql_words(_sql_norm("text"))),
+)
+def q113(spark, sf_dir):
+    """Distinctive-terms report (Monroe log-odds with a 0.5 Dirichlet
+    prior): per source, the 5 tokens most over-represented vs the rest of
+    the corpus, z-scored — the "what makes this slice different" audit
+    behind the JSD alarm (q111: THAT something drifted; this: WHAT).
+    One explode + hash agg to (source, token) counts; source and token
+    totals join back broadcast; rank is a per-source WindowGroupLimit."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(T.words(T.normalized_text(F.col("text")))).alias("t")
+    )
+    c = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("n"))
+    c = c.localCheckpoint(eager=False)  # feeds st, gt and the join-back
+    st = c.groupBy("source").agg(F.sum("n").cast("double").alias("ns"))
+    gt = c.groupBy("t").agg(F.sum("n").cast("double").alias("ng"))
+    g = gt.agg(F.sum("ng").alias("ntot"))
+    j = (
+        c.join(F.broadcast(st), "source")
+        .join(gt, "t")
+        .crossJoin(F.broadcast(g))
+    )
+    n = F.col("n").cast("double")
+    lo = F.log((n + 0.5) / (F.col("ns") - n + 0.5)) - F.log(
+        (F.col("ng") - n + 0.5) / (F.col("ntot") - F.col("ns") - F.col("ng") + n + 0.5)
+    )
+    var = 1.0 / (n + 0.5) + 1.0 / (F.col("ng") - n + 0.5)
+    z = lo / F.sqrt(var)
+    # rank on the ROUNDED z: raw ln() differs by ~1 ulp between engines,
+    # which could flip near-tied ranks; 6dp is the parity grain throughout
+    w = Window.partitionBy("source").orderBy(F.round(z, 6).desc(), F.col("t"))
+    ranked = j.select(
+        "source",
+        F.col("t").alias("token"),
+        F.col("n"),
+        F.round(z, 6).alias("z"),
+        F.row_number().over(w).alias("rk"),
+    )
+    return ranked.where(F.col("rk") <= 5)
+
+
+@q(
     "q74_split_assignment",
     """
     WITH b AS (SELECT source,

@@ -69,6 +69,7 @@ WINDOW_PARTITIONED_QUERIES = [
     "q91_chronology_audit",
     "q100_funnel_conversion",
     "q106_burstiness_audit",
+    "q113_distinctive_terms",
 ]
 
 RULES = [
@@ -420,6 +421,14 @@ RULES = [
         "(conditional sums, no self-join); no window/Python",
         lambda p: _nodes(p, "TakeOrderedAndProject") >= 1
         and _nodes(p, "Window") == 0
+        and "BatchEvalPython" not in p,
+    ),
+    (
+        "q113_distinctive_terms",
+        "log-odds ranking pushes a per-source WindowGroupLimit; counts "
+        "checkpointed (one token-explode pass); no cartesian/Python",
+        lambda p: "WindowGroupLimit" in p
+        and "CartesianProduct" not in p
         and "BatchEvalPython" not in p,
     ),
     (
