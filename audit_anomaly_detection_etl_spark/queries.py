@@ -2796,6 +2796,112 @@ def q113(spark, sf_dir):
 
 
 @q(
+    "q114_cohort_retention",
+    """
+    WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+    first AS (SELECT user_id, MIN(d) AS cohort FROM ud GROUP BY user_id),
+    act AS (SELECT f.cohort, date_diff('day', f.cohort, ud.d) AS day_offset,
+                   ud.user_id
+            FROM ud JOIN first f USING (user_id)),
+    cell AS (SELECT cohort, day_offset,
+                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+             FROM act GROUP BY 1, 2),
+    base AS (SELECT cohort, n_users AS n0 FROM cell WHERE day_offset = 0)
+    SELECT CAST(cell.cohort AS TIMESTAMP) AS cohort_day,
+           CAST(day_offset AS INT) AS day_offset, n_users,
+           ROUND(CAST(n_users AS DOUBLE) / n0, 6) AS retention
+    FROM cell JOIN base USING (cohort)
+    """,
+)
+def q114(spark, sf_dir):
+    """Cohort-retention triangle: users grouped by first-seen day, distinct
+    actives per (cohort, day-offset), retention vs the cohort's day 0 — a
+    retention cliff on one cohort while volume stays flat means an
+    instrumentation or ingest loss (q81 rate checks can't see it: other
+    cohorts backfill the volume). Detail reduces to distinct (user, day)
+    first; everything after is user- then cohort-grain; day-0 sizes join
+    back broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.date_trunc("day", F.col("ts")).alias("d")).distinct()
+    first = ud.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    act = ud.join(first, "user_id").select(
+        "cohort", F.datediff(F.col("d"), F.col("cohort")).alias("day_offset"), "user_id"
+    )
+    cell = act.groupBy("cohort", "day_offset").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    cell = cell.localCheckpoint(eager=False)  # feeds base + the join-back
+    base = cell.where(F.col("day_offset") == 0).select(
+        "cohort", F.col("n_users").alias("n0")
+    )
+    return cell.join(F.broadcast(base), "cohort").select(
+        F.col("cohort").alias("cohort_day"),
+        F.col("day_offset").cast("int").alias("day_offset"),
+        "n_users",
+        F.round(F.col("n_users").cast("double") / F.col("n0"), 6).alias("retention"),
+    )
+
+
+@q(
+    "q115_transition_drift",
+    """
+    WITH tr AS (SELECT ts,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY event_id)
+                       || '->' || event_type AS cat
+                FROM events WHERE event_type IS NOT NULL),
+    c AS (SELECT date_trunc('day', ts) AS b, cat, COUNT(*) AS n
+          FROM tr WHERE cat IS NOT NULL GROUP BY 1, 2),
+    bt AS (SELECT b, CAST(SUM(n) AS DOUBLE) AS bt FROM c GROUP BY b),
+    ct AS (SELECT cat, CAST(SUM(n) AS DOUBLE) AS ct FROM c GROUP BY cat),
+    g AS (SELECT SUM(ct) AS gt FROM ct),
+    grid AS (SELECT bt.b, bt.bt, ct.cat, ct.ct / (SELECT gt FROM g) AS share
+             FROM bt CROSS JOIN ct),
+    dense AS (SELECT grid.b, grid.bt, grid.cat,
+                     CAST(coalesce(c.n, 0) AS DOUBLE) AS obs,
+                     share * grid.bt AS exp
+              FROM grid LEFT JOIN c ON c.b = grid.b AND c.cat = grid.cat),
+    per AS (SELECT b, CAST(MAX(bt) AS BIGINT) AS n_events,
+                   SUM((obs - exp) * (obs - exp) / exp) AS chi2,
+                   CAST(COUNT(*) AS INT) AS ncat
+            FROM dense GROUP BY b)
+    SELECT CAST(b AS TIMESTAMP) AS window_start, n_events,
+           ncat AS n_categories,
+           ROUND(chi2, 6) AS chi2,
+           CAST(ncat - 1 AS INT) AS dof,
+           ROUND((ncat - 1) * POW(1.0 - 2.0 / (9.0 * (ncat - 1))
+                 + 1.6449 * sqrt(2.0 / (9.0 * (ncat - 1))), 3.0), 6) AS chi2_crit,
+           chi2 > (ncat - 1) * POW(1.0 - 2.0 / (9.0 * (ncat - 1))
+                 + 1.6449 * sqrt(2.0 / (9.0 * (ncat - 1))), 3.0) AS drifted
+    FROM per
+    """,
+)
+def q115(spark, sf_dir):
+    """Transition-matrix drift: per-day chi-square of the event-type BIGRAM
+    (prev->next within each user's arrival order) distribution vs the
+    table-wide one — ORDER-sensitive drift the marginal check (q87) cannot
+    see: a bot that fires the same events in a different sequence keeps
+    every marginal identical and still lights this up. One partitioned lag
+    window to form transitions, then the same aggregate-grain chi-square
+    grid as categorical_drift."""
+    from .operators import drift as drift_ops
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    tr = (
+        ev.where(F.col("event_type").isNotNull())
+        .select(
+            "ts",
+            F.concat(
+                F.lag("event_type").over(w), F.lit("->"), F.col("event_type")
+            ).alias("transition"),
+        )
+        .where(F.col("transition").isNotNull())
+    )
+    return drift_ops.categorical_drift(tr, "transition")
+
+
+@q(
     "q74_split_assignment",
     """
     WITH b AS (SELECT source,

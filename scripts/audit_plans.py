@@ -70,6 +70,8 @@ WINDOW_PARTITIONED_QUERIES = [
     "q100_funnel_conversion",
     "q106_burstiness_audit",
     "q113_distinctive_terms",
+    "q114_cohort_retention",
+    "q115_transition_drift",
 ]
 
 RULES = [
