@@ -190,3 +190,58 @@ def payload_violations(report: DataFrame) -> DataFrame:
         )
         .select(*VIOLATION_COLS)
     )
+
+
+def byte_length_audit(
+    clips: DataFrame,
+    tolerance_samples: int = 1,
+) -> DataFrame:
+    """Pre-decode triage: does the payload's BYTE LENGTH match what the
+    declared (dur_ms, sr_hz, codec) metadata promises? ``expected_bytes =
+    round(dur_ms/1000 * sr_hz) * bytes_per_sample(codec)`` — a truncated
+    upload, a payload written under a different codec than declared, or a
+    dur_ms in the wrong unit all show up WITHOUT decoding a single sample.
+
+    This is the cheap tier in front of the SNR decode check (q33): at
+    10^12 clips it is a whole-stage-codegen projection over three metadata
+    columns + the binary length (parquet stores byte length in the column
+    data; no PCM ever materializes in Python). Verdicts: ``ok`` (within
+    ``tolerance_samples``), ``truncated``, ``oversized``, ``unknown_codec``,
+    ``bad_meta`` (non-positive dur/sr or null payload).
+
+    Returns (clip_id, part, n_bytes, expected_bytes, delta_samples,
+    verdict).
+    """
+    bps = F.create_map(
+        *[
+            x
+            for c in codecs.CODECS
+            for x in (F.lit(c), F.lit(codecs.bytes_per_sample(c)))
+        ]
+    )[F.col("codec")]
+    n_bytes = F.length(F.col("bytes")).cast("long")
+    exp_samples = F.round(F.col("dur_ms").cast("double") / 1000.0 * F.col("sr_hz"))
+    exp_bytes = (exp_samples * bps).cast("long")
+    delta = F.when(bps.isNotNull(), (n_bytes - exp_bytes) / bps).cast("long")
+    bad_meta = (
+        F.col("bytes").isNull()
+        | F.col("dur_ms").isNull()
+        | F.col("sr_hz").isNull()
+        | (F.col("dur_ms") <= 0)
+        | (F.col("sr_hz") <= 0)
+    )
+    verdict = (
+        F.when(bad_meta, F.lit("bad_meta"))
+        .when(bps.isNull(), F.lit("unknown_codec"))
+        .when(F.abs(delta) <= tolerance_samples, F.lit("ok"))
+        .when(delta < 0, F.lit("truncated"))
+        .otherwise(F.lit("oversized"))
+    )
+    return clips.select(
+        "clip_id",
+        "part",
+        n_bytes.alias("n_bytes"),
+        F.when(~bad_meta & bps.isNotNull(), exp_bytes).alias("expected_bytes"),
+        F.when(~bad_meta & bps.isNotNull(), delta).alias("delta_samples"),
+        verdict.alias("verdict"),
+    )

@@ -2902,6 +2902,63 @@ def q115(spark, sf_dir):
 
 
 @q(
+    "q116_quantile_diff",
+    """
+    WITH a AS (SELECT CAST(0.1 AS DOUBLE) AS q, QUANTILE_CONT(CAST(o_totalprice AS DOUBLE), 0.1) AS v_ref FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          UNION ALL SELECT CAST(0.25 AS DOUBLE) AS q, QUANTILE_CONT(CAST(o_totalprice AS DOUBLE), 0.25) AS v_ref FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          UNION ALL SELECT CAST(0.5 AS DOUBLE) AS q, QUANTILE_CONT(CAST(o_totalprice AS DOUBLE), 0.5) AS v_ref FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          UNION ALL SELECT CAST(0.75 AS DOUBLE) AS q, QUANTILE_CONT(CAST(o_totalprice AS DOUBLE), 0.75) AS v_ref FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          UNION ALL SELECT CAST(0.9 AS DOUBLE) AS q, QUANTILE_CONT(CAST(o_totalprice AS DOUBLE), 0.9) AS v_ref FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+    b AS (SELECT CAST(0.1 AS DOUBLE) AS q, QUANTILE_CONT(CAST(o_totalprice AS DOUBLE), 0.1) AS v_cur FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          UNION ALL SELECT CAST(0.25 AS DOUBLE) AS q, QUANTILE_CONT(CAST(o_totalprice AS DOUBLE), 0.25) AS v_cur FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          UNION ALL SELECT CAST(0.5 AS DOUBLE) AS q, QUANTILE_CONT(CAST(o_totalprice AS DOUBLE), 0.5) AS v_cur FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          UNION ALL SELECT CAST(0.75 AS DOUBLE) AS q, QUANTILE_CONT(CAST(o_totalprice AS DOUBLE), 0.75) AS v_cur FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          UNION ALL SELECT CAST(0.9 AS DOUBLE) AS q, QUANTILE_CONT(CAST(o_totalprice AS DOUBLE), 0.9) AS v_cur FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
+    SELECT a.q AS quantile,
+           ROUND(a.v_ref, 6) AS v_ref, ROUND(b.v_cur, 6) AS v_cur,
+           ROUND(b.v_cur - a.v_ref, 6) AS shift,
+           ROUND(ABS(b.v_cur - a.v_ref) / NULLIF(a.v_ref, 0), 6) AS rel_shift,
+           ABS(b.v_cur - a.v_ref) / NULLIF(a.v_ref, 0) > 0.05 AS drifted
+    FROM a JOIN b USING (q)
+    """,
+)
+def q116(spark, sf_dir):
+    """Quantile-profile diff: decile-grid shift of o_totalprice between the
+    pre/post-1997 snapshots — the SHAPE complement of profile_diff (q98:
+    mean/sd/nulls; this: where in the distribution the mass moved, in value
+    units per quantile). Exact `percentile` here (the oracle's grain); at
+    10^12 rows the same operator swaps to `approx_percentile` like every
+    other quantile tier in the engine. Two single-pass percentile
+    aggregates, then a 5-row join."""
+    od = _t(spark, sf_dir, "orders")
+    cut = "1997-01-01 00:00:00"
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    v = F.col("o_totalprice").cast("double")
+
+    def prof(df, alias):
+        agg = df.agg(
+            F.percentile(v, F.array(*[F.lit(x) for x in qs])).alias("vals")
+        )
+        return agg.select(
+            F.posexplode("vals").alias("i", alias)
+        ).select((F.element_at(F.array(*[F.lit(x) for x in qs]), F.col("i") + 1)).alias("quantile"), alias)
+
+    a = prof(od.where(F.col("o_orderdate") < cut), "v_ref")
+    b = prof(od.where(F.col("o_orderdate") >= cut), "v_cur")
+    j = a.join(F.broadcast(b), "quantile")
+    shift = F.col("v_cur") - F.col("v_ref")
+    rel = F.abs(shift) / F.col("v_ref")
+    return j.select(
+        "quantile",
+        F.round("v_ref", 6).alias("v_ref"),
+        F.round("v_cur", 6).alias("v_cur"),
+        F.round(shift, 6).alias("shift"),
+        F.round(rel, 6).alias("rel_shift"),
+        (rel > 0.05).alias("drifted"),
+    )
+
+
+@q(
     "q74_split_assignment",
     """
     WITH b AS (SELECT source,
@@ -3902,6 +3959,22 @@ def q112(spark, sf_dir):
     t = synth.generate_clips(n_clips=800, n_parts=8, seed=7)
     clips = spark.createDataFrame(t.clips.to_pandas())
     return u.dup_locality_report(clips)
+
+
+@q("q117_byte_length_audit")
+def q117(spark, sf_dir):
+    """Pre-decode byte-length triage (operators/payload.byte_length_audit):
+    declared (dur_ms, sr_hz, codec) vs actual payload byte length — finds
+    truncated/mis-codec'd/mis-unit clips in a pure codegen projection, no
+    decode. The cheap tier in front of the SNR check (q33). Rows-only for
+    the driver; planted-violation pytest in tests/test_payload.py."""
+    from .operators import payload as payload_ops
+    from .sources import synth
+
+    t = synth.generate_clips(n_clips=800, n_parts=8, seed=7)
+    clips = spark.createDataFrame(t.clips.to_pandas())
+    audit = payload_ops.byte_length_audit(clips)
+    return audit.groupBy("part", "verdict").agg(F.count(F.lit(1)).alias("n"))
 
 
 @q(

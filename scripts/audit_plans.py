@@ -434,6 +434,15 @@ RULES = [
         and "BatchEvalPython" not in p,
     ),
     (
+        "q117_byte_length_audit",
+        "byte-length triage is pure codegen (no decode, no Python, no join "
+        "beyond none): zero MapInPandas, zero exchange before the agg is fine",
+        lambda p: _nodes(p, "MapInPandas") == 0
+        and "BatchEvalPython" not in p
+        and "ArrowEvalPython" not in p
+        and "Join" not in p,
+    ),
+    (
         "q68_repetition_signals",
         "repetition metrics are pure two-phase hash aggs (no window, no nested loop)",
         lambda p: p.count("HashAggregate") >= 4

@@ -105,6 +105,7 @@ def test_every_query_runs(spark, sf001):
         "q104_bandwidth_audit",
         "q105_partition_health",
         "q112_dup_locality",
+        "q117_byte_length_audit",
     }
     for name in missing_oracle:
         out = entry_mod.queries()[name](spark, sf001)

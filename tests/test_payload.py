@@ -93,3 +93,38 @@ def test_severity_ranking(report):
     ranked = v.orderBy(F.desc("severity"), "key").toPandas()
     if len(ranked):
         assert ranked.severity.is_monotonic_decreasing
+
+
+def test_byte_length_audit_verdicts(spark):
+    """Planted metadata/payload mismatches each land in their verdict."""
+    import numpy as np
+
+    from audit_anomaly_detection_etl_spark.functions import codecs as C
+    from audit_anomaly_detection_etl_spark.operators import payload as P
+
+    sr = 8000
+    pcm = 0.3 * np.sin(np.arange(sr) / 20.0)  # exactly 1 s
+    full = C.encode(pcm, "pcm_s16le")
+    rows = [
+        ("ok", 0, full, "pcm_s16le", sr, 1000),
+        ("trunc", 0, full[: len(full) // 2], "pcm_s16le", sr, 1000),
+        ("over", 0, full + full, "pcm_s16le", sr, 1000),
+        # declared ulaw (1 B/sample) but payload is s16le (2 B/sample)
+        ("miscodec", 0, full, "ulaw", sr, 1000),
+        ("badcodec", 0, full, "opus", sr, 1000),
+        ("badmeta", 0, full, "pcm_s16le", 0, 1000),
+    ]
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["clip_id", "part", "bytes", "codec", "sr_hz", "dur_ms"])
+    )
+    out = {r["clip_id"]: r for r in P.byte_length_audit(df).collect()}
+    assert out["ok"]["verdict"] == "ok" and out["ok"]["delta_samples"] == 0
+    assert out["trunc"]["verdict"] == "truncated"
+    assert out["trunc"]["delta_samples"] == -sr // 2
+    assert out["over"]["verdict"] == "oversized"
+    assert out["miscodec"]["verdict"] == "oversized"  # 2x bytes for 1 B/sample
+    assert out["badcodec"]["verdict"] == "unknown_codec"
+    assert out["badmeta"]["verdict"] == "bad_meta"
+    assert out["badmeta"]["expected_bytes"] is None
