@@ -245,3 +245,34 @@ def byte_length_audit(
         F.when(~bad_meta & bps.isNotNull(), delta).alias("delta_samples"),
         verdict.alias("verdict"),
     )
+
+
+def byte_length_violations(
+    clips: DataFrame,
+    tolerance_samples: int = 1,
+    key_col: str = "clip_id",
+    part_col: str = "part",
+) -> DataFrame:
+    """Suite adapter for ``byte_length_audit``: violation rows for payloads
+    whose byte length contradicts the declared metadata (truncated /
+    oversized / unknown codec). ``bad_meta`` rows are NOT re-reported — the
+    schema constraints own null/non-positive metadata (no-double-count rule,
+    like speaking_rate/loudness). Severity 4.5: corruption-class, just under
+    payload SNR failures. Pure codegen — safe to enable on every wave."""
+    audit = byte_length_audit(clips, tolerance_samples)
+    bad = audit.where(~F.col("verdict").isin("ok", "bad_meta"))
+    return bad.select(
+        F.col("clip_id").alias("key") if key_col == "clip_id" else F.col(key_col).alias("key"),
+        F.lit("byte_length").alias("check"),
+        F.concat(
+            F.col("verdict"),
+            F.lit(": bytes="),
+            F.col("n_bytes").cast("string"),
+            F.lit(" expected="),
+            F.coalesce(F.col("expected_bytes").cast("string"), F.lit("?")),
+            F.lit(" delta_samples="),
+            F.coalesce(F.col("delta_samples").cast("string"), F.lit("?")),
+        ).alias("detail"),
+        F.col(part_col).alias("part"),
+        F.lit(4.5).alias("severity"),
+    )

@@ -106,6 +106,14 @@ def _wave_violations(
                 part_col=spec.schema_spec.part_col,
             )
         )
+    if "byte_length" in checks:
+        parts.append(
+            payload.byte_length_violations(
+                wave_df,
+                key_col=spec.schema_spec.key_col,
+                part_col=spec.schema_spec.part_col,
+            )
+        )
     if "loudness" in checks:
         target, tol = spec.loudness_bounds
         parts.append(

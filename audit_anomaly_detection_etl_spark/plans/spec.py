@@ -96,7 +96,7 @@ _SPEC_KEYS = {
 
 # every check name the runner understands — the default SuiteSpec.checks
 # tuple is the default-ON subset, not the universe
-ALL_CHECKS = SuiteSpec().checks + ("speaking_rate", "loudness")
+ALL_CHECKS = SuiteSpec().checks + ("speaking_rate", "loudness", "byte_length")
 _SCHEMA_KEYS = {"columns", "key_col", "part_col"}
 _COLUMN_KEYS = {"name", "dtype", "nullable", "allowed", "min_value", "max_value"}
 _DRIFT_KEYS = {"col", "lo", "hi", "n_bins"}

@@ -128,3 +128,25 @@ def test_byte_length_audit_verdicts(spark):
     assert out["badcodec"]["verdict"] == "unknown_codec"
     assert out["badmeta"]["verdict"] == "bad_meta"
     assert out["badmeta"]["expected_bytes"] is None
+
+
+def test_byte_length_in_suite(spark, clip_dir, tmp_path):
+    """checks=("byte_length",) wired through spec -> runner -> verdicts; the
+    synth injector's truncated/mis-codec clips surface as byte_length rows."""
+    import os
+
+    from audit_anomaly_detection_etl_spark.plans.runner import run_suite
+    from audit_anomaly_detection_etl_spark.plans.spec import SuiteSpec
+
+    spec = SuiteSpec(checks=("byte_length",))
+    res = run_suite(
+        spark,
+        clips_root=os.path.join(clip_dir, "clips"),
+        ref_root=None,
+        hist_ref_path=None,
+        checkpoint_dir=str(tmp_path / "ck"),
+        spec=spec,
+    )
+    total = sum(v.violations_by_check.get("byte_length", 0) for v in res.verdicts.values())
+    assert total >= 1  # injector plants truncated payloads
+    assert all(set(v.violations_by_check) <= {"byte_length"} for v in res.verdicts.values())
