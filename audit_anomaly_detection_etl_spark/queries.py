@@ -2959,6 +2959,54 @@ def q116(spark, sf_dir):
 
 
 @q(
+    "q118_cusum_changepoint",
+    """
+    WITH d AS (SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY 1),
+    s AS (SELECT CAST(AVG(n) AS DOUBLE) AS mu, STDDEV_SAMP(CAST(n AS DOUBLE)) AS sd
+          FROM d),
+    z AS (SELECT day, n, (n - mu) / sd AS z FROM d CROSS JOIN s),
+    c AS (SELECT day, n, ROUND(z, 6) AS z,
+                 SUM(z) OVER (ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) AS cusum
+          FROM z)
+    SELECT CAST(day AS TIMESTAMP) AS day, n, z,
+           ROUND(cusum, 6) AS cusum,
+           ABS(cusum) > 5.0 AS level_shift
+    FROM c
+    """,
+)
+def q118(spark, sf_dir):
+    """CUSUM changepoint screen on the daily event rate: cumulative sum of
+    standardized daily deviations — a sustained level shift accumulates
+    linearly in the CUSUM long before any single day trips the MAD z-score
+    (q81 catches spikes; this catches slow drifts of the mean). The ordered
+    scan runs at DAY grain — bounded by the calendar (30 rows here, 3650 for
+    a decade), never by table size, so the unpartitioned ordered window is
+    bounded-by-construction like q32's histogram windows."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    d = d.localCheckpoint(eager=False)  # feeds stats + the z projection
+    s = d.agg(
+        F.avg("n").alias("mu"), F.stddev_samp(F.col("n").cast("double")).alias("sd")
+    )
+    z = d.crossJoin(F.broadcast(s)).select(
+        "day", "n", ((F.col("n") - F.col("mu")) / F.col("sd")).alias("z")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cusum = F.sum("z").over(w)
+    return z.select(
+        "day",
+        "n",
+        F.round("z", 6).alias("z"),
+        F.round(cusum, 6).alias("cusum"),
+        (F.abs(cusum) > 5.0).alias("level_shift"),
+    )
+
+
+@q(
     "q74_split_assignment",
     """
     WITH b AS (SELECT source,

@@ -75,3 +75,41 @@ def test_novel_categories_exact_set_difference(spark):
     assert out["beta_feature"]["n_cur"] == 1 and out["beta_feature"]["n_ref"] == 0
     assert out["legacy"]["status"] == "vanished"
     assert out["legacy"]["n_ref"] == 7 and out["legacy"]["n_cur"] == 0
+
+
+def test_cusum_detects_planted_level_shift(spark):
+    """Daily counts with a +30% mean shift halfway: CUSUM crosses the
+    threshold after the shift while no single day is a spike; a stable
+    series never flags."""
+    import datetime as dt
+
+    import __spark_entry__ as e
+
+    def mk(counts):
+        rows = []
+        for d, n in enumerate(counts):
+            base = dt.datetime(2024, 1, 1 + d)
+            rows += [(base + dt.timedelta(seconds=i),) for i in range(n)]
+        return spark.createDataFrame(rows, "ts timestamp")
+
+    # stable ~100/day with mild noise
+    stable = [100, 102, 98, 101, 99, 100, 103, 97, 100, 101] * 2
+    # shifted: same first half, then sustained 130/day
+    shifted = stable[:10] + [130, 128, 131, 129, 132, 130, 127, 133, 130, 129]
+
+    q = e.queries()["q118_cusum_changepoint"]
+
+    import tempfile
+
+    for name, counts, expect in (("stable", stable, False), ("shift", shifted, True)):
+        d = tempfile.mkdtemp(prefix=f"cusum_{name}_")
+        mk(counts).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        rows = sorted(q(spark, d).collect(), key=lambda r: r["day"])
+        flagged = any(r["level_shift"] for r in rows)
+        assert flagged is expect, (name, [r["cusum"] for r in rows])
+        if expect:
+            # global-mean CUSUM peaks AT the changepoint (the pre-shift half
+            # drifts negative, the post-shift half climbs back): the max
+            # |cusum| day localizes the shift boundary
+            peak = max(range(len(rows)), key=lambda i: abs(rows[i]["cusum"]))
+            assert abs(peak - 9) <= 1, peak
