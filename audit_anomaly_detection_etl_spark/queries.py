@@ -3007,6 +3007,38 @@ def q118(spark, sf_dir):
 
 
 @q(
+    "q119_orc_roundtrip",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           CAST(SUM(o_custkey) AS BIGINT) AS key_sum
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q119(spark, sf_dir):
+    """ORC sink/scan fidelity (sources/csvio.write_orc/read_orc): the
+    orders table written to ORC and read back must aggregate identically to
+    the parquet original (the oracle runs on the parquet) — value-exact
+    round trip through the second columnar format, proving the engine can
+    sit on a Hive/Trino-style ORC lake unchanged. Column pruning and
+    predicate pushdown work on the ORC scan like parquet's."""
+    import tempfile
+
+    from .sources import csvio
+
+    od = _t(spark, sf_dir, "orders")
+    d = tempfile.mkdtemp(prefix="q119_orc_")
+    csvio.write_orc(od, d)
+    back = csvio.read_orc(spark, d)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.sum("o_custkey").cast("long").alias("key_sum"),
+    )
+
+
+@q(
     "q74_split_assignment",
     """
     WITH b AS (SELECT source,

@@ -127,3 +127,18 @@ def read_json(spark: SparkSession, path: str, schema: str | None = None) -> Data
     if schema is not None:
         r = r.schema(schema)
     return r.json(path)
+
+
+def write_orc(df: DataFrame, path: str, n_files: int | None = None) -> None:
+    """ORC sink: the second columnar interchange format (Hive/Trino-side
+    lakes standardize on it). Column-pruned, predicate-pushdown scans work
+    exactly like parquet's — and a validation engine gets asked to READ the
+    customer's existing format far more often than to convert it. Built-in
+    Spark source: no extra jar."""
+    w = df.repartition(n_files) if n_files else df
+    w.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (schema rides with the file footers, like parquet)."""
+    return spark.read.orc(path)

@@ -98,3 +98,25 @@ def test_json_roundtrip_exact(spark, tmp_path):
     for k in a:
         assert a[k]["v"] == b[k]["v"]  # bit-exact double round-trip
         assert a[k]["s"] == b[k]["s"] and a[k]["maybe"] == b[k]["maybe"]
+
+
+def test_orc_roundtrip_value_exact(spark, tmp_path):
+    """ORC write/read preserves schema and exact values incl. doubles,
+    timestamps, and nulls."""
+    from audit_anomaly_detection_etl_spark.sources import csvio
+
+    rows = [
+        (1, 1.000000000001, "a", None),
+        (2, -0.1, None, "2024-03-01 12:00:00.123456"),
+        (None, float("inf"), "", "1970-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "i long, x double, s string, t string").selectExpr(
+        "i", "x", "s", "CAST(t AS TIMESTAMP) AS t"
+    )
+    p = str(tmp_path / "orc")
+    csvio.write_orc(df, p, n_files=2)
+    back = csvio.read_orc(spark, p)
+    assert back.schema == df.schema
+    a = sorted(df.collect(), key=str)
+    b = sorted(back.collect(), key=str)
+    assert a == b
