@@ -145,3 +145,73 @@ def plan_resume(
     done = store.completed(snap, spec_hash, fps)
     pending = [p for p in parts if p not in done]
     return snap, pending, done, fps
+
+
+def verdict_diff(store_a: "CheckpointStore", store_b: "CheckpointStore") -> list[dict]:
+    """Ops-level diff of two checkpoint stores (run A -> run B): which
+    partitions flipped pass/fail, which changed violation mass, which
+    appeared or disappeared — the "what regressed since yesterday's run"
+    report that turns per-partition verdicts into a monitorable signal.
+
+    Pure driver-side marker reads (O(partitions) JSON files, like
+    plan_resume). Each record: part, status in {'flipped_to_fail',
+    'flipped_to_pass', 'violations_changed', 'new', 'removed'}, both sides'
+    passed/n_violations, and the per-check violation delta — empty list
+    means the two runs agree exactly.
+    """
+    def markers(store):
+        out = {}
+        if not os.path.isdir(store.root):
+            return out
+        for name in os.listdir(store.root):
+            if name.startswith("part="):
+                try:
+                    part = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                v = store.read(part)
+                if v:
+                    out[part] = v
+        return out
+
+    a, b = markers(store_a), markers(store_b)
+    diffs: list[dict] = []
+    for part in sorted(set(a) | set(b)):
+        va, vb = a.get(part), b.get(part)
+        if va is None or vb is None:
+            diffs.append(
+                {
+                    "part": part,
+                    "status": "new" if va is None else "removed",
+                    "passed_a": va.passed if va else None,
+                    "passed_b": vb.passed if vb else None,
+                    "n_violations_a": va.n_violations if va else None,
+                    "n_violations_b": vb.n_violations if vb else None,
+                    "check_delta": {},
+                }
+            )
+            continue
+        checks = set(va.violations_by_check) | set(vb.violations_by_check)
+        delta = {
+            c: vb.violations_by_check.get(c, 0) - va.violations_by_check.get(c, 0)
+            for c in checks
+            if vb.violations_by_check.get(c, 0) != va.violations_by_check.get(c, 0)
+        }
+        if va.passed != vb.passed:
+            status = "flipped_to_fail" if va.passed else "flipped_to_pass"
+        elif delta:
+            status = "violations_changed"
+        else:
+            continue
+        diffs.append(
+            {
+                "part": part,
+                "status": status,
+                "passed_a": va.passed,
+                "passed_b": vb.passed,
+                "n_violations_a": va.n_violations,
+                "n_violations_b": vb.n_violations,
+                "check_delta": delta,
+            }
+        )
+    return diffs

@@ -228,3 +228,42 @@ def test_determinism_across_parallelism(clip_dir, tmp_path):
             )
         )
     assert outs[0] == outs[1]
+
+
+def test_verdict_diff_flags_flips_and_deltas(tmp_path):
+    """verdict_diff: pass->fail flips, violation-mass changes, appeared and
+    removed partitions; identical stores diff to empty."""
+    from audit_anomaly_detection_etl_spark.plans.checkpoint import (
+        CheckpointStore,
+        PartitionVerdict,
+        verdict_diff,
+    )
+
+    def v(part, passed, nv, by_check):
+        return PartitionVerdict(
+            part=part, passed=passed, n_rows=100, n_violations=nv,
+            violations_by_check=by_check, metrics={}, snapshot_id="s",
+            spec_hash="h", engine_version="x", part_fingerprint="f",
+        )
+
+    a = CheckpointStore(str(tmp_path / "a"))
+    b = CheckpointStore(str(tmp_path / "b"))
+    a.write(v(0, True, 0, {}))                      # flips to fail in b
+    b.write(v(0, False, 3, {"uniqueness": 3}))
+    a.write(v(1, False, 5, {"payload_snr": 5}))     # improves but still fails
+    b.write(v(1, False, 2, {"payload_snr": 2}))
+    a.write(v(2, True, 0, {}))                      # unchanged
+    b.write(v(2, True, 0, {}))
+    a.write(v(3, True, 0, {}))                      # removed in b
+    b.write(v(4, True, 0, {}))                      # new in b
+
+    d = {r["part"]: r for r in verdict_diff(a, b)}
+    assert set(d) == {0, 1, 3, 4}
+    assert d[0]["status"] == "flipped_to_fail"
+    assert d[0]["check_delta"] == {"uniqueness": 3}
+    assert d[1]["status"] == "violations_changed"
+    assert d[1]["check_delta"] == {"payload_snr": -3}
+    assert d[3]["status"] == "removed"
+    assert d[4]["status"] == "new"
+
+    assert verdict_diff(a, a) == []
