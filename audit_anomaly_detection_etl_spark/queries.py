@@ -23,6 +23,16 @@ Cross-engine parity rules used throughout:
 - Jaccard / cosine are computed with the same sequential fold on both sides
   (Spark ``aggregate``/``zip_with`` vs DuckDB ``list_sum(list_transform)``)
   so doubles match bit-for-bit.
+- EXACT DECIMAL HALVES break ``round``: integer-derived averages (sum of
+  longs / count) can land on shortest-repr halves like 33374.0610425, where
+  Spark rounds the decimal repr (HALF_UP on BigDecimal.valueOf) and DuckDB
+  the binary value — same double, different 6dp result. Never round such
+  quantities: FLOOR at the integer grain instead (q106 floors the mean to
+  the microsecond; s/n is never within an ulp of an integer unless exactly
+  divisible, so floor is engine-stable).
+- IEEE ``-0.0``: an exactly-zero rounded sum carries an engine-dependent
+  sign (q118's final CUSUM); the gate comparator folds it (+ 0.0) in
+  scripts/check_correctness.py and tests/test_oracle_parity.py.
 """
 
 from __future__ import annotations
@@ -2429,16 +2439,17 @@ def q103(spark, sf_dir):
     "q106_burstiness_audit",
     """
     WITH g AS (SELECT user_id,
-                      (epoch_us(ts) - epoch_us(lag(ts) OVER
-                          (PARTITION BY user_id ORDER BY event_id))) / 1e6 AS gap_s
+                      epoch_us(ts) - epoch_us(lag(ts) OVER
+                          (PARTITION BY user_id ORDER BY event_id)) AS gap_us
                FROM events),
     per AS (SELECT user_id,
-                   CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
-                   AVG(gap_s) AS mean_gap,
-                   STDDEV_SAMP(gap_s) AS sd_gap
-            FROM g GROUP BY user_id HAVING COUNT(gap_s) >= 2)
+                   CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+                   FLOOR(CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us)) / 1e6
+                       AS mean_gap,
+                   STDDEV_SAMP(gap_us / 1e6) AS sd_gap
+            FROM g GROUP BY user_id HAVING COUNT(gap_us) >= 2)
     SELECT user_id, n_gaps,
-           ROUND(mean_gap, 6) AS mean_gap_s,
+           mean_gap AS mean_gap_s,
            ROUND(sd_gap / mean_gap, 6) AS cv_gap,
            ROUND((sd_gap / mean_gap - 1.0) / (sd_gap / mean_gap + 1.0), 6)
                AS burstiness,
@@ -2457,14 +2468,25 @@ def q106(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("event_id")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    gap = (us - F.lag(us).over(w)).cast("double") / F.lit(1e6)
+    gap_us = us - F.lag(us).over(w)
+    # mean from EXACT integer-microsecond sums (one double division at the
+    # end): double-sum order noise put one sf0.1 user's mean exactly on a
+    # 6dp rounding boundary across engines; integer sums cannot
     per = (
-        ev.select("user_id", gap.alias("gap_s"))
+        ev.select("user_id", gap_us.alias("gap_us"))
         .groupBy("user_id")
         .agg(
-            F.count("gap_s").alias("n_gaps"),
-            F.avg("gap_s").alias("mean_gap"),
-            F.stddev_samp("gap_s").alias("sd_gap"),
+            F.count("gap_us").alias("n_gaps"),
+            (
+                # floored to the MICROSECOND: integer-µs means can land on
+                # exact decimal halves (s/n ending .5), where Spark rounds
+                # the shortest decimal repr and DuckDB the binary — floor
+                # has no half case and s/n never sits within an ulp of an
+                # integer unless exactly divisible
+                F.floor(F.sum("gap_us").cast("double") / F.count("gap_us"))
+                / F.lit(1e6)
+            ).alias("mean_gap"),
+            F.stddev_samp(F.col("gap_us") / F.lit(1e6)).alias("sd_gap"),
         )
         .where(F.col("n_gaps") >= 2)
     )
@@ -2473,7 +2495,7 @@ def q106(spark, sf_dir):
     return per.select(
         "user_id",
         "n_gaps",
-        F.round("mean_gap", 6).alias("mean_gap_s"),
+        F.col("mean_gap").alias("mean_gap_s"),
         F.round(cv, 6).alias("cv_gap"),
         F.round(b, 6).alias("burstiness"),
         (b < -0.7).alias("metronomic"),

@@ -44,7 +44,9 @@ def _norm(v):
     if isinstance(v, float):
         if v != v:
             return "nan"
-        return round(v, 9)
+        # + 0.0 folds IEEE -0.0 into 0.0 (engines disagree on the SIGN of an
+        # exactly-zero rounded sum; they agree on the value)
+        return round(v, 9) + 0.0
     if isinstance(v, int):
         return float(v) if abs(v) < 2**52 else v
     return str(v)
