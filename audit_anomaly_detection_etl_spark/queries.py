@@ -3061,6 +3061,178 @@ def q119(spark, sf_dir):
 
 
 @q(
+    "q120_slope_heterogeneity",
+    """
+    WITH s AS (SELECT l_suppkey,
+                      CAST(COUNT(*) AS DOUBLE) AS n,
+                      SUM(l_quantity) AS sx, SUM(l_extendedprice) AS sy,
+                      SUM(l_quantity * l_extendedprice) AS sxy,
+                      SUM(l_quantity * l_quantity) AS sxx
+               FROM lineitem GROUP BY l_suppkey HAVING COUNT(*) >= 30),
+    f AS (SELECT l_suppkey, CAST(n AS BIGINT) AS n_rows,
+                 (sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope
+          FROM s),
+    g AS (SELECT AVG(slope) AS mu, STDDEV_SAMP(slope) AS sd FROM f)
+    SELECT l_suppkey, n_rows,
+           ROUND(slope, 6) AS slope,
+           ROUND((slope - mu) / sd, 6) AS slope_z,
+           ABS((slope - mu) / sd) > 3.0 AS heterogeneous
+    FROM f CROSS JOIN g
+    """,
+)
+def q120(spark, sf_dir):
+    """Per-group regression heterogeneity: each supplier's own price ~
+    quantity least-squares slope, z-scored against the population of
+    slopes — a supplier whose price CURVE differs (not just its level) is
+    invisible to the global fit (q108) and to per-column screens. One
+    grouped-sums pass (five aggregates per group), slopes closed-form, the
+    1-row slope-population stats broadcast back."""
+    li = _t(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * y).alias("sxy"),
+            F.sum(x * x).alias("sxx"),
+        )
+        .where(F.col("n") >= 30)
+    )
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    f = s.select(
+        "l_suppkey", F.col("n").cast("long").alias("n_rows"), slope.alias("slope")
+    )
+    f = f.localCheckpoint(eager=False)  # feeds stats + the z projection
+    g = f.agg(F.avg("slope").alias("mu"), F.stddev_samp("slope").alias("sd"))
+    z = (F.col("slope") - F.col("mu")) / F.col("sd")
+    return f.crossJoin(F.broadcast(g)).select(
+        "l_suppkey",
+        "n_rows",
+        F.round("slope", 6).alias("slope"),
+        F.round(z, 6).alias("slope_z"),
+        (F.abs(z) > 3.0).alias("heterogeneous"),
+    )
+
+
+_TYPE_PATTERNS = [
+    ("pct_int", "^-?[0-9]+$"),
+    ("pct_num", "^-?[0-9]+\\.[0-9]+$"),
+    ("pct_date", "^[0-9]{4}-[0-9]{2}-[0-9]{2}"),
+    ("pct_bool", "^(true|false)$"),
+    ("pct_json", "^\\{.*\\}$"),
+]
+
+
+def _type_audit_sql(table: str, col: str) -> str:
+    pats = ",\n           ".join(
+        "ROUND(CAST(COUNT(CASE WHEN regexp_matches(lower(trim({c})), '{p}') "
+        "THEN 1 END) AS DOUBLE) / NULLIF(COUNT({c}), 0), 6) AS {a}".format(
+            c=col, p=p, a=a
+        )
+        for a, p in _TYPE_PATTERNS
+    )
+    return (
+        "SELECT '{t}.{c}' AS col, CAST(COUNT({c}) AS BIGINT) AS n_values,\n"
+        "           {pats}\n    FROM {t}"
+    ).format(t=table, c=col, pats=pats)
+
+
+@q(
+    "q121_type_inference_audit",
+    """
+    {a}
+    UNION ALL
+    {b}
+    UNION ALL
+    {c}
+    """.format(
+        a=_type_audit_sql("events", "props"),
+        b=_type_audit_sql("orders", "o_orderpriority"),
+        c=_type_audit_sql("documents", "lang"),
+    ),
+)
+def q121(spark, sf_dir):
+    """Stringly-typed column detection: per string column, the share of
+    non-null values that fully parse as int / decimal / date-prefixed /
+    bool / JSON object — a column whose values are 100%% JSON (events.props
+    here) or 100%% numeric is carrying a miscast schema, which every
+    downstream mean/range constraint silently skips. Pure codegen
+    conditional-count aggregates (regexps are anchored and RE2-safe on both
+    engines), one row per audited column."""
+
+    def one(df, table, col):
+        c = F.lower(F.trim(F.col(col)))
+        aggs = [
+            F.count(F.col(col)).cast("long").alias("n_values"),
+        ] + [
+            F.round(
+                F.count(F.when(c.rlike(p), F.lit(1))).cast("double")
+                / F.nullif(F.count(F.col(col)), F.lit(0)),
+                6,
+            ).alias(a)
+            for a, p in _TYPE_PATTERNS
+        ]
+        return df.agg(F.lit(f"{table}.{col}").alias("col"), *aggs)
+
+    a = one(_t(spark, sf_dir, "events"), "events", "props")
+    b = one(_t(spark, sf_dir, "orders"), "orders", "o_orderpriority")
+    c = one(_t(spark, sf_dir, "documents"), "documents", "lang")
+    return a.unionByName(b).unionByName(c)
+
+
+@q(
+    "q122_k_anonymity",
+    """
+    WITH q AS (SELECT c_nationkey, c_mktsegment,
+                      CAST(LEAST(GREATEST(FLOOR((c_acctbal - -1000.0) / 1100.0),
+                           0), 9) AS INT) AS bal_bin
+               FROM customer),
+    c AS (SELECT c_nationkey, c_mktsegment, bal_bin, COUNT(*) AS n
+          FROM q GROUP BY 1, 2, 3)
+    SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_combos,
+           CAST(MIN(n) AS BIGINT) AS min_combo,
+           CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+               AS n_rows_below_k,
+           ROUND(CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+                 / SUM(n), 6) AS pct_below_k,
+           MIN(n) >= 5 AS k_anonymous
+    FROM c
+    """,
+)
+def q122(spark, sf_dir):
+    """k-anonymity audit (k=5) over the quasi-identifier combination
+    (nation, market segment, account-balance decile): the share of rows
+    whose combo appears fewer than k times — the re-identification risk
+    screen a privacy-conscious training pipeline runs beside the PII regex
+    scan (q70: direct identifiers; this: identifying COMBINATIONS of
+    innocent columns). One hash agg to combo grain + a one-row summary."""
+    cu = _t(spark, sf_dir, "customer")
+    bal_bin = (
+        F.least(
+            F.greatest(F.floor((F.col("c_acctbal") - (-1000.0)) / 1100.0), F.lit(0)),
+            F.lit(9),
+        )
+    ).cast("int")
+    c = cu.groupBy("c_nationkey", "c_mktsegment", bal_bin.alias("bal_bin")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    below = F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(F.lit(0)))
+    return c.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_combos"),
+        F.min("n").cast("long").alias("min_combo"),
+        below.cast("long").alias("n_rows_below_k"),
+        F.round(below.cast("double") / F.sum("n"), 6).alias("pct_below_k"),
+        (F.min("n") >= 5).alias("k_anonymous"),
+    )
+
+
+@q(
     "q74_split_assignment",
     """
     WITH b AS (SELECT source,

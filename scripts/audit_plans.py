@@ -443,6 +443,30 @@ RULES = [
         and "Join" not in p,
     ),
     (
+        "q120_slope_heterogeneity",
+        "per-group slopes from ONE grouped-sums pass; slope-population stats "
+        "broadcast back; no window/Python",
+        lambda p: _nodes(p, "Window") == 0
+        and _nodes(p, "BroadcastNestedLoopJoin") <= 1
+        and "BatchEvalPython" not in p,
+    ),
+    (
+        "q121_type_inference_audit",
+        "type inference is pure codegen conditional counts: no join, no "
+        "window, no Python",
+        lambda p: "Join" not in p
+        and _nodes(p, "Window") == 0
+        and "BatchEvalPython" not in p,
+    ),
+    (
+        "q122_k_anonymity",
+        "k-anonymity is two hash-agg phases to combo grain then one row: no "
+        "join, no window, no Python",
+        lambda p: "Join" not in p
+        and _nodes(p, "Window") == 0
+        and "BatchEvalPython" not in p,
+    ),
+    (
         "q68_repetition_signals",
         "repetition metrics are pure two-phase hash aggs (no window, no nested loop)",
         lambda p: p.count("HashAggregate") >= 4
