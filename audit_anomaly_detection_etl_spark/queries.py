@@ -3233,6 +3233,57 @@ def q122(spark, sf_dir):
 
 
 @q(
+    "q123_correlation_matrix",
+    """
+    WITH s AS (SELECT corr(l_quantity, l_extendedprice) AS c_qty_price,
+                      corr(l_quantity, l_discount) AS c_qty_disc,
+                      corr(l_quantity, l_tax) AS c_qty_tax,
+                      corr(l_extendedprice, l_discount) AS c_price_disc,
+                      corr(l_extendedprice, l_tax) AS c_price_tax,
+                      corr(l_discount, l_tax) AS c_disc_tax,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM lineitem)
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
+           ROUND(c_qty_price, 6) AS corr, ABS(c_qty_price) > 0.9 AS collinear
+    FROM s
+    UNION ALL SELECT 'l_quantity', 'l_discount', n, ROUND(c_qty_disc, 6),
+           ABS(c_qty_disc) > 0.9 FROM s
+    UNION ALL SELECT 'l_quantity', 'l_tax', n, ROUND(c_qty_tax, 6),
+           ABS(c_qty_tax) > 0.9 FROM s
+    UNION ALL SELECT 'l_extendedprice', 'l_discount', n, ROUND(c_price_disc, 6),
+           ABS(c_price_disc) > 0.9 FROM s
+    UNION ALL SELECT 'l_extendedprice', 'l_tax', n, ROUND(c_price_tax, 6),
+           ABS(c_price_tax) > 0.9 FROM s
+    UNION ALL SELECT 'l_discount', 'l_tax', n, ROUND(c_disc_tax, 6),
+           ABS(c_disc_tax) > 0.9 FROM s
+    """,
+)
+def q123(spark, sf_dir):
+    """Full pairwise correlation matrix of the numeric columns in ONE
+    aggregation pass (all six corr() aggregates fuse into a single
+    hash-agg job — never six scans): the profiling staple behind feature
+    selection and the collinearity flag (|r| > 0.9 means one column is
+    redundant or leaked from the other). Unpivoted to (col_a, col_b) rows
+    driver-side from the 1-row aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    aggs = [F.corr(a, b).alias(f"c_{i}") for i, (a, b) in enumerate(pairs)]
+    s = li.agg(*aggs, F.count(F.lit(1)).cast("long").alias("n"))
+    rows = None
+    for i, (a, b) in enumerate(pairs):
+        r = s.select(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            "n",
+            F.round(F.col(f"c_{i}"), 6).alias("corr"),
+            (F.abs(F.col(f"c_{i}")) > 0.9).alias("collinear"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows
+
+
+@q(
     "q74_split_assignment",
     """
     WITH b AS (SELECT source,

@@ -467,6 +467,14 @@ RULES = [
         and "BatchEvalPython" not in p,
     ),
     (
+        "q123_correlation_matrix",
+        "all six corr() aggregates fuse into ONE scan (HashAggregate over a "
+        "single parquet read), no join, no window",
+        lambda p: _nodes(p, "Scan parquet") == 1
+        and _nodes(p, "Window") == 0
+        and "BatchEvalPython" not in p,
+    ),
+    (
         "q68_repetition_signals",
         "repetition metrics are pure two-phase hash aggs (no window, no nested loop)",
         lambda p: p.count("HashAggregate") >= 4
