@@ -3270,6 +3270,9 @@ def q123(spark, sf_dir):
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
     aggs = [F.corr(a, b).alias(f"c_{i}") for i, (a, b) in enumerate(pairs)]
     s = li.agg(*aggs, F.count(F.lit(1)).cast("long").alias("n"))
+    # the 1-row aggregate feeds SIX union branches; Catalyst does not share
+    # common subplans, so without pinning the scan+agg would run six times
+    s = s.localCheckpoint(eager=False)
     rows = None
     for i, (a, b) in enumerate(pairs):
         r = s.select(

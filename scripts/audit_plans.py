@@ -468,9 +468,9 @@ RULES = [
     ),
     (
         "q123_correlation_matrix",
-        "all six corr() aggregates fuse into ONE scan (HashAggregate over a "
-        "single parquet read), no join, no window",
-        lambda p: _nodes(p, "Scan parquet") == 1
+        "all six corr() aggregates fuse into ONE scan; the 1-row result is "
+        "checkpointed so the six union branches never rescan; no window",
+        lambda p: _nodes(p, "Scan parquet") == 0
         and _nodes(p, "Window") == 0
         and "BatchEvalPython" not in p,
     ),
