@@ -105,3 +105,41 @@ def dup_locality_report(
             "key_partitioned_safe"
         ),
     )
+
+
+def transcript_reuse(
+    clips: DataFrame,
+    transcript_col: str = "transcript",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Label-reuse audit: transcripts attached to MORE THAN ONE distinct
+    audio payload. Exact dedup (q20) finds identical (transcript, audio)
+    pairs; this finds the inverse defect — one transcript shared by
+    different recordings, which is either legitimate re-recording or a
+    misaligned pairing upstream (a join that fanned out), and at training
+    time both deserve a cap (the mixture over-weights that text either
+    way).
+
+    One projection to (md5(transcript), md5(bytes)) — the payload bytes
+    reduce to a 32-char digest inside the scan, so the shuffle carries
+    hashes, never audio — then two hash-agg phases to transcript grain.
+
+    Returns (transcript_md5, n_rows, n_audio_variants) for transcripts with
+    n_audio_variants > 1.
+    """
+    t = F.md5(F.col(transcript_col).cast("binary")).alias("transcript_md5")
+    a = F.md5(F.col(bytes_col)).alias("audio_md5")
+    pairs = (
+        clips.where(
+            F.col(transcript_col).isNotNull() & F.col(bytes_col).isNotNull()
+        )
+        .select(t, a)
+    )
+    return (
+        pairs.groupBy("transcript_md5")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("audio_md5").cast("long").alias("n_audio_variants"),
+        )
+        .where(F.col("n_audio_variants") > 1)
+    )

@@ -4305,6 +4305,21 @@ def q117(spark, sf_dir):
     return audit.groupBy("part", "verdict").agg(F.count(F.lit(1)).alias("n"))
 
 
+@q("q124_transcript_reuse")
+def q124(spark, sf_dir):
+    """Label-reuse audit (operators/uniqueness.transcript_reuse):
+    transcripts attached to more than one distinct audio payload — the
+    inverse of exact dedup (one text, many recordings: re-recordings or a
+    fanned-out join). Payload bytes reduce to md5 digests inside the scan;
+    rows-only for the driver, planted-reuse pytest in tests/test_fk_matrix.py."""
+    from .operators import uniqueness as u
+    from .sources import synth
+
+    t = synth.generate_clips(n_clips=800, n_parts=8, seed=7)
+    clips = spark.createDataFrame(t.clips.to_pandas())
+    return u.transcript_reuse(clips)
+
+
 @q(
     "q45_frame_plan",
     """

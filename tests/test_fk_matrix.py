@@ -120,3 +120,21 @@ def test_dup_locality_separates_intra_and_cross_partition(spark):
     nodups = spark.createDataFrame([("x", 0), ("y", 1)], "clip_id string, part int")
     r = u.dup_locality_report(nodups).collect()[0]
     assert r["n_dup_keys"] == 0 and r["key_partitioned_safe"] is True
+
+
+def test_transcript_reuse_flags_planted_label_sharing(spark):
+    from audit_anomaly_detection_etl_spark.operators import uniqueness as u
+
+    rows = [
+        ("hello world", b"\\x01\\x02"),   # same transcript, 3 distinct audios
+        ("hello world", b"\\x03\\x04"),
+        ("hello world", b"\\x05\\x06"),
+        ("exact dup", b"\\x0a\\x0b"),      # same transcript, SAME audio (not reuse)
+        ("exact dup", b"\\x0a\\x0b"),
+        ("unique", b"\\x0c"),
+        (None, b"\\x0d"),
+    ]
+    df = spark.createDataFrame(rows, "transcript string, bytes binary")
+    out = u.transcript_reuse(df).collect()
+    assert len(out) == 1
+    assert out[0]["n_rows"] == 3 and out[0]["n_audio_variants"] == 3
