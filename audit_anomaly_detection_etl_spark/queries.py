@@ -4317,7 +4317,12 @@ def q124(spark, sf_dir):
 
     t = synth.generate_clips(n_clips=800, n_parts=8, seed=7)
     clips = spark.createDataFrame(t.clips.to_pandas())
-    return u.transcript_reuse(clips)
+    # the synth injector duplicates FULL rows (same audio), so plant one
+    # deterministic reuse: re-record clip 0 with one extra byte of audio
+    rerecorded = clips.where(F.col("clip_id") == "clip-0007-00000000").withColumn(
+        "bytes", F.concat(F.col("bytes"), F.lit(bytearray(b"\x00\x00")))
+    )
+    return u.transcript_reuse(clips.unionByName(rerecorded))
 
 
 @q(
