@@ -48,6 +48,14 @@ def main(argv: list[str] | None = None) -> dict:
         "invalidates prior checkpoints. See conf/suite_default.yml",
     )
     ap.add_argument(
+        "--verify-partitioning",
+        dest="verify_partitioning",
+        action="store_true",
+        help="before trusting per-wave key checks, empirically verify the "
+        "key_partitioned contract (scan key+part columns for cross-partition "
+        "duplicates); flips to global key checks if violated",
+    )
+    ap.add_argument(
         "--no-key-partitioned",
         dest="key_partitioned",
         action="store_false",
@@ -85,6 +93,29 @@ def main(argv: list[str] | None = None) -> dict:
 
     spark = get_spark(master=args.master)
     _ship_package(spark)
+
+    partitioning_audit = None
+    if args.verify_partitioning and spec.key_partitioned:
+        # empirical test of the key_partitioned contract BEFORE trusting the
+        # cheap per-wave uniqueness path: any cross-partition duplicate means
+        # per-partition checks are incomplete -> flip to global key checks
+        # for this run and report it (operators/uniqueness.dup_locality_report)
+        from audit_anomaly_detection_etl_spark.operators.uniqueness import (
+            dup_locality_report,
+        )
+        from audit_anomaly_detection_etl_spark.sources import tableio
+
+        r = dup_locality_report(
+            tableio.read_table(spark, args.data).select(
+                spec.schema_spec.key_col, spec.schema_spec.part_col
+            ),
+            key_col=spec.schema_spec.key_col,
+            part_col=spec.schema_spec.part_col,
+        ).collect()[0]
+        partitioning_audit = r.asDict()
+        if not r["key_partitioned_safe"]:
+            spec.key_partitioned = False
+
     t0 = time.time()
     res = run_suite(
         spark,
@@ -104,6 +135,7 @@ def main(argv: list[str] | None = None) -> dict:
         ).limit(args.top).collect()
     ]
     summary = {
+        "partitioning_audit": partitioning_audit,
         "snapshot_id": res.snapshot_id,
         "spec_hash": res.spec_hash,
         "parts_total": len(res.verdicts),
