@@ -143,3 +143,33 @@ def transcript_reuse(
         )
         .where(F.col("n_audio_variants") > 1)
     )
+
+
+def label_conflicts(
+    clips: DataFrame,
+    transcript_col: str = "transcript",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """The inverse of transcript_reuse and the worse defect: ONE audio
+    payload carrying CONFLICTING transcripts. Re-recordings of a script are
+    legitimate; two different labels for bit-identical audio cannot both be
+    right — it is a labeling error or a corrupted join, and training on
+    both teaches the model noise. Same digest-first shape as
+    transcript_reuse: payloads reduce to md5 inside the scan, two hash-agg
+    phases to audio grain.
+
+    Returns (audio_md5, n_rows, n_transcripts) where n_transcripts > 1.
+    """
+    a = F.md5(F.col(bytes_col)).alias("audio_md5")
+    t = F.md5(F.col(transcript_col).cast("binary")).alias("transcript_md5")
+    pairs = clips.where(
+        F.col(transcript_col).isNotNull() & F.col(bytes_col).isNotNull()
+    ).select(a, t)
+    return (
+        pairs.groupBy("audio_md5")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("transcript_md5").cast("long").alias("n_transcripts"),
+        )
+        .where(F.col("n_transcripts") > 1)
+    )

@@ -3286,6 +3286,93 @@ def q123(spark, sf_dir):
     return rows
 
 
+@q("q125_label_conflicts")
+def q125(spark, sf_dir):
+    """Conflicting-label audit (operators/uniqueness.label_conflicts): one
+    bit-identical audio payload carrying DIFFERENT transcripts — a labeling
+    error or corrupted join that re-recording semantics cannot excuse
+    (inverse of q124). One planted conflict demonstrates the path; digests
+    computed inside the scan. Rows-only; planted pytest alongside q124's."""
+    from .operators import uniqueness as u
+    from .sources import synth
+
+    t = synth.generate_clips(n_clips=800, n_parts=8, seed=7)
+    clips = spark.createDataFrame(t.clips.to_pandas())
+    conflicted = clips.where(F.col("clip_id") == "clip-0007-00000000").withColumn(
+        "transcript", F.concat(F.col("transcript"), F.lit(" [conflicting label]"))
+    )
+    return u.label_conflicts(clips.unionByName(conflicted))
+
+
+@q(
+    "q126_sentinel_audit",
+    """
+    SELECT col, sentinel, n, ROUND(CAST(n AS DOUBLE) / total, 6) AS share
+    FROM (
+      SELECT 'events.value' AS col, '0.0' AS sentinel,
+             CAST(COUNT(CASE WHEN value = 0.0 THEN 1 END) AS BIGINT) AS n,
+             CAST(COUNT(value) AS DOUBLE) AS total
+      FROM events
+      UNION ALL
+      SELECT 'events.value', '-1.0',
+             CAST(COUNT(CASE WHEN value = -1.0 THEN 1 END) AS BIGINT),
+             CAST(COUNT(value) AS DOUBLE)
+      FROM events
+      UNION ALL
+      SELECT 'documents.text', 'empty/na',
+             CAST(COUNT(CASE WHEN lower(trim(text)) IN ('', 'n/a', 'null',
+                  'none', 'unknown') THEN 1 END) AS BIGINT),
+             CAST(COUNT(text) AS DOUBLE)
+      FROM documents
+      UNION ALL
+      SELECT 'part.p_size', '0',
+             CAST(COUNT(CASE WHEN p_size = 0 THEN 1 END) AS BIGINT),
+             CAST(COUNT(p_size) AS DOUBLE)
+      FROM part) t
+    """,
+)
+def q126(spark, sf_dir):
+    """Sentinel-value audit: counts of the classic placeholder values (0,
+    -1, '', 'n/a', 'null', ...) per column — null-rate checks (q31) miss
+    sentinel contamination entirely because sentinels ARE non-null, yet a
+    column whose zeros are really "unknown" poisons every mean and bound.
+    Pure conditional-count aggregates, one row per (column, sentinel)."""
+
+    def num(df, table, col, sval):
+        v = F.col(col)
+        return df.agg(
+            F.lit(f"{table}.{col}").alias("col"),
+            F.lit(str(sval)).alias("sentinel"),
+            F.count(F.when(v == sval, F.lit(1))).cast("long").alias("n"),
+            F.count(v).cast("double").alias("total"),
+        )
+
+    ev = _t(spark, sf_dir, "events")
+    docs = _t(spark, sf_dir, "documents")
+    pa = _t(spark, sf_dir, "part")
+    txt = F.lower(F.trim(F.col("text")))
+    d = docs.agg(
+        F.lit("documents.text").alias("col"),
+        F.lit("empty/na").alias("sentinel"),
+        F.count(
+            F.when(txt.isin("", "n/a", "null", "none", "unknown"), F.lit(1))
+        ).cast("long").alias("n"),
+        F.count(F.col("text")).cast("double").alias("total"),
+    )
+    u = (
+        num(ev, "events", "value", 0.0)
+        .unionByName(num(ev, "events", "value", -1.0))
+        .unionByName(d)
+        .unionByName(num(pa, "part", "p_size", 0))
+    )
+    return u.select(
+        "col",
+        "sentinel",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+    )
+
+
 @q(
     "q74_split_assignment",
     """

@@ -138,3 +138,19 @@ def test_transcript_reuse_flags_planted_label_sharing(spark):
     out = u.transcript_reuse(df).collect()
     assert len(out) == 1
     assert out[0]["n_rows"] == 3 and out[0]["n_audio_variants"] == 3
+
+
+def test_label_conflicts_flags_contradictory_transcripts(spark):
+    from audit_anomaly_detection_etl_spark.operators import uniqueness as u
+
+    rows = [
+        ("take one", b"\\x01\\x02"),   # same audio, conflicting labels
+        ("take two", b"\\x01\\x02"),
+        ("same", b"\\x03"),            # same audio, same label (exact dup, fine)
+        ("same", b"\\x03"),
+        ("solo", b"\\x04"),
+    ]
+    df = spark.createDataFrame(rows, "transcript string, bytes binary")
+    out = u.label_conflicts(df).collect()
+    assert len(out) == 1
+    assert out[0]["n_rows"] == 2 and out[0]["n_transcripts"] == 2

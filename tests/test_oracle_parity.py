@@ -107,6 +107,7 @@ def test_every_query_runs(spark, sf001):
         "q112_dup_locality",
         "q117_byte_length_audit",
         "q124_transcript_reuse",
+        "q125_label_conflicts",
     }
     for name in missing_oracle:
         out = entry_mod.queries()[name](spark, sf001)
