@@ -352,7 +352,8 @@ def edit_verified_pairs(
     on the survivors before deleting data: pairs whose normalized texts
     share a ``prefix_len``-char prefix are scored with full Levenshtein and
     ``edit_sim = 1 - lev / max(len_a, len_b)``, keeping only pairs at or
-    above ``sim_threshold``.
+    above ``sim_threshold`` (the filter bounds output to the confirmed
+    near-dups — without it a 1000-doc hot prefix emits ~500k scored rows).
 
     Levenshtein is O(len_a * len_b) PER PAIR — the expensive exact kernel —
     so the candidate generator must bound the pair count, never the corpus
@@ -384,11 +385,11 @@ def edit_verified_pairs(
             b,
             (F.col("a.pfx") == F.col("b.pfx")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .where(sim >= F.lit(sim_threshold))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             lev.cast("int").alias("lev"),
             F.round(sim, 6).alias("edit_sim"),
-            (sim >= F.lit(sim_threshold)).alias("near_dup"),
         )
     )

@@ -729,7 +729,8 @@ def loudness_audit(
     second decode pass; compose ``loudness_audit(audio_features(clips))``
     and the two fuse into one mapInPandas + one projection).
 
-    Per clip: ``rms_dbfs``/``peak_dbfs`` (20*log10(x / 32768)), the
+    Per clip: ``rms_dbfs``/``peak_dbfs`` (20*log10(x / 1.0) — codecs.decode
+    returns normalized float PCM in [-1, 1), see ``_FULL_SCALE``), the
     ``gain_db`` that would move RMS to ``target_dbfs``, the available
     ``headroom_db`` before the peak hits full scale, and a verdict:
 
@@ -921,7 +922,11 @@ def bandwidth_audit(
     ``audio_features`` pass. Returns (clip_id, part, sr_hz, est_bw_hz,
     bw_ratio, band_limited).
     """
-    decl = clips.select("clip_id", "sr_hz")
+    # Duplicate clip_ids (ingest replays — the synth injector plants ~0.5%,
+    # real tables have them too) would fan out k dup feature rows × k dup
+    # declared-rate rows = k^2 report rows; collapse the declared side to one
+    # row per clip_id first (2-column shuffle, narrow at any scale).
+    decl = clips.select("clip_id", "sr_hz").dropDuplicates(["clip_id"])
     j = features.select("clip_id", "part", "decode_ok", "rms", "zcr").join(
         decl, "clip_id"
     )

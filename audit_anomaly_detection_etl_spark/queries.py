@@ -2012,11 +2012,10 @@ def q93(spark, sf_dir):
            CAST(levenshtein(a.nt, b.nt) AS INT) AS lev,
            ROUND(1.0 - levenshtein(a.nt, b.nt)
                  / CAST(GREATEST(length(a.nt), length(b.nt)) AS DOUBLE), 6)
-               AS edit_sim,
-           (1.0 - levenshtein(a.nt, b.nt)
-                 / CAST(GREATEST(length(a.nt), length(b.nt)) AS DOUBLE)) >= 0.9
-               AS near_dup
+               AS edit_sim
     FROM ok a JOIN ok b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+    WHERE (1.0 - levenshtein(a.nt, b.nt)
+           / CAST(GREATEST(length(a.nt), length(b.nt)) AS DOUBLE)) >= 0.9
     """.format(norm=_sql_norm("text")),
 )
 def q94(spark, sf_dir):

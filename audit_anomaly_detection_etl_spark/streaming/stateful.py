@@ -40,7 +40,8 @@ def stateful_duplicate_monitor(
     when keys are known to stop repeating (set a timeout inside a custom
     variant); the default never expires state.
     """
-    out_schema = f"{key_col} string, n_seen long, n_new long"
+    key_type = stream.schema[key_col].dataType.simpleString()
+    out_schema = f"{key_col} {key_type}, n_seen long, n_new long"
     state_schema = "n long"
 
     def fn(key: tuple, pdfs, state: GroupState):
@@ -87,7 +88,13 @@ def stateful_chronology_monitor(
     entity, executor-partitioned; same store economics as the duplicate
     monitor.
     """
-    out_schema = f"{group_col} long, n_late long, max_backstep_sec double, high_water_us long"
+    # Derive the group column's type from the input schema — hardcoding
+    # 'long' broke grouping by string entity keys (clip_id) at runtime.
+    group_type = stream.schema[group_col].dataType.simpleString()
+    out_schema = (
+        f"{group_col} {group_type}, n_late long, max_backstep_sec double, "
+        "high_water_us long"
+    )
     state_schema = "hw long"
 
     def fn(key: tuple, pdfs, state: GroupState):

@@ -126,13 +126,13 @@ def test_transcript_reuse_flags_planted_label_sharing(spark):
     from audit_anomaly_detection_etl_spark.operators import uniqueness as u
 
     rows = [
-        ("hello world", b"\\x01\\x02"),   # same transcript, 3 distinct audios
-        ("hello world", b"\\x03\\x04"),
-        ("hello world", b"\\x05\\x06"),
-        ("exact dup", b"\\x0a\\x0b"),      # same transcript, SAME audio (not reuse)
-        ("exact dup", b"\\x0a\\x0b"),
-        ("unique", b"\\x0c"),
-        (None, b"\\x0d"),
+        ("hello world", b"\x01\x02"),   # same transcript, 3 distinct audios
+        ("hello world", b"\x03\x04"),
+        ("hello world", b"\x05\x06"),
+        ("exact dup", b"\x0a\x0b"),      # same transcript, SAME audio (not reuse)
+        ("exact dup", b"\x0a\x0b"),
+        ("unique", b"\x0c"),
+        (None, b"\x0d"),
     ]
     df = spark.createDataFrame(rows, "transcript string, bytes binary")
     out = u.transcript_reuse(df).collect()
@@ -144,11 +144,11 @@ def test_label_conflicts_flags_contradictory_transcripts(spark):
     from audit_anomaly_detection_etl_spark.operators import uniqueness as u
 
     rows = [
-        ("take one", b"\\x01\\x02"),   # same audio, conflicting labels
-        ("take two", b"\\x01\\x02"),
-        ("same", b"\\x03"),            # same audio, same label (exact dup, fine)
-        ("same", b"\\x03"),
-        ("solo", b"\\x04"),
+        ("take one", b"\x01\x02"),   # same audio, conflicting labels
+        ("take two", b"\x01\x02"),
+        ("same", b"\x03"),            # same audio, same label (exact dup, fine)
+        ("same", b"\x03"),
+        ("solo", b"\x04"),
     ]
     df = spark.createDataFrame(rows, "transcript string, bytes binary")
     out = u.label_conflicts(df).collect()

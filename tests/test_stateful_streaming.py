@@ -120,3 +120,47 @@ def test_chronology_monitor_detects_cross_batch_late_arrivals(spark, tmp_path):
     assert set(rows) == {1}
     assert rows[1]["n_late"] == 1
     assert rows[1]["max_backstep_sec"] == 120.0
+
+
+def test_chronology_monitor_string_entity_key(spark, tmp_path):
+    """Regression: out_schema used to hardcode the group column as long —
+    grouping by a string entity key (clip_id) crashed with a schema
+    mismatch. The type must be derived from the input stream's schema."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+
+    def write(name, rows):
+        os.makedirs(src, exist_ok=True)
+        with open(os.path.join(src, name), "w") as f:
+            for cid, ts in rows:
+                f.write(json.dumps({"clip_id": cid, "ts": ts}) + "\n")
+
+    def run():
+        stream = (
+            spark.readStream.schema("clip_id string, ts string")
+            .json(src)
+            .selectExpr("clip_id", "CAST(ts AS TIMESTAMP) AS ts")
+        )
+        late = stateful.stateful_chronology_monitor(stream, group_col="clip_id")
+
+        def dump(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(sink)
+
+        q = (
+            late.writeStream.foreachBatch(dump)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.awaitTermination()
+
+    write("b1.jsonl", [("clip-a", "2024-06-01 12:00:00")])
+    run()
+    write("b2.jsonl", [("clip-a", "2024-06-01 11:59:30"), ("clip-b", "2024-06-01 09:00:00")])
+    run()
+    rows = {r["clip_id"]: r for r in spark.read.parquet(sink).collect()}
+    assert set(rows) == {"clip-a"}
+    assert rows["clip-a"]["n_late"] == 1
+    assert rows["clip-a"]["max_backstep_sec"] == 30.0

@@ -47,7 +47,7 @@ def test_transcode_verdict_edges(spark):
         ("exact", 0, codecs.encode(sine(0.5), "pcm_s16le"), "pcm_s16le", sr),
         # moderate sine through ulaw ~ 30+ dB
         ("mid", 0, codecs.encode(sine(0.3), "pcm_s16le"), "pcm_s16le", sr),
-        ("badcodec", 0, b"\\x00" * 100, "opus", sr),
+        ("badcodec", 0, b"\x00" * 100, "opus", sr),
         ("silence", 0, codecs.encode(np.zeros(100), "pcm_s16le"), "pcm_s16le", sr),
     ]
     df = spark.createDataFrame(
@@ -76,7 +76,7 @@ def test_bandwidth_audit_flags_upsampled_content(spark):
         ("tone48k", 0, codecs.encode(tone, "pcm_s16le"), "pcm_s16le", sr_hi),
         ("noise16k", 0, codecs.encode(noise, "pcm_s16le"), "pcm_s16le", sr_lo),
         ("silent", 0, codecs.encode(np.zeros(1000), "pcm_s16le"), "pcm_s16le", sr_hi),
-        ("bad", 0, b"\\x01\\x02\\x03", "opus", sr_hi),
+        ("bad", 0, b"\x01\x02\x03", "opus", sr_hi),
     ]
     df = spark.createDataFrame(
         pd.DataFrame(rows, columns=["clip_id", "part", "bytes", "codec", "sr_hz"])
