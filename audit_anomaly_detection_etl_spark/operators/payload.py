@@ -252,15 +252,23 @@ def byte_length_violations(
     tolerance_samples: int = 1,
     key_col: str = "clip_id",
     part_col: str = "part",
+    report_unknown_codec: bool = True,
 ) -> DataFrame:
     """Suite adapter for ``byte_length_audit``: violation rows for payloads
     whose byte length contradicts the declared metadata (truncated /
     oversized / unknown codec). ``bad_meta`` rows are NOT re-reported — the
     schema constraints own null/non-positive metadata (no-double-count rule,
-    like speaking_rate/loudness). Severity 4.5: corruption-class, just under
-    payload SNR failures. Pure codegen — safe to enable on every wave."""
+    like speaking_rate/loudness). For the same reason the runner passes
+    ``report_unknown_codec=False`` whenever the schema check is also
+    enabled: the allowed-codec domain constraint already owns declared-codec
+    validity, and a third report of the same defect would only inflate the
+    count. Severity 4.5: corruption-class, just under payload SNR failures.
+    Pure codegen — safe to enable on every wave (and default-ON: at 10^12
+    clips this is the cheapest violation source in the suite, catching
+    truncation before the expensive decode pass)."""
     audit = byte_length_audit(clips, tolerance_samples)
-    bad = audit.where(~F.col("verdict").isin("ok", "bad_meta"))
+    skip = ("ok", "bad_meta") if report_unknown_codec else ("ok", "bad_meta", "unknown_codec")
+    bad = audit.where(~F.col("verdict").isin(*skip))
     return bad.select(
         F.col("clip_id").alias("key") if key_col == "clip_id" else F.col(key_col).alias("key"),
         F.lit("byte_length").alias("check"),

@@ -104,3 +104,56 @@ def sequence_gaps(
         (F.col("n_present") - F.col("n_distinct")).cast("long").alias("n_dup"),
         ((missing == 0) & (F.col("n_present") == F.col("n_distinct"))).alias("complete"),
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    exact: bool = True,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Cohort-retention triangle: users grouped by first-seen day, distinct
+    actives per (cohort, day-offset), retention vs the cohort's day-0 size.
+
+    Exact tier (default): the event stream reduces to DISTINCT (user, day)
+    first — one map-side-combinable hash agg that collapses per-user event
+    multiplicity before anything else touches the data. After that
+    reduction, (cohort, day_offset, user_col) tuples are unique BY
+    CONSTRUCTION (one row per user-day, one cohort per user), so the
+    per-cell "distinct users" is a plain ``count`` — no second
+    distinct-aggregate wall.
+
+    Approx tier (``exact=False``): skips the (user, day) pre-distinct and
+    aggregates ``approx_count_distinct(user, rsd)`` per cell directly, with
+    HLL sketches combined map-side. At 10^12 events the trade is one fewer
+    full-table shuffle (the pre-distinct) against rsd-bounded cell error;
+    day-0 sizes and the retention ratio inherit the same tolerance. The
+    first-seen-day pass is a plain min-agg either way.
+
+    Returns (cohort_day, day_offset, n_users, retention).
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    if exact:
+        ud = events.select(user_col, day.alias("d")).distinct()
+        n_users_agg = F.count(F.lit(1))
+    else:
+        ud = events.select(user_col, day.alias("d"))
+        n_users_agg = F.approx_count_distinct(user_col, rsd)
+    first = ud.groupBy(user_col).agg(F.min("d").alias("cohort"))
+    act = ud.join(first, user_col).select(
+        "cohort", F.datediff(F.col("d"), F.col("cohort")).alias("day_offset"), user_col
+    )
+    cell = act.groupBy("cohort", "day_offset").agg(
+        n_users_agg.cast("long").alias("n_users")
+    )
+    cell = cell.localCheckpoint(eager=False)  # feeds base + the join-back
+    base = cell.where(F.col("day_offset") == 0).select(
+        "cohort", F.col("n_users").alias("n0")
+    )
+    return cell.join(F.broadcast(base), "cohort").select(
+        F.col("cohort").alias("cohort_day"),
+        F.col("day_offset").cast("int").alias("day_offset"),
+        "n_users",
+        F.round(F.col("n_users").cast("double") / F.col("n0"), 6).alias("retention"),
+    )

@@ -78,17 +78,22 @@ def dup_locality_report(
     table. Run this once per ingest change; it is the audit that licenses
     the cheap path.
 
-    One salted-style two-phase agg to duplicate-key grain carrying
-    min/max/distinct partition; one summary row:
-    (n_dup_keys, n_intra_partition, n_cross_partition, max_partition_span,
-    key_partitioned_safe).
+    One salted-style two-phase agg to duplicate-key grain carrying min/max
+    partition; one summary row: (n_dup_keys, n_intra_partition,
+    n_cross_partition, max_partition_span, key_partitioned_safe).
+
+    No distinct-aggregate anywhere: "straddles partitions" only needs the
+    PREDICATE n_parts > 1, and min(part) != max(part) answers it exactly
+    with plain map-side-combinable aggs — at 10^12 rows that removes the
+    per-key distinct-partition wall entirely (and unlike an HLL tier it
+    costs zero accuracy).
     """
+    straddles = F.col("p_min") != F.col("p_max")
     per_key = (
         df.select(key_col, part_col)
         .groupBy(key_col)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.countDistinct(part_col).alias("n_parts"),
             F.min(part_col).alias("p_min"),
             F.max(part_col).alias("p_max"),
         )
@@ -96,12 +101,12 @@ def dup_locality_report(
     )
     return per_key.agg(
         F.count(F.lit(1)).cast("long").alias("n_dup_keys"),
-        F.sum((F.col("n_parts") == 1).cast("long")).alias("n_intra_partition"),
-        F.sum((F.col("n_parts") > 1).cast("long")).alias("n_cross_partition"),
+        F.sum((~straddles).cast("long")).alias("n_intra_partition"),
+        F.sum(straddles.cast("long")).alias("n_cross_partition"),
         F.coalesce(F.max(F.col("p_max") - F.col("p_min")), F.lit(0))
         .cast("long")
         .alias("max_partition_span"),
-        F.coalesce(F.sum((F.col("n_parts") > 1).cast("long")) == 0, F.lit(True)).alias(
+        F.coalesce(F.sum(straddles.cast("long")) == 0, F.lit(True)).alias(
             "key_partitioned_safe"
         ),
     )

@@ -133,15 +133,17 @@ class CheckpointStore:
 
 
 def plan_resume(
-    table_root: str, store: CheckpointStore, spec_hash: str
+    table_root: str, store: CheckpointStore, spec_hash: str, spark=None
 ) -> tuple[str, list[int], dict[int, PartitionVerdict], dict[int, str]]:
     """(snapshot_id, pending partitions, already-valid verdicts,
     per-partition fingerprints). Pending = partitions with no marker valid
     at partition grain — after an incremental ingest only the touched
-    partitions re-validate."""
-    snap = tableio.snapshot_id(table_root)
-    parts = [p.part for p in tableio.list_partitions(table_root)]
-    fps = tableio.partition_fingerprints(table_root)
+    partitions re-validate. Pass ``spark`` so an Iceberg-catalog
+    ``table_root`` resolves lineage from the table's own snapshots/manifests
+    (sources/tableio.py mapping table)."""
+    snap = tableio.snapshot_id(table_root, spark)
+    parts = [p.part for p in tableio.list_partitions(table_root, spark)]
+    fps = tableio.partition_fingerprints(table_root, spark)
     done = store.completed(snap, spec_hash, fps)
     pending = [p for p in parts if p not in done]
     return snap, pending, done, fps

@@ -112,6 +112,9 @@ def _wave_violations(
                 wave_df,
                 key_col=spec.schema_spec.key_col,
                 part_col=spec.schema_spec.part_col,
+                # schema's allowed-codec domain constraint owns declared-codec
+                # validity; only re-report it when schema is off
+                report_unknown_codec=("schema" not in checks),
             )
         )
     if "loudness" in checks:
@@ -182,7 +185,7 @@ def run_suite(
     spec = spec or SuiteSpec()
     store = CheckpointStore(checkpoint_dir)
     spec_hash = spec.spec_hash()
-    snap, pending, done, part_fps = plan_resume(clips_root, store, spec_hash)
+    snap, pending, done, part_fps = plan_resume(clips_root, store, spec_hash, spark)
 
     full = tableio.read_table(spark, clips_root)
     schema_issues = (
@@ -413,3 +416,39 @@ def ranked_violations(
     if global_path:
         v = v.unionByName(spark.read.parquet(global_path).select(*VIOLATION_COLS))
     return v.orderBy(F.desc("severity"), "key", "check")
+
+
+def quarantine_rows(
+    clips: DataFrame,
+    violations: DataFrame,
+    key_col: str = "clip_id",
+    part_col: str = "part",
+) -> DataFrame:
+    """FULL rows for every violating key, with a per-key violation summary —
+    the table a curation pipeline subtracts from training input before the
+    next epoch (violation rows alone carry keys, not payloads; re-scoring,
+    manual review and re-ingest all need the payload).
+
+    Shape at 10^12 rows: violations reduce to key grain FIRST (checks set,
+    max severity, count — one row per violating key, a ~1% fraction), then
+    join back to the detail table on (part, key) so the shuffle carries the
+    summary, not the payloads, and the partition column keeps the join
+    aligned with the table's bucket layout. Duplicate keys in the detail
+    table fan out intentionally: BOTH copies of a duplicated clip belong in
+    quarantine. Reference-side orphan keys have no detail row and don't
+    appear here — the ranked violation table remains the complete record.
+    """
+    per_key = (
+        violations.where(F.col("key").isNotNull())
+        .groupBy(F.col(part_col).alias("__qpart"), F.col("key"))
+        .agg(
+            F.sort_array(F.collect_set("check")).alias("checks"),
+            F.max("severity").alias("max_severity"),
+            F.count(F.lit(1)).cast("long").alias("n_violations"),
+        )
+    )
+    joined = clips.join(
+        per_key,
+        (clips[key_col] == per_key["key"]) & (clips[part_col] == per_key["__qpart"]),
+    )
+    return joined.select(clips["*"], "checks", "max_severity", "n_violations")

@@ -45,7 +45,15 @@ class SuiteSpec:
         ]
     )
     psi_threshold: float = 0.25
-    checks: tuple = ("schema", "stats", "uniqueness", "referential", "drift", "payload")
+    # byte_length is default-ON: a pure-codegen projection over three
+    # metadata columns + binary length that catches truncation/mis-codec
+    # BEFORE the decode pass — at 10^12 clips the cheapest check in the
+    # suite (operators/payload.py:byte_length_violations, plan-audited
+    # zero-exchange)
+    checks: tuple = (
+        "schema", "stats", "uniqueness", "referential", "drift", "payload",
+        "byte_length",
+    )
     # transcript<->audio plausibility bounds (words/sec); the check itself is
     # opt-in via checks=(..., "speaking_rate") — see media.speaking_rate_violations
     speaking_rate_bounds: tuple = (0.3, 6.0)
@@ -95,8 +103,9 @@ _SPEC_KEYS = {
 }
 
 # every check name the runner understands — the default SuiteSpec.checks
-# tuple is the default-ON subset, not the universe
-ALL_CHECKS = SuiteSpec().checks + ("speaking_rate", "loudness", "byte_length")
+# tuple is the default-ON subset, not the universe (speaking_rate and
+# loudness stay opt-in: each costs a decode or joins against one)
+ALL_CHECKS = SuiteSpec().checks + ("speaking_rate", "loudness")
 _SCHEMA_KEYS = {"columns", "key_col", "part_col"}
 _COLUMN_KEYS = {"name", "dtype", "nullable", "allowed", "min_value", "max_value"}
 _DRIFT_KEYS = {"col", "lo", "hi", "n_bins"}

@@ -2841,26 +2841,13 @@ def q114(spark, sf_dir):
     instrumentation or ingest loss (q81 rate checks can't see it: other
     cohorts backfill the volume). Detail reduces to distinct (user, day)
     first; everything after is user- then cohort-grain; day-0 sizes join
-    back broadcast."""
+    back broadcast. Exact tier here (hash oracle); the approx HLL tier
+    (operators/sequence.cohort_retention exact=False) carries a tolerance
+    pytest in tests/test_sequence.py."""
+    from .operators import sequence
+
     ev = _t(spark, sf_dir, "events")
-    ud = ev.select("user_id", F.date_trunc("day", F.col("ts")).alias("d")).distinct()
-    first = ud.groupBy("user_id").agg(F.min("d").alias("cohort"))
-    act = ud.join(first, "user_id").select(
-        "cohort", F.datediff(F.col("d"), F.col("cohort")).alias("day_offset"), "user_id"
-    )
-    cell = act.groupBy("cohort", "day_offset").agg(
-        F.countDistinct("user_id").cast("long").alias("n_users")
-    )
-    cell = cell.localCheckpoint(eager=False)  # feeds base + the join-back
-    base = cell.where(F.col("day_offset") == 0).select(
-        "cohort", F.col("n_users").alias("n0")
-    )
-    return cell.join(F.broadcast(base), "cohort").select(
-        F.col("cohort").alias("cohort_day"),
-        F.col("day_offset").cast("int").alias("day_offset"),
-        "n_users",
-        F.round(F.col("n_users").cast("double") / F.col("n0"), 6).alias("retention"),
-    )
+    return sequence.cohort_retention(ev, user_col="user_id", ts_col="ts")
 
 
 @q(
@@ -3291,7 +3278,8 @@ def q125(spark, sf_dir):
     bit-identical audio payload carrying DIFFERENT transcripts — a labeling
     error or corrupted join that re-recording semantics cannot excuse
     (inverse of q124). One planted conflict demonstrates the path; digests
-    computed inside the scan. Rows-only; planted pytest alongside q124's."""
+    computed inside the scan. Rows-only; the planted oracle lives in
+    tests/test_fk_matrix.py alongside q124's."""
     from .operators import uniqueness as u
     from .sources import synth
 
@@ -3369,6 +3357,38 @@ def q126(spark, sf_dir):
         "sentinel",
         "n",
         F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+    )
+
+
+@q("q127_quarantine")
+def q127(spark, sf_dir):
+    """Quarantine sink (plans/runner.quarantine_rows, jobs/validate.py
+    --quarantine): FULL rows for every violating key with a per-key summary
+    (checks set, max severity, count) — the table a curation pipeline
+    subtracts from training input. Violations reduce to key grain before
+    joining back, so the shuffle carries summaries, not payloads; duplicate
+    detail rows fan out intentionally (both copies of a dup are
+    quarantined). Synth-table demo over schema+uniqueness violations;
+    rows-only — the exact oracle (key cover, duplicate multiplicity,
+    summary consistency) lives in tests/test_quarantine.py."""
+    from .operators import schema_check, uniqueness
+    from .plans.runner import quarantine_rows
+    from .plans.spec import default_clips_schema_spec
+    from .sources import synth
+
+    t = synth.generate_clips(n_clips=600, n_parts=8, seed=11)
+    clips = spark.createDataFrame(t.clips.to_pandas())
+    v = schema_check.constraint_violations(
+        clips, default_clips_schema_spec()
+    ).unionByName(uniqueness.uniqueness_violations(clips))
+    qd = quarantine_rows(clips, v)
+    return qd.select(
+        "clip_id",
+        "part",
+        "codec",
+        F.concat_ws("|", F.col("checks")).alias("checks"),
+        "max_severity",
+        "n_violations",
     )
 
 
@@ -3904,8 +3924,9 @@ def q32(spark, sf_dir):
 def q33(spark, sf_dir):
     """Audio payload validation summary on a deterministic synthesized clips
     table (binary decode in Arrow-batched pandas UDFs — no SQL oracle
-    possible; the driver records a rows-only check, and pytest asserts exact
-    violation parity against the generator sidecar)."""
+    possible; the driver records a rows-only check, and
+    tests/test_payload.py asserts exact violation parity against the
+    generator sidecar)."""
     from .operators import payload
     from .sources import synth
 
@@ -4834,7 +4855,7 @@ def q51(spark, sf_dir):
     interpretation analogue (model_output/nodes.py:116-125) as exact ablation
     deltas against the fit-sample median baseline (operators/scoring.py).
     Forest evaluation is not SQL-expressible -> rows-only driver check;
-    pytest holds the exact numpy oracle."""
+    tests/test_scoring.py holds the exact numpy oracle."""
     from .operators import scoring
 
     feats, model = fit_user_ensemble(spark, sf_dir)

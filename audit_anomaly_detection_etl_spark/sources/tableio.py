@@ -1,17 +1,34 @@
-"""Thin Iceberg-style table IO over hive-partitioned parquet.
+"""Thin Iceberg-style table IO over hive-partitioned parquet, with a live
+Iceberg-catalog branch when one is configured.
 
-No Iceberg runtime jar ships in this sandbox, so we emulate the three Iceberg
-capabilities the engine depends on (SURVEY.md §7.1 step 1):
+No Iceberg runtime jar ships in this sandbox, so the default (filesystem)
+branch emulates the three Iceberg capabilities the engine depends on
+(SURVEY.md §7.1 step 1). THE MAPPING — this is the single place it is
+documented; every concept on the left binds to the metadata on the right
+when ``location`` names a table through a configured
+``spark.sql.catalog.<name>`` (detected by :func:`iceberg_catalog_of`):
 
-1. partition listing       -> directory scan of ``part=K`` dirs
-2. snapshot identity       -> deterministic digest of the file manifest
-                              (names + sizes), used as checkpoint lineage
-3. partition-pruned reads  -> ``spark.read.parquet(root)`` + ``where(part=...)``
-                              (Spark prunes hive partition dirs at planning)
+====================== ============================== =========================
+engine concept          filesystem emulation           Iceberg binding
+====================== ============================== =========================
+partition listing       scan of ``part=K`` dirs        ``<tbl>.files`` metadata
+                                                       table, grouped by
+                                                       ``partition.part``
+snapshot identity       sha256 of (relative file name, current ``snapshot_id``
+ (checkpoint lineage)   size) over the whole tree      from ``<tbl>.snapshots``
+partition fingerprint   sha256 of (file name, size)    sha256 of (``file_path``,
+ (resume grain)         within one ``part=K`` dir      ``file_size_in_bytes``)
+                                                       of that partition's
+                                                       manifest entries
+partition-pruned read   ``read.parquet(root)``         ``spark.table(tbl)``
+                        ``.where(part IN ...)``        ``.where(part IN ...)``
+                        (hive dir pruning)             (manifest pruning)
+====================== ============================== =========================
 
-On a real cluster the same interface binds to an Iceberg catalog: partitions
-from ``table.partitions`` metadata, snapshot from ``snapshot_id``, pruned reads
-from the Iceberg source. Everything above this module is storage-agnostic.
+Both branches yield the same contract: fingerprints change exactly when a
+partition's data files change, so ``plans/checkpoint.plan_resume`` re-validates
+only touched partitions regardless of storage. A real deployment flips over
+by pointing ``clips_root`` at ``catalog.db.table`` — no code edits.
 """
 
 from __future__ import annotations
@@ -26,6 +43,36 @@ from pyspark.sql import DataFrame, SparkSession
 _PART_RE = re.compile(r"^part=(\d+)$")
 
 
+def iceberg_catalog_of(spark: SparkSession, location: str) -> str | None:
+    """Catalog name when ``location`` names a table through a configured
+    ``spark.sql.catalog.<name>``; None for filesystem paths. A location is
+    treated as a table name only if it has no path separators, does not
+    exist on disk, and its first dotted component matches a configured
+    catalog — so plain parquet roots can never be misrouted."""
+    if not location or "/" in location or os.path.sep in location:
+        return None
+    if os.path.exists(location):
+        return None
+    cat = location.split(".", 1)[0]
+    try:
+        spark.conf.get(f"spark.sql.catalog.{cat}")
+    except Exception:
+        return None
+    return cat
+
+
+def _iceberg_files(spark: SparkSession, table: str) -> DataFrame:
+    """One scan of the ``files`` metadata table (manifest entries only — no
+    data files touched), projected to (part, file_path, file_size_in_bytes)."""
+    from pyspark.sql import functions as F
+
+    return spark.table(f"{table}.files").select(
+        F.col("partition.part").cast("int").alias("part"),
+        "file_path",
+        F.col("file_size_in_bytes").cast("long").alias("sz"),
+    )
+
+
 @dataclass(frozen=True)
 class PartitionInfo:
     part: int
@@ -33,12 +80,28 @@ class PartitionInfo:
     total_bytes: int
 
 
-def list_partitions(root: str) -> list[PartitionInfo]:
-    """Enumerate partition directories with file-count + byte-size stats.
+def list_partitions(root: str, spark: SparkSession | None = None) -> list[PartitionInfo]:
+    """Enumerate partitions with file-count + byte-size stats.
 
     The byte sizes feed the skew planner (salting factor scales with
-    partition byte-size — SURVEY.md §7.3 'Skew').
+    partition byte-size — SURVEY.md §7.3 'Skew'). With a configured Iceberg
+    catalog (pass ``spark``), stats come from the ``files`` metadata table
+    — manifest reads, no data scan, same as the directory walk is
+    metadata-only here.
     """
+    if spark is not None and iceberg_catalog_of(spark, root):
+        from pyspark.sql import functions as F
+
+        rows = (
+            _iceberg_files(spark, root)
+            .groupBy("part")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("sz").alias("b"))
+            .collect()
+        )
+        return sorted(
+            (PartitionInfo(int(r["part"]), int(r["n"]), int(r["b"])) for r in rows),
+            key=lambda p: p.part,
+        )
     out = []
     for name in sorted(os.listdir(root)):
         m = _PART_RE.match(name)
@@ -51,13 +114,25 @@ def list_partitions(root: str) -> list[PartitionInfo]:
     return sorted(out, key=lambda p: p.part)
 
 
-def snapshot_id(root: str) -> str:
+def snapshot_id(root: str, spark: SparkSession | None = None) -> str:
     """Digest of the data-file manifest — the lineage token recorded per
     checkpointed partition. Changes whenever the file manifest (names +
     sizes) changes, i.e. on every new ingest/rewrite — matching Iceberg
     snapshot-id semantics. Same files on disk -> same id, so a resumed run
-    can trust prior checkpoints.
+    can trust prior checkpoints. With an Iceberg catalog, this IS the
+    table's current snapshot id (``<tbl>.snapshots``, latest commit).
     """
+    if spark is not None and iceberg_catalog_of(spark, root):
+        from pyspark.sql import functions as F
+
+        row = (
+            spark.table(f"{root}.snapshots")
+            .orderBy(F.desc("committed_at"))
+            .select("snapshot_id")
+            .limit(1)
+            .collect()
+        )
+        return str(row[0]["snapshot_id"]) if row else "empty-table"
     h = hashlib.sha256()
     for dirpath, _dirnames, filenames in sorted(os.walk(root)):
         for f in sorted(filenames):
@@ -69,7 +144,7 @@ def snapshot_id(root: str) -> str:
     return h.hexdigest()[:16]
 
 
-def partition_fingerprints(root: str) -> dict[int, str]:
+def partition_fingerprints(root: str, spark: SparkSession | None = None) -> dict[int, str]:
     """Per-partition digest of that partition's OWN file manifest (relative
     names + sizes) — lineage at partition grain. The global ``snapshot_id``
     changes on ANY write to the table; a partition fingerprint changes only
@@ -77,8 +152,34 @@ def partition_fingerprints(root: str) -> dict[int, str]:
     appends to 3 of 10^5 partitions re-validates exactly those 3 (checkpoint
     markers elsewhere stay valid). Matches Iceberg's per-partition manifest
     entries the same way snapshot_id matches its snapshot ids.
+
+    Iceberg branch: the identical digest over that partition's manifest
+    entries (``file_path``, ``file_size_in_bytes``) from the ``files``
+    metadata table — collected at partition grain (O(partitions) driver
+    rows), sorted by path for determinism.
     """
-    out: dict[int, str] = {}
+    if spark is not None and iceberg_catalog_of(spark, root):
+        from pyspark.sql import functions as F
+
+        rows = (
+            _iceberg_files(spark, root)
+            .groupBy("part")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("file_path", "sz"))
+                ).alias("entries")
+            )
+            .collect()
+        )
+        out: dict[int, str] = {}
+        for r in rows:
+            h = hashlib.sha256()
+            for e in r["entries"]:
+                h.update(e["file_path"].encode())
+                h.update(str(e["sz"]).encode())
+            out[int(r["part"])] = h.hexdigest()[:16]
+        return out
+    out = {}
     for name in sorted(os.listdir(root)):
         m = _PART_RE.match(name)
         if not m:
@@ -94,15 +195,18 @@ def partition_fingerprints(root: str) -> dict[int, str]:
 
 
 def read_table(spark: SparkSession, root: str) -> DataFrame:
+    if iceberg_catalog_of(spark, root):
+        return spark.table(root)
     return spark.read.parquet(root)
 
 
 def read_partitions(spark: SparkSession, root: str, parts: list[int]) -> DataFrame:
-    """Partition-pruned read: the IN-filter on the hive partition column is
-    resolved at planning time (PartitionFilters in the scan node), so only the
-    listed ``part=K`` directories are touched.
+    """Partition-pruned read: the IN-filter on the partition column is
+    resolved at planning time — hive directory pruning for parquet roots
+    (PartitionFilters in the scan node), manifest pruning for Iceberg tables
+    — so only the listed partitions are touched.
     """
-    df = spark.read.parquet(root)
+    df = read_table(spark, root)
     from pyspark.sql import functions as F
 
     return df.where(F.col("part").isin([int(p) for p in parts]))

@@ -154,7 +154,10 @@ def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_clips = int(os.environ.get("SPARK_GRAFT_CLIPS", "8000"))
+    # 24k default (was 8k through r3): a ~3x longer suite phase makes
+    # cross-round clips/cpu-s comparisons less noise-prone (BENCH.md r4
+    # adjudication) — scaling runs already used 24k+
+    n_clips = int(os.environ.get("SPARK_GRAFT_CLIPS", "24000"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     from audit_anomaly_detection_etl_spark.session import get_spark

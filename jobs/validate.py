@@ -24,7 +24,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from audit_anomaly_detection_etl_spark.plans.runner import ranked_violations, run_suite
+from audit_anomaly_detection_etl_spark.plans.runner import (
+    quarantine_rows,
+    ranked_violations,
+    run_suite,
+)
 from audit_anomaly_detection_etl_spark.plans.spec import SuiteSpec
 from audit_anomaly_detection_etl_spark.session import get_spark
 
@@ -41,6 +45,12 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--synth-seed", type=int, default=42)
     ap.add_argument("--synth-dur-ms", type=float, default=400.0)
     ap.add_argument("--top", type=int, default=10, help="print top-N ranked violations")
+    ap.add_argument(
+        "--quarantine",
+        help="directory to write FULL violating rows (payload + per-key "
+        "violation summary, partitioned by part) — the subtract-from-"
+        "training table; see plans/runner.quarantine_rows",
+    )
     ap.add_argument(
         "--spec",
         help="YAML/JSON suite-spec file (schema columns, drift bins, checks); "
@@ -134,7 +144,25 @@ def main(argv: list[str] | None = None) -> dict:
             spark, res.violations_path, res.global_violations_path
         ).limit(args.top).collect()
     ]
+    quarantined = None
+    if args.quarantine:
+        from audit_anomaly_detection_etl_spark.sources import tableio
+
+        v = spark.read.parquet(res.violations_path)
+        if res.global_violations_path:
+            v = v.unionByName(spark.read.parquet(res.global_violations_path))
+        qdf = quarantine_rows(
+            tableio.read_table(spark, args.data),
+            v,
+            key_col=spec.schema_spec.key_col,
+            part_col=spec.schema_spec.part_col,
+        )
+        qdf.write.mode("overwrite").partitionBy(spec.schema_spec.part_col).parquet(
+            args.quarantine
+        )
+        quarantined = spark.read.parquet(args.quarantine).count()
     summary = {
+        "quarantined_rows": quarantined,
         "partitioning_audit": partitioning_audit,
         "snapshot_id": res.snapshot_id,
         "spec_hash": res.spec_hash,

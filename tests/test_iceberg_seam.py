@@ -1,0 +1,103 @@
+"""Iceberg-catalog seam (sources/tableio.py): the engine flips from the
+filesystem emulation to a real Iceberg catalog purely on configuration —
+``clips_root`` naming ``catalog.db.table`` with ``spark.sql.catalog.<name>``
+set. No jar ships in this sandbox, so the integration test is skip-marked;
+the routing guard is tested for real."""
+
+import os
+
+import pytest
+
+from audit_anomaly_detection_etl_spark.sources import tableio
+
+
+def _has_iceberg_jar(spark) -> bool:
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.catalog.Catalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def test_routing_guard_never_misroutes_paths(spark, tmp_path):
+    """Filesystem roots — absolute, relative, existing, with separators —
+    must NEVER resolve to a catalog, even if a catalog is configured whose
+    name collides with a path component."""
+    p = tmp_path / "clips"
+    p.mkdir()
+    assert tableio.iceberg_catalog_of(spark, str(p)) is None
+    assert tableio.iceberg_catalog_of(spark, "data/clips") is None
+    assert tableio.iceberg_catalog_of(spark, "") is None
+    # dotted name whose first component is NOT a configured catalog
+    assert tableio.iceberg_catalog_of(spark, "nosuchcat.db.tbl") is None
+    # a directory literally named like a table: existence wins
+    d = tmp_path / "cat.db.tbl"
+    d.mkdir()
+    os.chdir(tmp_path)
+    try:
+        assert tableio.iceberg_catalog_of(spark, "cat.db.tbl") is None
+    finally:
+        os.chdir("/root/repo")
+
+
+def test_routing_detects_configured_catalog(spark):
+    """A location whose first dotted component matches a configured
+    spark.sql.catalog.<name> routes to the catalog branch. Uses a throwaway
+    conf key — detection is config-driven, not jar-driven, so this runs in
+    the sandbox; actual catalog READS are covered by the skip-marked
+    integration test below."""
+    spark.conf.set("spark.sql.catalog.fakecat", "not.a.real.CatalogImpl")
+    try:
+        assert tableio.iceberg_catalog_of(spark, "fakecat.db.clips") == "fakecat"
+        assert tableio.iceberg_catalog_of(spark, "othercat.db.clips") is None
+    finally:
+        spark.conf.unset("spark.sql.catalog.fakecat")
+
+
+def test_iceberg_lineage_roundtrip(spark, tmp_path):
+    """Real-catalog integration: snapshot_id comes from <tbl>.snapshots,
+    fingerprints from <tbl>.files manifest entries, and appending to ONE
+    partition changes exactly that partition's fingerprint. Skipped unless
+    an Iceberg runtime jar is on the session classpath (a real deployment
+    adds --packages org.apache.iceberg:iceberg-spark-runtime and a
+    spark.sql.catalog.<name> conf; no code edits needed)."""
+    if not _has_iceberg_jar(spark):
+        pytest.skip("Iceberg runtime jar not on classpath in this sandbox")
+    wh = str(tmp_path / "wh")
+    spark.conf.set("spark.sql.catalog.icetest", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.icetest.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.icetest.warehouse", wh)
+    tbl = "icetest.db.clips"
+    try:
+        spark.sql(
+            f"CREATE TABLE {tbl} (clip_id string, part int) PARTITIONED BY (part)"
+        )
+        spark.createDataFrame(
+            [("a", 0), ("b", 0), ("c", 1)], "clip_id string, part int"
+        ).writeTo(tbl).append()
+
+        assert tableio.iceberg_catalog_of(spark, tbl) == "icetest"
+        snap1 = tableio.snapshot_id(tbl, spark)
+        fps1 = tableio.partition_fingerprints(tbl, spark)
+        parts = tableio.list_partitions(tbl, spark)
+        assert [p.part for p in parts] == [0, 1]
+        assert tableio.read_partitions(spark, tbl, [1]).count() == 1
+
+        # append to partition 1 only: snapshot changes, fp(0) stable
+        spark.createDataFrame([("d", 1)], "clip_id string, part int").writeTo(
+            tbl
+        ).append()
+        snap2 = tableio.snapshot_id(tbl, spark)
+        fps2 = tableio.partition_fingerprints(tbl, spark)
+        assert snap2 != snap1
+        assert fps2[0] == fps1[0] and fps2[1] != fps1[1]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        for k in (
+            "spark.sql.catalog.icetest",
+            "spark.sql.catalog.icetest.type",
+            "spark.sql.catalog.icetest.warehouse",
+        ):
+            spark.conf.unset(k)

@@ -108,7 +108,32 @@ def test_every_query_runs(spark, sf001):
         "q117_byte_length_audit",
         "q124_transcript_reuse",
         "q125_label_conflicts",
+        "q127_quarantine",
     }
     for name in missing_oracle:
         out = entry_mod.queries()[name](spark, sf001)
         assert out.count() >= 1
+
+
+def test_rows_only_queries_name_their_pytest_oracle():
+    """Meta-gate: every registered query WITHOUT a DuckDB oracle must name
+    the pytest module holding its exact oracle in its own docstring
+    (``tests/test_<x>.py``), and that module must exist. Registering a new
+    rows-only query without writing (and pointing at) a pytest oracle fails
+    here — the allowlist above can no longer silently drift."""
+    import os
+    import re
+
+    tests_dir = os.path.dirname(os.path.abspath(__file__))
+    missing_oracle = set(entry_mod.queries()) - set(entry_mod.oracle_sql())
+    problems = []
+    for name in sorted(missing_oracle):
+        doc = entry_mod.queries()[name].__doc__ or ""
+        refs = re.findall(r"tests/(test_\w+\.py)", doc)
+        if not refs:
+            problems.append(f"{name}: docstring names no tests/test_*.py oracle module")
+            continue
+        for ref in refs:
+            if not os.path.exists(os.path.join(tests_dir, ref)):
+                problems.append(f"{name}: referenced oracle module tests/{ref} does not exist")
+    assert not problems, "\n".join(problems)

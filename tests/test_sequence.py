@@ -47,3 +47,42 @@ def test_sequence_gaps_localizes_holes_and_dups(spark):
     assert out[2]["complete"] is True
     assert out[2]["first_id"] == 20 and out[2]["last_id"] == 29
     assert out[2]["n_present"] == 10 and out[2]["n_distinct"] == 10
+
+
+def test_cohort_retention_exact_and_approx_agree_within_rsd(spark):
+    """Exact tier: hand-computable triangle on a planted cohort layout
+    (multiplicity collapses; retention ratios exact). Approx tier
+    (exact=False, no pre-distinct + HLL cells) must agree within a loose
+    multiple of the requested rsd on every cell."""
+    rows = []
+    # cohort day 1: users a,b,c active d1; a,b return d2; a returns d3.
+    # duplicate events per (user, day) must not inflate counts.
+    for u, days in (("a", [1, 1, 2, 3]), ("b", [1, 2, 2]), ("c", [1])):
+        for d in days:
+            rows.append((u, f"2024-03-0{d} 10:00:00"))
+    # cohort day 2: users d,e; e returns day 3
+    for u, days in (("d", [2]), ("e", [2, 3, 3])):
+        for d in days:
+            rows.append((u, f"2024-03-0{d} 11:30:00"))
+    df = spark.createDataFrame(rows, "user_id string, ts string").selectExpr(
+        "user_id", "CAST(ts AS TIMESTAMP) AS ts"
+    )
+    exact = {
+        (r["cohort_day"].day, r["day_offset"]): r
+        for r in sequence.cohort_retention(df).collect()
+    }
+    assert exact[(1, 0)]["n_users"] == 3 and exact[(1, 0)]["retention"] == 1.0
+    assert exact[(1, 1)]["n_users"] == 2 and abs(exact[(1, 1)]["retention"] - 2 / 3) < 1e-6
+    assert exact[(1, 2)]["n_users"] == 1
+    assert exact[(2, 0)]["n_users"] == 2
+    assert exact[(2, 1)]["n_users"] == 1 and exact[(2, 1)]["retention"] == 0.5
+
+    approx = {
+        (r["cohort_day"].day, r["day_offset"]): r
+        for r in sequence.cohort_retention(df, exact=False, rsd=0.02).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, er in exact.items():
+        ar = approx[k]
+        # HLL++ rsd is a std-error bound; 5x slack keeps the test deterministic
+        assert abs(ar["n_users"] - er["n_users"]) <= max(1, 0.1 * er["n_users"]), k
