@@ -482,6 +482,18 @@ RULES = [
         and "BroadcastNestedLoopJoin" not in p
         and "CartesianProduct" not in p,
     ),
+    (
+        "q127_quarantine",
+        "quarantine join-back is a key equi-join of the key-grain violation "
+        "summary onto the detail table: no cartesian/BNLJ (the summary side "
+        "aggregates BEFORE the join, so the shuffle never carries payloads), "
+        "no window, no row-wise Python",
+        lambda p: "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and _nodes(p, "Window") == 0
+        and "BatchEvalPython" not in p
+        and ("SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p),
+    ),
 ] + [
     (
         qname,
