@@ -380,11 +380,21 @@ def edit_verified_pairs(
     lev = F.levenshtein(F.col("a.nt"), F.col("b.nt"))
     mx = F.greatest(F.length("a.nt"), F.length("b.nt")).cast("double")
     sim = F.lit(1.0) - lev.cast("double") / mx
+    # lev >= |len_a - len_b|, so sim >= t forces the length gap under
+    # (1-t)*max_len. Filtering on lengths FIRST (join-condition-pushable,
+    # O(1) per pair) skips the O(L^2) levenshtein kernel for the bulk of
+    # same-prefix pairs; implied by the sim filter below, so the output —
+    # and the DuckDB oracle — are unchanged.
+    len_band = (
+        F.abs(F.length("a.nt") - F.length("b.nt")).cast("double")
+        <= (F.lit(1.0) - F.lit(sim_threshold)) * mx
+    )
     return (
         a.join(
             b,
             (F.col("a.pfx") == F.col("b.pfx")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .where(len_band)
         .where(sim >= F.lit(sim_threshold))
         .select(
             F.col("a.doc_id").alias("doc_a"),
