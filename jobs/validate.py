@@ -195,6 +195,11 @@ def _ship_package(spark) -> None:
     import audit_anomaly_detection_etl_spark as pkg
 
     pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    if ".zip" in pkg_dir:
+        # already zip-imported: the driver got the package from a --py-files
+        # archive, which spark-submit has ALREADY shipped to the executors —
+        # re-zipping would try to walk inside the archive and fail
+        return
     staging = tempfile.mkdtemp(prefix="engine_pyfiles_")
     zip_base = os.path.join(staging, "engine")
     shutil.make_archive(zip_base, "zip", root_dir=os.path.dirname(pkg_dir),
