@@ -172,3 +172,47 @@ def profile_diff(
         ),
         F.coalesce(breach, F.lit(False)).alias("range_breach"),
     )
+
+
+def null_pattern_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Missingness-pattern profile: one row per OBSERVED null/present
+    combination across ``cols``, with its frequency — the audit that
+    separates "columns are independently 2% null" from "2% of rows lost the
+    whole right side of a join". Per-column null rates (column_stats) cannot
+    tell those apart; the pattern profile can, because correlated
+    missingness collapses onto few patterns while independent missingness
+    spreads over many.
+
+    Scale shape: ONE detail scan projecting each row to a fixed-width
+    '0'/'1' pattern string (pure codegen — no UDF, no explode), then a
+    two-phase hash agg at pattern grain. Observed patterns are bounded by
+    min(n_rows, 2^k) but real tables concentrate on a handful; the share
+    denominator joins back broadcast from the same aggregate (no second
+    scan, no window).
+
+    Returns (pattern, null_cols, n_rows, share) ordered nowhere — callers
+    sort. ``pattern`` is positional over ``cols``; ``null_cols`` is the
+    human-readable comma list of the null columns in that pattern.
+    """
+    cols = cols or df.columns
+    bits = [
+        F.when(F.col(c).isNull(), F.lit("1")).otherwise(F.lit("0")) for c in cols
+    ]
+    names = [F.when(F.col(c).isNull(), F.lit(c)) for c in cols]
+    pat = F.concat(*bits).alias("pattern")
+    null_cols = F.concat_ws(",", F.array_compact(F.array(*names))).alias("null_cols")
+    counts = (
+        df.select(pat, null_cols)
+        .groupBy("pattern", "null_cols")  # null_cols is FD on pattern: same grain
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .localCheckpoint(eager=False)  # pattern-grain; feeds total + join-back
+    )
+    total = counts.agg(F.sum("n_rows").alias("total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "pattern",
+        "null_cols",
+        "n_rows",
+        F.round(F.col("n_rows").cast("double") / F.col("total").cast("double"), 6).alias(
+            "share"
+        ),
+    )

@@ -3393,6 +3393,49 @@ def q127(spark, sf_dir):
 
 
 @q(
+    "q128_null_patterns",
+    """
+    WITH p AS (
+      SELECT CASE WHEN value < 2.0 THEN NULL ELSE user_id END AS u,
+             CASE WHEN event_type = 'error' THEN NULL ELSE props END AS pr,
+             CASE WHEN user_id % 17 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    ), b AS (
+      SELECT (CASE WHEN u IS NULL THEN '1' ELSE '0' END) ||
+             (CASE WHEN pr IS NULL THEN '1' ELSE '0' END) ||
+             (CASE WHEN v IS NULL THEN '1' ELSE '0' END) AS pattern,
+             concat_ws(',',
+                       CASE WHEN u IS NULL THEN 'user_id' END,
+                       CASE WHEN pr IS NULL THEN 'props' END,
+                       CASE WHEN v IS NULL THEN 'value' END) AS null_cols
+      FROM p
+    ), c AS (
+      SELECT pattern, null_cols, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM b GROUP BY 1, 2
+    )
+    SELECT pattern, null_cols, n_rows,
+           ROUND(n_rows * 1.0 / t.total, 6) AS share
+    FROM c, (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM c) t
+    """,
+)
+def q128(spark, sf_dir):
+    """Missingness-pattern profile: frequency of each observed null/present
+    combination — separates independent column nullness from correlated
+    row-level loss (a dropped join side collapses onto one pattern). The
+    events table ships null-free, so three deterministic masks plant
+    overlapping missingness first (the operator itself is generic —
+    operators/column_stats.py:null_pattern_profile). One codegen projection
+    + one pattern-grain hash agg; share joins back broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    planted = ev.select(
+        F.when(F.col("value") < 2.0, F.lit(None)).otherwise(F.col("user_id")).alias("user_id"),
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("props")).alias("props"),
+        F.when(F.col("user_id") % 17 == 0, F.lit(None)).otherwise(F.col("value")).alias("value"),
+    )
+    return CS.null_pattern_profile(planted, ["user_id", "props", "value"])
+
+
+@q(
     "q74_split_assignment",
     """
     WITH b AS (SELECT source,

@@ -231,3 +231,32 @@ def test_rate_anomaly_flags_spike_and_mad_zero(spark):
     b = out[out.event_type == "b"]
     assert (b["anomalous"] == 0).all()
     assert b["robust_z"].isna().all() and (b["mad_rate"] == 0).all()
+
+
+def test_null_pattern_profile_counts_and_shares(spark):
+    rows = [
+        (1, "a", 1.0),      # 000
+        (None, "b", 2.0),   # 100
+        (None, None, 3.0),  # 110 (correlated pair)
+        (None, None, 4.0),  # 110
+        (5, "c", None),     # 001
+        (6, "d", 6.0),      # 000
+    ]
+    df = spark.createDataFrame(rows, "x long, y string, z double")
+    out = {
+        r["pattern"]: r
+        for r in column_stats.null_pattern_profile(df, ["x", "y", "z"]).collect()
+    }
+    assert set(out) == {"000", "100", "110", "001"}
+    assert out["000"]["n_rows"] == 2 and out["000"]["null_cols"] == ""
+    assert out["100"]["n_rows"] == 1 and out["100"]["null_cols"] == "x"
+    assert out["110"]["n_rows"] == 2 and out["110"]["null_cols"] == "x,y"
+    assert out["001"]["n_rows"] == 1 and out["001"]["null_cols"] == "z"
+    assert abs(out["110"]["share"] - round(2 / 6, 6)) < 1e-9
+    assert abs(sum(r["share"] for r in out.values()) - 1.0) < 1e-5
+
+
+def test_null_pattern_profile_column_order_is_positional(spark):
+    df = spark.createDataFrame([(None, 1)], "a string, b long")
+    r = column_stats.null_pattern_profile(df, ["b", "a"]).collect()[0]
+    assert r["pattern"] == "01" and r["null_cols"] == "a"
