@@ -173,3 +173,57 @@ def fk_health_matrix(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def aggregate_reconciliation(
+    parent: DataFrame,
+    child: DataFrame,
+    parent_key: str,
+    child_key: str,
+    parent_col: str,
+    child_expr,
+    tol: float = 0.01,
+) -> DataFrame:
+    """Ledger-style aggregate reconciliation: a stored parent total against
+    the sum of its child parts (order total vs line amounts, account balance
+    vs postings, shard rollup vs detail). FK checks (anti_join / the FK
+    health matrix) prove every child has a parent; this proves the NUMBERS
+    still add up — the invariant that silently breaks when one side is
+    reprocessed, a currency/ tax rule changes, or a backfill is partial.
+    Every individual value is valid, so range/domain/outlier checks see
+    nothing.
+
+    Scale shape: the child table reduces to parent-key grain FIRST (one
+    map-side-combinable sum of ``child_expr`` — the only full-detail scan),
+    then a key-grain equi-join with the parent. Both sides are large, so no
+    broadcast: Catalyst/AQE picks sort-merge or shuffled-hash and
+    skew-splits hot keys. With both tables bucketed by the key (the layout
+    the engine already writes for clips), the shuffle disappears entirely.
+
+    Verdicts: ``consistent`` (|parent - sum| <= tol), ``mismatch``,
+    ``missing_child`` (parent with no child rows — sum is undefined, not
+    zero: a parent total of 0.0 with no children is its own signal).
+    Child-side orphans are the FK checks' job and are not re-reported.
+
+    Returns one row per parent key: (parent_key, parent_value, child_sum,
+    n_children, abs_diff, verdict).
+    """
+    agg = child.groupBy(F.col(child_key).alias(parent_key)).agg(
+        F.sum(child_expr).alias("child_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_children"),
+    )
+    j = parent.select(
+        F.col(parent_key), F.col(parent_col).cast("double").alias("parent_value")
+    ).join(agg, parent_key, "left")
+    diff = F.abs(F.col("parent_value") - F.col("child_sum"))
+    return j.select(
+        parent_key,
+        "parent_value",
+        "child_sum",
+        F.coalesce(F.col("n_children"), F.lit(0)).alias("n_children"),
+        diff.alias("abs_diff"),
+        F.when(F.col("child_sum").isNull(), F.lit("missing_child"))
+        .when(diff <= F.lit(float(tol)), F.lit("consistent"))
+        .otherwise(F.lit("mismatch"))
+        .alias("verdict"),
+    )

@@ -3436,6 +3436,55 @@ def q128(spark, sf_dir):
 
 
 @q(
+    "q129_reconciliation",
+    """
+    WITH agg AS (
+      SELECT l_orderkey AS o_orderkey,
+             SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS child_sum,
+             CAST(COUNT(*) AS BIGINT) AS n_children
+      FROM lineitem GROUP BY 1
+    )
+    SELECT o.o_orderkey,
+           ROUND(CAST(o_totalprice AS DOUBLE), 4) AS parent_value,
+           CAST(COALESCE(a.n_children, 0) AS BIGINT) AS n_children,
+           CASE WHEN a.child_sum IS NULL THEN 'missing_child'
+                WHEN ABS(CAST(o_totalprice AS DOUBLE) - a.child_sum) <= 0.01
+                     THEN 'consistent'
+                ELSE 'mismatch' END AS verdict
+    FROM orders o LEFT JOIN agg a USING (o_orderkey)
+    """,
+)
+def q129(spark, sf_dir):
+    """Ledger reconciliation audit
+    (operators/referential.aggregate_reconciliation): the stored order
+    total vs the sum of its line amounts under the TPC-H price formula —
+    the adds-up invariant FK checks can't see (q14/q97 prove key cover,
+    not arithmetic). Child reduces to key grain first; key-grain
+    sort-merge/AQE join, no broadcast (both sides large). The synthetic
+    tables violate the invariant by construction, so the report exercises
+    both mismatch and missing_child verdicts. The float child_sum/abs_diff
+    columns stay operator-side (cross-engine sum order differs at 1e-10;
+    rounding them would gamble on boundaries) — the catalog projects the
+    exact-safe columns plus the tolerance verdict."""
+    rec = referential.aggregate_reconciliation(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        "o_orderkey",
+        "l_orderkey",
+        "o_totalprice",
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax")),
+    )
+    return rec.select(
+        "o_orderkey",
+        F.round("parent_value", 4).alias("parent_value"),
+        "n_children",
+        "verdict",
+    )
+
+
+@q(
     "q74_split_assignment",
     """
     WITH b AS (SELECT source,

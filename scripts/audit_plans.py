@@ -494,6 +494,29 @@ RULES = [
         and "BatchEvalPython" not in p
         and ("SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p),
     ),
+    (
+        "q129_reconciliation",
+        "ledger reconciliation pre-aggregates the child side to key grain "
+        "with a map-side partial_sum BEFORE the key equi-join (the join "
+        "never carries detail rows); no cartesian/BNLJ, no window, no "
+        "row-wise Python",
+        lambda p: "partial_sum" in p
+        and "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and _nodes(p, "Window") == 0
+        and "BatchEvalPython" not in p
+        and ("SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p),
+    ),
+    (
+        "q128_null_patterns",
+        "missingness-pattern profile is one codegen projection + a two-phase "
+        "hash agg at pattern grain; share joins back broadcast (no window, "
+        "no python, no cartesian of detail rows)",
+        lambda p: p.count("HashAggregate") >= 2
+        and _nodes(p, "Window") == 0
+        and "BatchEvalPython" not in p
+        and "CartesianProduct" not in p,
+    ),
 ] + [
     (
         qname,

@@ -154,3 +154,25 @@ def test_label_conflicts_flags_contradictory_transcripts(spark):
     out = u.label_conflicts(df).collect()
     assert len(out) == 1
     assert out[0]["n_rows"] == 2 and out[0]["n_transcripts"] == 2
+
+
+def test_aggregate_reconciliation_verdict_classes(spark):
+    from audit_anomaly_detection_etl_spark.operators import referential as r
+    from pyspark.sql import functions as F
+
+    parent = spark.createDataFrame(
+        [(1, 10.0), (2, 10.0), (3, 7.5)], "k long, total double"
+    )
+    child = spark.createDataFrame(
+        [(1, 4.0), (1, 6.0), (2, 3.0)], "k long, amt double"
+    )
+    out = {
+        row["k"]: row
+        for row in r.aggregate_reconciliation(
+            parent, child, "k", "k", "total", F.col("amt")
+        ).collect()
+    }
+    assert out[1]["verdict"] == "consistent" and out[1]["n_children"] == 2
+    assert out[2]["verdict"] == "mismatch" and out[2]["abs_diff"] == 7.0
+    assert out[3]["verdict"] == "missing_child" and out[3]["n_children"] == 0
+    assert out[3]["child_sum"] is None
