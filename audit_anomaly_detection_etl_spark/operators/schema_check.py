@@ -171,3 +171,45 @@ def constraint_violations(df: DataFrame, spec: TableSchemaSpec) -> DataFrame:
         )
         .select(*VIOLATION_COLS)
     )
+
+
+
+def json_key_profile(df: DataFrame, col: str) -> DataFrame:
+    """Schema-on-read profile of a semi-structured JSON column: frequency of
+    each observed KEY SET — the check that catches a producer rollout
+    adding/dropping/renaming payload fields, which value-level extraction
+    (nested_extract) and string-column type inference cannot see until a
+    downstream job reads the missing key. Rows classify as '<null>' (column
+    null), '<invalid>' (not a JSON object — Spark's permissive ``from_json``
+    nulls malformed input AND non-object JSON; scalars/arrays are schema
+    violations here, not key sets), or the comma-joined sorted key list
+    ('' = empty object).
+
+    Scale shape: one codegen-side ``from_json`` -> ``sort_array(map_keys)``
+    projection (JacksonParser in the JVM — no Python), then a two-phase hash
+    agg at key-set grain; observed key sets are bounded by producer-schema
+    versions (a handful), so the aggregate is tiny and the share denominator
+    joins back broadcast.
+
+    Returns (key_set, n_rows, share).
+    """
+    parsed = F.from_json(F.col(col), "map<string,string>")
+    key_set = (
+        F.when(F.col(col).isNull(), F.lit("<null>"))
+        .when(parsed.isNull(), F.lit("<invalid>"))
+        .otherwise(F.concat_ws(",", F.sort_array(F.map_keys(parsed))))
+    )
+    counts = (
+        df.select(key_set.alias("key_set"))
+        .groupBy("key_set")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .localCheckpoint(eager=False)  # key-set grain; feeds total + join-back
+    )
+    total = counts.agg(F.sum("n_rows").alias("total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "key_set",
+        "n_rows",
+        F.round(F.col("n_rows").cast("double") / F.col("total").cast("double"), 6).alias(
+            "share"
+        ),
+    )

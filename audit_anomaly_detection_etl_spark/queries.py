@@ -3485,6 +3485,50 @@ def q129(spark, sf_dir):
 
 
 @q(
+    "q130_json_key_profile",
+    """
+    WITH p AS (
+      SELECT CASE WHEN event_id % 7 = 0 THEN '{"k": 1, "extra": "x"}'
+                  WHEN event_id % 11 = 0 THEN 'oops'
+                  WHEN event_id % 13 = 0 THEN NULL
+                  ELSE props END AS props
+      FROM events
+    ), b AS (
+      SELECT CASE WHEN props IS NULL THEN '<null>'
+                  WHEN NOT json_valid(props) OR json_type(props) != 'OBJECT'
+                       THEN '<invalid>'
+                  ELSE COALESCE(array_to_string(list_sort(json_keys(props)), ','), '')
+             END AS key_set
+      FROM p
+    ), c AS (
+      SELECT key_set, CAST(COUNT(*) AS BIGINT) AS n_rows FROM b GROUP BY 1
+    )
+    SELECT key_set, n_rows, ROUND(n_rows * 1.0 / t.total, 6) AS share
+    FROM c, (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM c) t
+    """,
+)
+def q130(spark, sf_dir):
+    """JSON key-set schema profile (schema_check.json_key_profile):
+    frequency of each observed payload key set — catches producer schema
+    drift in semi-structured columns (a field added/dropped/renamed) that
+    value extraction (q18) and string type inference (q121) can't see. The
+    events props column ships single-schema, so deterministic masks plant a
+    new-field variant, malformed rows and nulls first. JVM-side from_json
+    projection, key-set-grain hash agg, broadcast share join-back. Oracle
+    classifies non-object JSON as '<invalid>' via json_type to match
+    Spark's map-typed from_json semantics."""
+    ev = _t(spark, sf_dir, "events")
+    planted = ev.select(
+        F.when(F.col("event_id") % 7 == 0, F.lit('{"k": 1, "extra": "x"}'))
+        .when(F.col("event_id") % 11 == 0, F.lit("oops"))
+        .when(F.col("event_id") % 13 == 0, F.lit(None))
+        .otherwise(F.col("props"))
+        .alias("props")
+    )
+    return SC.json_key_profile(planted, "props")
+
+
+@q(
     "q74_split_assignment",
     """
     WITH b AS (SELECT source,

@@ -508,6 +508,17 @@ RULES = [
         and ("SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p),
     ),
     (
+        "q130_json_key_profile",
+        "JSON key-set profile parses in the JVM (JacksonParser via from_json "
+        "— no Python UDF; the parse subtree sits behind the lazy "
+        "localCheckpoint boundary) and aggregates at key-set grain; share "
+        "joins back broadcast (no window, no cartesian of detail rows)",
+        lambda p: p.count("HashAggregate") >= 2
+        and _nodes(p, "Window") == 0
+        and "BatchEvalPython" not in p
+        and "CartesianProduct" not in p,
+    ),
+    (
         "q128_null_patterns",
         "missingness-pattern profile is one codegen projection + a two-phase "
         "hash agg at pattern grain; share joins back broadcast (no window, "

@@ -260,3 +260,21 @@ def test_null_pattern_profile_column_order_is_positional(spark):
     df = spark.createDataFrame([(None, 1)], "a string, b long")
     r = column_stats.null_pattern_profile(df, ["b", "a"]).collect()[0]
     assert r["pattern"] == "01" and r["null_cols"] == "a"
+
+
+def test_json_key_profile_classes(spark):
+    from audit_anomaly_detection_etl_spark.operators import schema_check as sc
+
+    rows = [
+        ('{"k": 1}',),
+        ('{"k": 2}',),
+        ('{"b": 1, "a": 2}',),   # sorted -> a,b
+        ("oops",),
+        ("[1,2]",),              # valid JSON, not an object -> invalid
+        ('"scalar"',),           # ditto
+        ("{}",),                 # empty object -> ''
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "props string")
+    out = {r["key_set"]: r["n_rows"] for r in sc.json_key_profile(df, "props").collect()}
+    assert out == {"k": 2, "a,b": 1, "<invalid>": 3, "": 1, "<null>": 1}
