@@ -60,6 +60,8 @@ def lm_scores(
     text_col: str = "text",
     train: DataFrame | None = None,
     min_count: int = 1,
+    exact_vocab: bool = True,
+    rsd: float = 0.02,
 ) -> DataFrame:
     """(doc_id, n_bigrams, lm_score) for every doc with >= 1 bigram.
 
@@ -77,11 +79,19 @@ def lm_scores(
     if min_count > 1:
         c2 = c2.where(F.col("c2") >= min_count)
     c1 = tbg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    # V = distinct words anywhere in the training corpus (contexts + finals)
+    # V = distinct words anywhere in the training corpus (contexts + finals).
+    # exact_vocab=False swaps the exact global distinct (the one unbounded
+    # distinct-aggregate wall in this operator at 10^12 rows) for an HLL
+    # sketch: V only Laplace-smooths the denominator, so an rsd-bounded V
+    # perturbs lm_score by at most ~rsd/(1 + c1/V) nats per bigram — the
+    # tolerance pytest in tests/test_lmscore.py bounds it empirically.
+    v_agg = (
+        F.countDistinct("w") if exact_vocab else F.approx_count_distinct("w", rsd)
+    )
     vocab = (
         tbg.select(F.col("w1").alias("w"))
         .union(tbg.select(F.col("w2").alias("w")))
-        .agg(F.countDistinct("w").alias("v"))
+        .agg(v_agg.alias("v"))
     )
     j = (
         bg.join(c2, ["w1", "w2"], "left")

@@ -83,3 +83,23 @@ def test_min_count_prunes_to_unseen(spark):
     assert got == {k: v[1] for k, v in exp.items()}
     # (cc,dd) pruned from the model -> scores as unseen, worse than (aa,bb)
     assert got[99] > got[0]
+
+
+def test_lm_scores_approx_vocab_tier_tracks_exact(spark):
+    from audit_anomaly_detection_etl_spark.operators import lmscore
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i % 5} epsilon zeta") for i in range(60)],
+        "doc_id long, text string",
+    )
+    exact = {
+        r["doc_id"]: r["lm_score"] for r in lmscore.lm_scores(docs).collect()
+    }
+    approx = {
+        r["doc_id"]: r["lm_score"]
+        for r in lmscore.lm_scores(docs, exact_vocab=False, rsd=0.02).collect()
+    }
+    assert set(exact) == set(approx)
+    for k in exact:
+        # V only Laplace-smooths the denominator: scores track within ~rsd
+        assert abs(exact[k] - approx[k]) <= 0.05 * max(1.0, abs(exact[k])), k
