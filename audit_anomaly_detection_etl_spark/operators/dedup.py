@@ -377,7 +377,26 @@ def edit_verified_pairs(
     ok = nt.join(F.broadcast(sizes.where(F.col("bn") > max_bucket)), "pfx", "left_anti")
     a = ok.alias("a")
     b = ok.alias("b")
-    lev = F.levenshtein(F.col("a.nt"), F.col("b.nt"))
+    # Bounded kernel: levenshtein(l, r, threshold) early-exits the DP once
+    # the distance provably exceeds the similarity budget, costing
+    # O(threshold * len) instead of O(len^2) per pair — the budget is
+    # (1-t)*max_len, so at t=0.9 the filter kernel is ~10x cheaper on the
+    # (dominant) rejected pairs. At sf0.1 an interleaved A/B measured no
+    # wall delta (the len_band pre-filter already removes the distant
+    # pairs there); the bound matters for the adversarial case len_band
+    # cannot see — equal-length pairs with dissimilar tails, full O(len^2)
+    # unbounded. The threshold is floor(budget)+1, a safe
+    # OVER-estimate: 1-t in binary can land just under the true value
+    # (1-0.9 = 0.0999...98), and flooring that times mx would early-reject
+    # a boundary pair the exact sim filter accepts. Within the threshold
+    # the kernel returns the true distance (and -1 beyond it), so the sim
+    # filter below applies the SAME arithmetic as the DuckDB oracle and
+    # the output is bit-identical to the unbounded kernel.
+    sim_lit = float(sim_threshold)
+    lev = F.expr(
+        "levenshtein(a.nt, b.nt, "
+        f"CAST(FLOOR(({1.0 - sim_lit!r}) * GREATEST(length(a.nt), length(b.nt))) AS INT) + 1)"
+    )
     mx = F.greatest(F.length("a.nt"), F.length("b.nt")).cast("double")
     sim = F.lit(1.0) - lev.cast("double") / mx
     # lev >= |len_a - len_b|, so sim >= t forces the length gap under
@@ -395,7 +414,9 @@ def edit_verified_pairs(
             (F.col("a.pfx") == F.col("b.pfx")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .where(len_band)
-        .where(sim >= F.lit(sim_threshold))
+        # lev = -1 means "beyond the threshold" (sim on -1 would wrongly
+        # pass); the guard keeps exactly the pairs the oracle keeps
+        .where((lev >= F.lit(0)) & (sim >= F.lit(sim_threshold)))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
