@@ -3494,9 +3494,14 @@ def q129(spark, sf_dir):
                   ELSE props END AS props
       FROM events
     ), b AS (
+      -- json_valid and json_type must sit in SEPARATE sequential WHENs:
+      -- DuckDB's vectorized executor evaluates both operands of an OR on
+      -- the whole chunk, so json_type() throws on malformed rows once the
+      -- table is big enough to batch them together (seen at sf0.1, not
+      -- sf0.01); CASE arms are selection-vector lazy, OR operands are not
       SELECT CASE WHEN props IS NULL THEN '<null>'
-                  WHEN NOT json_valid(props) OR json_type(props) != 'OBJECT'
-                       THEN '<invalid>'
+                  WHEN NOT json_valid(props) THEN '<invalid>'
+                  WHEN json_type(props) != 'OBJECT' THEN '<invalid>'
                   ELSE COALESCE(array_to_string(list_sort(json_keys(props)), ','), '')
              END AS key_set
       FROM p
