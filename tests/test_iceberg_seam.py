@@ -101,3 +101,37 @@ def test_iceberg_lineage_roundtrip(spark, tmp_path):
             "spark.sql.catalog.icetest.warehouse",
         ):
             spark.conf.unset(k)
+
+
+def test_iceberg_branch_digest_logic_without_jar(spark, monkeypatch):
+    """The jar-free part of the Iceberg branch: given manifest entries from
+    <tbl>.files, partition_fingerprints must digest (file_path, size) sorted
+    by path — byte-identical to the documented mapping — and list_partitions
+    must aggregate file counts/bytes per partition. Mocks only the two
+    catalog touchpoints (iceberg_catalog_of, _iceberg_files); everything
+    downstream is the real code the skip-marked integration test drives."""
+    import hashlib
+
+    rows = [
+        (0, "wh/db/t/part=0/b.parquet", 20),
+        (0, "wh/db/t/part=0/a.parquet", 10),  # unsorted on purpose
+        (1, "wh/db/t/part=1/c.parquet", 30),
+    ]
+    files_df = spark.createDataFrame(rows, "part int, file_path string, sz long")
+    monkeypatch.setattr(tableio, "iceberg_catalog_of", lambda s, r: "fake")
+    monkeypatch.setattr(tableio, "_iceberg_files", lambda s, t: files_df)
+
+    fps = tableio.partition_fingerprints("fake.db.t", spark)
+    h = hashlib.sha256()
+    h.update(b"wh/db/t/part=0/a.parquet")
+    h.update(b"10")
+    h.update(b"wh/db/t/part=0/b.parquet")
+    h.update(b"20")
+    assert fps[0] == h.hexdigest()[:16]
+    assert set(fps) == {0, 1}
+
+    parts = tableio.list_partitions("fake.db.t", spark)
+    assert [(p.part, p.n_files, p.total_bytes) for p in parts] == [
+        (0, 2, 30),
+        (1, 1, 30),
+    ]
