@@ -375,6 +375,33 @@ def fit_ensemble(
     return model
 
 
+def save_model(model: EnsembleModel, path: str) -> None:
+    """Persist a fitted ensemble to disk — SURVEY.md §2 S8, the reference's
+    Kedro PickleDataSet model artifact (catalog.yml:88-102,
+    model_training/nodes.py save step). The model is a pure-numpy dataclass
+    bundle measured in KBs (tree arrays + fit medians), a DRIVER artifact,
+    never data-plane state — so a driver-local file (or any mounted path on
+    a real cluster) is the right grain, exactly like the reference's
+    ``data/06_models`` pickle. Pickle protocol 4 for cross-version reach."""
+    import pickle
+
+    with open(path, "wb") as f:
+        pickle.dump(model, f, protocol=4)
+
+
+def load_model(path: str) -> EnsembleModel:
+    """Inverse of :func:`save_model`; the loaded model broadcasts into
+    ``score_ensemble`` like a freshly fitted one (determinism pytest:
+    identical scores before/after the round trip)."""
+    import pickle
+
+    with open(path, "rb") as f:
+        model = pickle.load(f)
+    if not isinstance(model, EnsembleModel):
+        raise TypeError(f"{path} does not contain an EnsembleModel")
+    return model
+
+
 def score_ensemble(features: DataFrame, model: EnsembleModel) -> DataFrame:
     """Distributed scoring: broadcast the fitted model, ONE mapInPandas stage
     appending, per detector m: ``{m}_score`` (raw decision function) and

@@ -3534,6 +3534,40 @@ def q130(spark, sf_dir):
 
 
 @q(
+    "q131_xlsx_roundtrip",
+    """
+    SELECT CAST(s_nationkey AS INT) AS s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(s_acctbal), 2) AS total_bal,
+           CAST(SUM(s_suppkey) AS BIGINT) AS key_sum
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def q131(spark, sf_dir):
+    """Excel report sink/scan fidelity (sources/xlsxio.py — SURVEY.md S7,
+    reference catalog.yml ExcelDataSet outputs): the supplier table written
+    to a dependency-free SpreadsheetML .xlsx and read back must aggregate
+    identically to the parquet original (oracle runs on the parquet).
+    Driver-side bounded-report sink by design — Excel outputs are per-audit
+    human reports, capped at Excel's own sheet limit with a refuse-don't-
+    truncate guard; sharedStrings files from Excel/openpyxl also parse
+    (tests/test_xlsxio.py)."""
+    import tempfile
+
+    from .sources import xlsxio
+
+    sup = _t(spark, sf_dir, "supplier")
+    p = tempfile.mktemp(suffix=".xlsx", prefix="q131_")
+    xlsxio.write_xlsx(sup, p)
+    back = xlsxio.read_xlsx(spark, p)
+    return back.groupBy(F.col("s_nationkey").cast("int").alias("s_nationkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        F.sum("s_suppkey").cast("long").alias("key_sum"),
+    )
+
+
+@q(
     "q74_split_assignment",
     """
     WITH b AS (SELECT source,

@@ -1,0 +1,217 @@
+"""Excel (.xlsx) sink/scan without any Excel library — SURVEY.md §2 S7.
+
+Reference analogue: the Kedro ``pandas.ExcelDataSet`` audit-report outputs
+(``conf/base/catalog.yml:40-45,63-77,104-109``). Those are *bounded
+per-audit reports* (hundreds to thousands of rows a human opens in Excel),
+not data-plane tables — so the right Spark shape is a DRIVER-side sink over
+a bounded ``collect()``, exactly like the reference writes them from a
+single pandas frame. The hard cap defaults to Excel's own sheet limit and
+``write_xlsx`` refuses anything larger rather than silently truncating.
+
+No openpyxl/xlsxwriter ships in this sandbox, and none is needed: .xlsx is
+a ZIP of SpreadsheetML XML parts (ECMA-376, public spec). The writer emits
+the five mandatory parts with inline strings (no sharedStrings table — the
+simplest valid form, and what keeps the reader dependency-free too); the
+reader accepts both inline strings and sharedStrings-indexed cells so files
+written by Excel/openpyxl round-trip as well.
+
+Typing across the trip: numbers are written without a type attribute
+(SpreadsheetML's numeric default) and strings as ``t="inlineStr"``. The
+reader rebuilds a column as long/double when EVERY populated cell in it is
+numeric, else string — same inference grain as the CSV scan. Timestamps and
+binary are out of scope (stringify upstream); Excel has no faithful
+representation of either.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import zipfile
+from xml.etree import ElementTree as ET
+from xml.sax.saxutils import escape
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Excel's hard per-sheet row limit (2^20), minus the header row
+MAX_XLSX_ROWS = 1_048_575
+
+_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_INT_RE = re.compile(r"^-?\d+$")
+_NUM_RE = re.compile(r"^-?(\d+\.?\d*|\.\d+)([eE][-+]?\d+)?$")
+
+
+def _col_letter(i: int) -> str:
+    """0-based column index -> A, B, ..., Z, AA, AB, ..."""
+    out = ""
+    i += 1
+    while i:
+        i, r = divmod(i - 1, 26)
+        out = chr(ord("A") + r) + out
+    return out
+
+
+_CONTENT_TYPES = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+    '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+    '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+    "</Types>"
+)
+_ROOT_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+    "</Relationships>"
+)
+_WORKBOOK = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+    'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+    '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+)
+_WORKBOOK_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+    "</Relationships>"
+)
+
+
+def _cell_xml(ref: str, v) -> str:
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+    if isinstance(v, (int, float)):
+        return f'<c r="{ref}"><v>{v!r}</v></c>'
+    return f'<c r="{ref}" t="inlineStr"><is><t>{escape(str(v))}</t></is></c>'
+
+
+def write_xlsx(df: DataFrame, path: str, max_rows: int = MAX_XLSX_ROWS) -> int:
+    """Write a DataFrame as a single-sheet .xlsx report; returns row count.
+
+    Driver-side by design (see module docstring): Excel is the
+    human-report sink, bounded by its own 2^20-row sheet limit. Raises
+    ``ValueError`` past ``max_rows`` instead of truncating — if the result
+    is too big for Excel it is not an Excel report; the caller should
+    aggregate first or use the parquet/ORC/CSV sinks.
+    """
+    cols = df.columns
+    # bounded collect: limit+1 detects overflow without a full count
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"write_xlsx: result exceeds {max_rows} rows — aggregate first "
+            "or use a data-plane sink (parquet/ORC/CSV)"
+        )
+    parts = ['<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+             '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+             "<sheetData>"]
+    head = "".join(
+        _cell_xml(f"{_col_letter(i)}1", c) for i, c in enumerate(cols)
+    )
+    parts.append(f'<row r="1">{head}</row>')
+    for rn, row in enumerate(rows, start=2):
+        body = "".join(
+            _cell_xml(f"{_col_letter(i)}{rn}", row[c]) for i, c in enumerate(cols)
+        )
+        parts.append(f'<row r="{rn}">{body}</row>')
+    parts.append("</sheetData></worksheet>")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", _CONTENT_TYPES)
+        z.writestr("_rels/.rels", _ROOT_RELS)
+        z.writestr("xl/workbook.xml", _WORKBOOK)
+        z.writestr("xl/_rels/workbook.xml.rels", _WORKBOOK_RELS)
+        z.writestr("xl/worksheets/sheet1.xml", "".join(parts))
+    return len(rows)
+
+
+def _cell_ref_to_col(ref: str) -> int:
+    i = 0
+    for ch in ref:
+        if ch.isdigit():
+            break
+        i = i * 26 + (ord(ch) - ord("A") + 1)
+    return i - 1
+
+
+def _read_rows(path: str) -> list[list]:
+    with zipfile.ZipFile(path) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.iter(f"{_NS}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
+        sheet = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+    out = []
+    for row in sheet.iter(f"{_NS}row"):
+        cells: dict[int, object] = {}
+        for ci, c in enumerate(row.iter(f"{_NS}c")):
+            ref = c.get("r")
+            idx = _cell_ref_to_col(ref) if ref else ci
+            t = c.get("t")
+            if t == "inlineStr":
+                cells[idx] = "".join(x.text or "" for x in c.iter(f"{_NS}t"))
+                continue
+            v = c.find(f"{_NS}v")
+            if v is None or v.text is None:
+                cells[idx] = None
+            elif t == "s":
+                cells[idx] = shared[int(v.text)]
+            elif t == "b":
+                cells[idx] = v.text == "1"
+            else:
+                cells[idx] = v.text  # numeric text; typed per-column below
+        width = max(cells) + 1 if cells else 0
+        out.append([cells.get(i) for i in range(width)])
+    return out
+
+
+def read_xlsx(spark: SparkSession, path: str) -> DataFrame:
+    """Scan a single-sheet .xlsx back to a DataFrame. First row = header.
+
+    A column comes back long/double when every populated cell is numeric
+    (bool stays boolean), else string — the same inference grain as a
+    header CSV scan. Driver-side parse (reports are bounded by
+    construction — see write_xlsx); the result is a regular distributed
+    DataFrame afterwards.
+    """
+    raw = _read_rows(path)
+    if not raw:
+        return spark.createDataFrame([], schema="")
+    header = [str(h) for h in raw[0]]
+    body = [r + [None] * (len(header) - len(r)) for r in raw[1:]]
+    types = []
+    for i in range(len(header)):
+        vals = [r[i] for r in body if r[i] is not None]
+        if vals and all(isinstance(v, bool) for v in vals):
+            types.append("boolean")
+        elif vals and all(
+            isinstance(v, str) and _INT_RE.match(v) for v in vals
+        ):
+            types.append("long")
+        elif vals and all(
+            isinstance(v, str) and _NUM_RE.match(v) for v in vals
+        ):
+            types.append("double")
+        else:
+            types.append("string")
+    conv = {"long": int, "double": float, "boolean": None, "string": str}
+    typed = []
+    for r in body:
+        rr = []
+        for i, t in enumerate(types):
+            v = r[i]
+            if v is None:
+                rr.append(None)
+            elif t == "boolean":
+                rr.append(bool(v))
+            else:
+                rr.append(conv[t](v))
+        typed.append(tuple(rr))
+    schema = ", ".join(f"`{h}` {t}" for h, t in zip(header, types))
+    return spark.createDataFrame(typed, schema=schema)

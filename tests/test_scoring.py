@@ -240,3 +240,36 @@ class TestEnsemblePipeline:
         assert m1.iforest.offset_ == m2.iforest.offset_
         assert np.array_equal(m1.robust_z.med_, m2.robust_z.med_)
         assert np.array_equal(m1.knn.sample_, m2.knn.sample_)
+
+
+def test_model_save_load_roundtrip_scores_identically(spark, tmp_path):
+    """S8 model persistence: a saved + reloaded ensemble must broadcast and
+    score bit-identically to the in-memory one (the reference persists its
+    fitted model as a pickle artifact the app reloads)."""
+    import audit_anomaly_detection_etl_spark.queries as Q
+    from audit_anomaly_detection_etl_spark.operators import scoring
+
+    feats = Q.user_features(spark, "/root/testdata/sf0.001")
+    model = scoring.fit_ensemble(
+        feats, Q.USER_FEATURE_COLS, "user_id", sample_mod=1, seed=Q.ENSEMBLE_SEED
+    )
+    p = str(tmp_path / "ensemble.pkl")
+    scoring.save_model(model, p)
+    loaded = scoring.load_model(p)
+    a = scoring.score_ensemble(feats, model).orderBy("user_id").toPandas()
+    b = scoring.score_ensemble(feats, loaded).orderBy("user_id").toPandas()
+    assert a.equals(b)
+
+
+def test_load_model_rejects_foreign_pickles(tmp_path):
+    import pickle
+
+    import pytest
+
+    from audit_anomaly_detection_etl_spark.operators import scoring
+
+    p = str(tmp_path / "junk.pkl")
+    with open(p, "wb") as f:
+        pickle.dump({"not": "a model"}, f)
+    with pytest.raises(TypeError):
+        scoring.load_model(p)

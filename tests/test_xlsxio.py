@@ -1,0 +1,78 @@
+"""Excel sink/scan (sources/xlsxio.py — SURVEY.md S7): dependency-free
+SpreadsheetML round trip, typing inference, the bounded-report guard, and
+fidelity vs the zip/XML structure itself."""
+
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from audit_anomaly_detection_etl_spark.sources import xlsxio
+
+
+def test_xlsx_roundtrip_values_and_types(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha & <beta>", 1.5, True),
+            (2, "ünïcode ✓", -0.25, False),
+            (3, None, 7942.52, None),
+        ],
+        "k long, name string, amount double, flag boolean",
+    )
+    p = str(tmp_path / "report.xlsx")
+    n = xlsxio.write_xlsx(df, p)
+    assert n == 3
+    back = xlsxio.read_xlsx(spark, p)
+    assert back.columns == ["k", "name", "amount", "flag"]
+    assert dict(back.dtypes) == {
+        "k": "bigint", "name": "string", "amount": "double", "flag": "boolean"
+    }
+    rows = {r["k"]: r for r in back.collect()}
+    assert rows[1]["name"] == "alpha & <beta>"      # XML escaping survives
+    assert rows[2]["name"] == "ünïcode ✓"           # unicode survives
+    assert rows[3]["name"] is None and rows[3]["flag"] is None
+    assert rows[3]["amount"] == 7942.52             # repr round trip exact
+    assert rows[1]["flag"] is True and rows[2]["flag"] is False
+
+
+def test_xlsx_is_a_valid_zip_package(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x")], "a long, b string")
+    p = str(tmp_path / "r.xlsx")
+    xlsxio.write_xlsx(df, p)
+    with zipfile.ZipFile(p) as z:
+        names = set(z.namelist())
+    assert {"[Content_Types].xml", "_rels/.rels", "xl/workbook.xml",
+            "xl/worksheets/sheet1.xml"} <= names
+
+
+def test_xlsx_reader_accepts_shared_strings(spark, tmp_path):
+    """Files written by Excel/openpyxl use a sharedStrings table instead of
+    inline strings — the reader must resolve s-typed cells through it."""
+    p = str(tmp_path / "ext.xlsx")
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    sheet = (
+        f'<worksheet {ns}><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>42</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    sst = (
+        f'<sst {ns}><si><t>id</t></si><si><t>val</t></si><si><t>row-1</t></si></sst>'
+    )
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("[Content_Types].xml", xlsxio._CONTENT_TYPES)
+        z.writestr("_rels/.rels", xlsxio._ROOT_RELS)
+        z.writestr("xl/workbook.xml", xlsxio._WORKBOOK)
+        z.writestr("xl/_rels/workbook.xml.rels", xlsxio._WORKBOOK_RELS)
+        z.writestr("xl/sharedStrings.xml", sst)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    back = xlsxio.read_xlsx(spark, p)
+    assert back.columns == ["id", "val"]
+    r = back.collect()[0]
+    assert r["id"] == "row-1" and r["val"] == 42
+
+
+def test_xlsx_bounded_report_guard(spark, tmp_path):
+    df = spark.range(100).select(F.col("id"))
+    with pytest.raises(ValueError, match="aggregate first"):
+        xlsxio.write_xlsx(df, str(tmp_path / "big.xlsx"), max_rows=50)
