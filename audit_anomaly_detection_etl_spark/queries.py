@@ -33,6 +33,11 @@ Cross-engine parity rules used throughout:
 - IEEE ``-0.0``: an exactly-zero rounded sum carries an engine-dependent
   sign (q118's final CUSUM); the gate comparator folds it (+ 0.0) in
   scripts/check_correctness.py and tests/test_oracle_parity.py.
+- DuckDB's vectorized executor evaluates BOTH operands of AND/OR across the
+  whole chunk — an error-raising guard (``json_valid(x) OR json_type(x)...``)
+  only "works" until the table is big enough to batch bad rows with good
+  ones (q130 passed sf0.01, threw at sf0.1). CASE arms ARE
+  selection-vector lazy: put each guard in its own sequential WHEN.
 """
 
 from __future__ import annotations
