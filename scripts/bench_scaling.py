@@ -172,13 +172,16 @@ def _cotemporal_worker(cpus: int, data_dir: str, barrier: str, window_s: float,
         f.write("ready")
     while not os.path.exists(barrier):
         time.sleep(0.2)
-    t_end = time.time() + window_s
+    t_base = time.time()  # barrier release = shared time origin for pairing
+    t_end = t_base + window_s
     runs = []
     i = 0
     while time.time() < t_end:
+        t_start = time.time() - t_base
         n, dt = one(f"m{i}")
         i += 1
-        runs.append({"clips": n, "sec": round(dt, 2), "rate": round(n / dt, 1)})
+        runs.append({"clips": n, "sec": round(dt, 2), "rate": round(n / dt, 1),
+                     "t0": round(t_start, 2), "t1": round(t_start + dt, 2)})
     with open(out_path, "w") as f:
         json.dump({"cpus": cpus, "warmup_sec": [round(d, 1) for _n, d in warm],
                    "runs": runs}, f)
@@ -236,13 +239,42 @@ def cotemporal(args, data_dir: str) -> dict:
     lo_rate, lo = median_rate(outs[args.low])
     hi_rate, hi = median_rate(outs[args.high])
     ratio = args.high / args.low
-    return {
+    out = {
         "cotemporal_efficiency": round(hi_rate / (ratio * lo_rate), 3),
         "low_median_rate": lo_rate,
         "high_median_rate": hi_rate,
         "low_runs": lo,
         "high_runs": hi,
     }
+    paired = _paired_efficiency(lo["runs"], hi["runs"], ratio)
+    if paired is not None:
+        out["paired_efficiency"] = paired
+    return out
+
+
+def _paired_efficiency(lo_runs, hi_runs, ratio) -> float | None:
+    """Drift-robust variant: host throughput swings 3x WITHIN one window
+    (observed), so whole-window medians compare rates measured under
+    different host conditions. Pair each low-level run with the high-level
+    runs whose midpoints fall inside its wall interval (both workers share
+    the barrier-release time origin), take the median high rate per pair,
+    and report the median per-pair efficiency — both sides of every pair
+    saw the same host. Falls back to None for legacy runs without t0/t1."""
+    if not lo_runs or "t0" not in lo_runs[0] or not hi_runs or "t0" not in hi_runs[0]:
+        return None
+
+    def med(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+
+    effs = []
+    for lr in lo_runs:
+        overlapped = [hr["rate"] for hr in hi_runs
+                      if lr["t0"] <= (hr["t0"] + hr["t1"]) / 2 <= lr["t1"]]
+        if overlapped:
+            effs.append(med(overlapped) / (ratio * lr["rate"]))
+    return round(med(effs), 3) if effs else None
 
 
 def main() -> None:
