@@ -128,6 +128,50 @@ def normalized_text(text: Column) -> Column:
     return F.lower(F.trim(F.regexp_replace(text, UNICODE_WS_RE, " ")))
 
 
+# --- encoding-hygiene signals -------------------------------------------
+# Corruption that transcript byte-EQUALITY cannot catch: when mojibake /
+# replacement chars enter upstream of the reference split, BOTH copies carry
+# them and the equality invariant passes — a dedicated content check is the
+# only detector. All four signals are pure Catalyst string expressions
+# (counts via length-difference under global replace, identical semantics in
+# DuckDB, so the catalog entry is oracle-checkable). Pattern escapes are the
+# Java-regex/RE2 COMMON SUBSET (`\xhh`, `\x{hhhh}`, literal chars), so one
+# constant feeds both engines.
+
+REPL_CHAR = "�"  # U+FFFD REPLACEMENT CHARACTER: a decoder already gave up
+BOM_CHAR = "﻿"   # U+FEFF in-body: concatenation of BOM-prefixed files
+# C0 controls except \t \n \r, plus DEL — never legitimate in a transcript
+CTRL_CHAR_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+# UTF-8 bytes mis-decoded as latin-1/cp1252: lead bytes C3/C2 ('Ã'/'Â')
+# followed by a continuation codepoint in U+0080–U+00BF, or the 3-byte
+# punctuation signature 'â€' (U+00E2 U+20AC, from ’ “ ” …). Every branch
+# matches exactly 2 chars, so count = length-difference / 2.
+MOJIBAKE_RE = "(?:[ÃÂ][" + r"\x{0080}-\x{00BF}" + "]|â€)"
+
+
+def _char_count(text: Column, ch: str) -> Column:
+    return (F.length(text) - F.length(F.replace(text, F.lit(ch), F.lit("")))).cast("long")
+
+
+def repl_char_count(text: Column) -> Column:
+    return _char_count(text, REPL_CHAR)
+
+
+def bom_char_count(text: Column) -> Column:
+    return _char_count(text, BOM_CHAR)
+
+
+def ctrl_char_count(text: Column) -> Column:
+    return (
+        F.length(text) - F.length(F.regexp_replace(text, CTRL_CHAR_RE, ""))
+    ).cast("long")
+
+
+def mojibake_count(text: Column) -> Column:
+    diff = F.length(text) - F.length(F.regexp_replace(text, MOJIBAKE_RE, ""))
+    return F.floor(diff / F.lit(2)).cast("long")
+
+
 def fingerprint_md5(text: Column) -> Column:
     """Content fingerprint over normalized text (exact-dedup key)."""
     return F.md5(normalized_text(text))

@@ -173,6 +173,57 @@ def constraint_violations(df: DataFrame, spec: TableSchemaSpec) -> DataFrame:
     )
 
 
+def encoding_violations(
+    df: DataFrame,
+    text_col: str = "transcript",
+    key_col: str = "clip_id",
+    part_col: str = "part",
+) -> DataFrame:
+    """Encoding-hygiene violations for a text column, as VIOLATION_SCHEMA
+    rows: U+FFFD replacement characters (an upstream decoder already gave
+    up), C0 control characters / DEL, UTF-8-as-latin-1 mojibake signatures
+    ('Ã©', 'â€™'), and in-body U+FEFF BOMs (concatenated BOM-prefixed
+    files). This is the corruption class transcript byte-EQUALITY cannot
+    catch: mojibake introduced upstream of the reference split sits in BOTH
+    copies, so the equality invariant passes — content inspection is the
+    only detector (see functions/text.py encoding signals; reference
+    analogue: the reference's string-content screens, SURVEY.md §2.8).
+
+    Null transcripts are owned by the schema nullability constraint
+    (no-double-count rule, like byte_length/speaking_rate). Pure
+    whole-stage-codegen string expressions over one scan — no shuffle, no
+    Python; like byte_length, cheap enough to be default-ON at 10^12 rows.
+    Severity 3.5: content-quality class, above schema domain errors (3.0),
+    below corruption-class byte_length (4.5).
+    """
+    from ..functions import text as text_fn
+
+    t = F.col(text_col)
+    counted = df.where(t.isNotNull()).select(
+        F.col(key_col).alias("key"),
+        F.col(part_col).cast("int").alias("part"),
+        text_fn.repl_char_count(t).alias("_repl"),
+        text_fn.ctrl_char_count(t).alias("_ctrl"),
+        text_fn.mojibake_count(t).alias("_moji"),
+        text_fn.bom_char_count(t).alias("_bom"),
+    )
+    bad = counted.where(
+        (F.col("_repl") + F.col("_ctrl") + F.col("_moji") + F.col("_bom")) > 0
+    )
+    detail = F.concat(
+        F.lit("repl="), F.col("_repl").cast("string"),
+        F.lit(" ctrl="), F.col("_ctrl").cast("string"),
+        F.lit(" mojibake="), F.col("_moji").cast("string"),
+        F.lit(" bom="), F.col("_bom").cast("string"),
+    )
+    return bad.select(
+        "key",
+        F.lit("encoding").alias("check"),
+        detail.alias("detail"),
+        "part",
+        F.lit(3.5).alias("severity"),
+    ).select(*VIOLATION_COLS)
+
 
 def json_key_profile(df: DataFrame, col: str) -> DataFrame:
     """Schema-on-read profile of a semi-structured JSON column: frequency of

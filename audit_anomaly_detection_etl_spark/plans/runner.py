@@ -117,6 +117,15 @@ def _wave_violations(
                 report_unknown_codec=("schema" not in checks),
             )
         )
+    if "encoding" in checks:
+        parts.append(
+            schema_check.encoding_violations(
+                wave_df,
+                text_col="transcript",
+                key_col=spec.schema_spec.key_col,
+                part_col=spec.schema_spec.part_col,
+            )
+        )
     if "loudness" in checks:
         target, tol = spec.loudness_bounds
         parts.append(

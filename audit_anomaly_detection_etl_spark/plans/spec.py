@@ -50,9 +50,14 @@ class SuiteSpec:
     # BEFORE the decode pass — at 10^12 clips the cheapest check in the
     # suite (operators/payload.py:byte_length_violations, plan-audited
     # zero-exchange)
+    # encoding is default-ON for the same reason: pure-codegen string
+    # signals (U+FFFD / control chars / mojibake / in-body BOM) over the
+    # transcript column — the corruption class transcript byte-EQUALITY
+    # cannot catch, because upstream mojibake sits in BOTH copies
+    # (operators/schema_check.py:encoding_violations)
     checks: tuple = (
         "schema", "stats", "uniqueness", "referential", "drift", "payload",
-        "byte_length",
+        "byte_length", "encoding",
     )
     # transcript<->audio plausibility bounds (words/sec); the check itself is
     # opt-in via checks=(..., "speaking_rate") — see media.speaking_rate_violations

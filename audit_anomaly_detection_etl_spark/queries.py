@@ -3573,6 +3573,57 @@ def q131(spark, sf_dir):
 
 
 @q(
+    "q132_encoding_audit",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text) - length(replace(text, '__REPL__', '')))
+                AS BIGINT) AS repl_chars,
+           CAST(SUM(length(text)
+                    - length(regexp_replace(text, '__CTRL__', '', 'g')))
+                AS BIGINT) AS ctrl_chars,
+           CAST(SUM(CAST(FLOOR((length(text)
+                    - length(regexp_replace(text, '__MOJI__', '', 'g'))) / 2)
+                    AS BIGINT)) AS BIGINT) AS mojibake_seqs,
+           CAST(SUM(CASE WHEN contains(text, '__BOM__') THEN 1 ELSE 0 END)
+                AS BIGINT) AS bom_docs
+    FROM documents WHERE text IS NOT NULL
+    GROUP BY lang
+    """.replace("__REPL__", T.REPL_CHAR)
+    .replace("__CTRL__", T.CTRL_CHAR_RE)
+    .replace("__MOJI__", T.MOJIBAKE_RE)
+    .replace("__BOM__", T.BOM_CHAR),
+)
+def q132(spark, sf_dir):
+    """Encoding-hygiene audit (functions/text.py encoding signals,
+    operators/schema_check.py:encoding_violations — SURVEY.md §2.8 string
+    screens): per-language totals of U+FFFD replacement chars, C0
+    control chars/DEL, UTF-8-as-latin-1 mojibake signatures and in-body
+    BOMs. This corruption class defeats byte-equality checks (upstream
+    mojibake lands in BOTH the clip and its reference transcript), so
+    content inspection is the only detector; the same expressions run
+    default-ON in the validation suite over synth-planted anomalies
+    (tests/test_encoding.py asserts exact planted parity).
+
+    Plan: counts are length-differences under global replace — pure
+    whole-stage-codegen string expressions in one scan, two-phase hash agg
+    at language grain (a handful of groups). The regex constants use the
+    Java-regex/RE2 common escape subset so the identical pattern string
+    feeds Spark and the DuckDB oracle."""
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    t = F.col("text")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(T.repl_char_count(t)).cast("long").alias("repl_chars"),
+        F.sum(T.ctrl_char_count(t)).cast("long").alias("ctrl_chars"),
+        F.sum(T.mojibake_count(t)).cast("long").alias("mojibake_seqs"),
+        F.sum(F.when(F.contains(t, F.lit(T.BOM_CHAR)), 1).otherwise(0))
+        .cast("long")
+        .alias("bom_docs"),
+    )
+
+
+@q(
     "q74_split_assignment",
     """
     WITH b AS (SELECT source,

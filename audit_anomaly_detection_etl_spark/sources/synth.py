@@ -16,8 +16,10 @@ processes, which the checkpoint/resume tests rely on.
 Injected violation rates follow FIXTURES.md F1:
 ~0.5% duplicate clip_ids, ~1% corrupted payloads (SNR<30dB), ~0.2% unknown
 codec strings, ~0.5% null transcripts, ~0.5% transcript byte-mismatches vs the
-reference table, plus referential orphans in both directions and a heavy
-``dur_ms`` tail (a few >=20x-median clips) to exercise skew handling.
+reference table, ~0.4% encoding-corrupted transcripts (U+FFFD / control char /
+mojibake, planted in BOTH copies so only the content-level encoding check can
+see them), plus referential orphans in both directions and a heavy ``dur_ms``
+tail (a few >=20x-median clips) to exercise skew handling.
 """
 
 from __future__ import annotations
@@ -92,6 +94,11 @@ def generate_clips(
     codec_choice = rng.integers(0, len(codec_list), n_clips)
 
     u = rng.uniform(size=(n_clips, 5)) if inject_violations else np.ones((n_clips, 5))
+    # encoding anomalies draw from an INDEPENDENT stream so adding this
+    # injector did not reshuffle every pre-existing draw (keeps the other
+    # checks' planted counts comparable across rounds)
+    rng_enc = np.random.default_rng(seed ^ 0xE2C0D1)
+    u_enc = rng_enc.uniform(size=n_clips) if inject_violations else np.ones(n_clips)
 
     for i in range(n_clips):
         # duplicate-ingest violation: replay the last clean row verbatim
@@ -139,6 +146,22 @@ def generate_clips(
         elif u[i, 4] < 0.005:  # transcript byte-mismatch vs reference
             txt = ref_txt + " x"
             viol.append((cid, "transcript_mismatch", "transcript differs from reference"))
+        elif u_enc[i] < 0.004:
+            # encoding corruption upstream of the reference split: BOTH
+            # copies carry it, so transcript byte-equality passes and only
+            # the content-level encoding check can catch it
+            flavor = i % 3
+            if flavor == 0:
+                txt = txt + " ��"
+                detail = "replacement chars"
+            elif flavor == 1:
+                txt = txt[:4] + "\x07" + txt[4:]
+                detail = "control char"
+            else:
+                txt = txt + " cafÃ© â€™"
+                detail = "mojibake"
+            ref_txt = txt
+            viol.append((cid, "encoding", detail))
         else:
             dirty = False
 

@@ -59,6 +59,7 @@ def test_violations_injected():
         "codec",
         "transcript_null",
         "transcript_mismatch",
+        "encoding",
         "referential_missing_ref",
         "referential_orphan_ref",
     } <= checks
