@@ -216,3 +216,65 @@ def null_pattern_profile(df: DataFrame, cols: list[str] | None = None) -> DataFr
             "share"
         ),
     )
+
+
+def mixed_unit_audit(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    heavy_share: float = 0.05,
+    gap_decades: int = 3,
+) -> DataFrame:
+    """Mixed-units (magnitude-cluster) audit: flags groups whose positive
+    values cluster in decades separated by an empty gap — the signature of
+    one producer logging seconds where another logs milliseconds (or Hz vs
+    kHz). Both modes individually pass range constraints and drift-vs-self,
+    so neither schema min/max (SURVEY.md §1.3 analogue) nor the drift family
+    can see this class; Benford (q88) tests leading-DIGIT frequency and is
+    blind to it too.
+
+    Decade = digit count of floor(x) for x>=1 (exact integer/string
+    arithmetic — deliberately NOT floor(log10(x)), whose float rounding at
+    exact powers of ten can disagree across engines); values in (0,1) lump
+    into decade -1. A group is flagged when its "heavy" decades (share >=
+    ``heavy_share``) contain an adjacent pair more than ``gap_decades``
+    apart — i.e. two magnitude clusters with nothing between them.
+
+    Scale shape: one scan -> decade-grain hash agg (map-side combine; the
+    shuffle carries <= ~20 rows per group regardless of input size); the
+    share/gap windows run over that tiny decade-grain aggregate, partitioned
+    by group (never an unpartitioned window). Returns one row per group with
+    >=1 heavy decade: (group, n_pos, n_heavy, heavy_decades, max_gap,
+    mixed_units).
+    """
+    from pyspark.sql.window import Window
+
+    x = F.col(value_col)
+    pos = df.where(x.isNotNull() & (x > 0))
+    decade = (
+        F.when(x >= 1, F.length(F.floor(x).cast("bigint").cast("string")) - 1)
+        .otherwise(F.lit(-1))
+        .cast("int")
+    )
+    per = pos.groupBy(F.col(group_col), decade.alias("decade")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy(group_col)
+    shares = per.withColumn("n_pos", F.sum("n").over(w)).withColumn(
+        "share", F.col("n").cast("double") / F.col("n_pos").cast("double")
+    )
+    heavy = shares.where(F.col("share") >= F.lit(heavy_share))
+    w_lag = Window.partitionBy(group_col).orderBy("decade")
+    gaps = heavy.withColumn("gap", F.col("decade") - F.lag("decade").over(w_lag))
+    return gaps.groupBy(group_col).agg(
+        F.max("n_pos").cast("long").alias("n_pos"),
+        F.count(F.lit(1)).cast("long").alias("n_heavy"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("decade")), lambda d: d.cast("string")
+            ),
+            ",",
+        ).alias("heavy_decades"),
+        F.coalesce(F.max("gap"), F.lit(0)).cast("long").alias("max_gap"),
+        (F.coalesce(F.max("gap"), F.lit(0)) >= F.lit(gap_decades)).alias("mixed_units"),
+    )

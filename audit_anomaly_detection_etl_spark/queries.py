@@ -3624,6 +3624,65 @@ def q132(spark, sf_dir):
 
 
 @q(
+    "q133_unit_mismatch",
+    """
+    WITH p AS (SELECT event_type,
+                      CASE WHEN event_type = 'click' AND event_id % 3 = 0
+                           THEN value * 1000000 ELSE value END AS v
+               FROM events WHERE value IS NOT NULL AND value > 0),
+    d AS (SELECT event_type,
+                 CASE WHEN v >= 1
+                      THEN CAST(length(CAST(CAST(FLOOR(v) AS BIGINT) AS VARCHAR)) - 1 AS INT)
+                      ELSE -1 END AS decade
+          FROM p),
+    c AS (SELECT event_type, decade, CAST(COUNT(*) AS BIGINT) AS n
+          FROM d GROUP BY 1, 2),
+    s AS (SELECT event_type, decade, n,
+                 SUM(n) OVER (PARTITION BY event_type) AS n_pos,
+                 CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE) AS share
+          FROM c),
+    h AS (SELECT event_type, decade, n_pos,
+                 decade - LAG(decade) OVER (PARTITION BY event_type ORDER BY decade) AS gap
+          FROM s WHERE share >= 0.05)
+    SELECT event_type,
+           CAST(MAX(n_pos) AS BIGINT) AS n_pos,
+           CAST(COUNT(*) AS BIGINT) AS n_heavy,
+           string_agg(CAST(decade AS VARCHAR), ',' ORDER BY decade) AS heavy_decades,
+           CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap,
+           COALESCE(MAX(gap), 0) >= 3 AS mixed_units
+    FROM h GROUP BY event_type
+    """,
+)
+def q133(spark, sf_dir):
+    """Mixed-units magnitude audit (operators/column_stats.py:
+    mixed_unit_audit): detects one producer logging seconds where another
+    logs milliseconds — two in-range magnitude clusters separated by empty
+    decades. Range constraints pass both modes, drift-vs-self sees a stable
+    distribution, and Benford (q88) tests leading digits only, so this
+    ingestion-bug class has no other detector in the suite. The 'click'
+    slice is planted with a deterministic x10^6 factor on every third
+    event_id (the q130 planting pattern) — the audit must flag exactly that
+    group and clear the other four.
+
+    Plan: one scan -> decade-grain hash agg (map-side combine, <= ~20 rows
+    per group shuffled at any input size); share/gap windows run over the
+    tiny decade-grain aggregate partitioned by group. Decades use exact
+    digit-count arithmetic, not floor(log10) — float log rounding at exact
+    powers of ten can disagree across engines."""
+    ev = _t(spark, sf_dir, "events")
+    planted = ev.select(
+        "event_type",
+        F.when(
+            (F.col("event_type") == "click") & (F.col("event_id") % 3 == 0),
+            F.col("value") * 1000000,
+        )
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    return CS.mixed_unit_audit(planted, "v", "event_type")
+
+
+@q(
     "q74_split_assignment",
     """
     WITH b AS (SELECT source,
