@@ -116,6 +116,63 @@ def test_suite_planted_parity_and_isolation(spark, clip_dir, tmp_path):
     assert not (mism & exp_enc)
 
 
+def test_cross_engine_fuzz_parity(spark):
+    """Seeded fuzz over an adversarial alphabet — NUL, C0 controls, DEL,
+    mojibake lead bytes next to arbitrary continuations, isolated U+0080/BF,
+    astral-plane chars (UTF-16 surrogate pairs in the JVM), BOM, U+FFFD —
+    asserting per-row equality of all four signals between Spark (Java
+    regex, UTF8String codepoint length) and DuckDB (RE2, codepoint length).
+    This is the gate's parity claim tested at the row grain, where a
+    length-semantics or regex-dialect divergence would first appear."""
+    import random
+
+    import duckdb
+
+    alphabet = (
+        list("abc XYZ 012 .,!")
+        + ["\x00", "\x07", "\x1f", "\x7f", "\t", "\n", "\r"]
+        + ["Ã", "Â", "â", "€", "™", "é", "ï", "\xa0", "\xbf", "\x80"]
+        + ["�", "﻿", "😀", "𝄞", "中", "ß"]
+    )
+    rng = random.Random(1234)
+    samples = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+        for _ in range(400)
+    ]
+
+    con = duckdb.connect()
+    duck = [
+        con.execute(
+            "SELECT length($1) - length(replace($1, $2, '')),"
+            "       length($1) - length(regexp_replace($1, $3, '', 'g')),"
+            "       CAST(FLOOR((length($1)"
+            "            - length(regexp_replace($1, $4, '', 'g'))) / 2) AS BIGINT),"
+            "       length($1) - length(replace($1, $5, ''))",
+            [s, T.REPL_CHAR, T.CTRL_CHAR_RE, T.MOJIBAKE_RE, T.BOM_CHAR],
+        ).fetchone()
+        for s in samples
+    ]
+
+    df = spark.createDataFrame(list(enumerate(samples)), "i int, text string")
+    t = F.col("text")
+    sp = {
+        r["i"]: (r["r"], r["c"], r["m"], r["b"])
+        for r in df.select(
+            "i",
+            T.repl_char_count(t).alias("r"),
+            T.ctrl_char_count(t).alias("c"),
+            T.mojibake_count(t).alias("m"),
+            T.bom_char_count(t).alias("b"),
+        ).collect()
+    }
+    mismatches = [
+        (samples[i], tuple(duck[i]), sp[i])
+        for i in range(len(samples))
+        if tuple(duck[i]) != sp[i]
+    ]
+    assert not mismatches, mismatches[:5]
+
+
 def test_encoding_plan_is_scan_only(spark):
     """Scale contract: the violations plan is a single-scan codegen
     projection + filter — no exchange, no join, no Python eval."""
