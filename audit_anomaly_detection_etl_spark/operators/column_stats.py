@@ -207,14 +207,28 @@ def null_pattern_profile(df: DataFrame, cols: list[str] | None = None) -> DataFr
         .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
         .localCheckpoint(eager=False)  # pattern-grain; feeds total + join-back
     )
-    total = counts.agg(F.sum("n_rows").alias("total"))
-    return counts.crossJoin(F.broadcast(total)).select(
-        "pattern",
-        "null_cols",
-        "n_rows",
-        F.round(F.col("n_rows").cast("double") / F.col("total").cast("double"), 6).alias(
-            "share"
-        ),
+    return global_share(counts, "n_rows").select(
+        "pattern", "null_cols", "n_rows", "share"
+    )
+
+
+def global_share(counts: DataFrame, n_col: str, dp: int = 6) -> DataFrame:
+    """Append ``share`` = n_col / global total to an already-aggregated
+    grain table. The 1-row total crossJoins back broadcast — no second scan
+    of the input, no window over the aggregate. Callers should
+    ``localCheckpoint(eager=False)`` the counts first when the same subtree
+    feeds both the total and the join-back (as null_pattern_profile and
+    json_key_profile do)."""
+    total = counts.agg(F.sum(n_col).alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn(
+            "share",
+            F.round(
+                F.col(n_col).cast("double") / F.col("__total").cast("double"), dp
+            ),
+        )
+        .drop("__total")
     )
 
 
@@ -251,8 +265,14 @@ def mixed_unit_audit(
 
     x = F.col(value_col)
     pos = df.where(x.isNotNull() & (x > 0))
+    # values >= 1e15 land in a terminal overflow decade 15: beyond the
+    # exact-integer double range the digit-count trick degrades anyway, and
+    # past 2^63 Spark's floor->long SATURATES while DuckDB's bigint cast
+    # THROWS — the shared threshold keeps both engines identical and still
+    # flags a huge cluster against a sane one (gap >= 15 - small decade)
     decade = (
-        F.when(x >= 1, F.length(F.floor(x).cast("bigint").cast("string")) - 1)
+        F.when(x >= 1e15, F.lit(15))
+        .when(x >= 1, F.length(F.floor(x).cast("bigint").cast("string")) - 1)
         .otherwise(F.lit(-1))
         .cast("int")
     )

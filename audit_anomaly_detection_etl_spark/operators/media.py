@@ -926,7 +926,12 @@ def bandwidth_audit(
     # real tables have them too) would fan out k dup feature rows × k dup
     # declared-rate rows = k^2 report rows; collapse the declared side to one
     # row per clip_id first (2-column shuffle, narrow at any scale).
-    decl = clips.select("clip_id", "sr_hz").dropDuplicates(["clip_id"])
+    # min(sr_hz), not dropDuplicates: duplicates with CONFLICTING declared
+    # rates would otherwise keep whichever row the shuffle delivers first and
+    # flip band_limited between runs — min is deterministic and, being the
+    # lowest declared rate, the most conservative band-limit denominator
+    # (conflicting metadata itself is the uniqueness/key-hygiene checks' job).
+    decl = clips.groupBy("clip_id").agg(F.min("sr_hz").alias("sr_hz"))
     j = features.select("clip_id", "part", "decode_ok", "rms", "zcr").join(
         decl, "clip_id"
     )

@@ -256,11 +256,6 @@ def json_key_profile(df: DataFrame, col: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
         .localCheckpoint(eager=False)  # key-set grain; feeds total + join-back
     )
-    total = counts.agg(F.sum("n_rows").alias("total"))
-    return counts.crossJoin(F.broadcast(total)).select(
-        "key_set",
-        "n_rows",
-        F.round(F.col("n_rows").cast("double") / F.col("total").cast("double"), 6).alias(
-            "share"
-        ),
-    )
+    from .column_stats import global_share
+
+    return global_share(counts, "n_rows").select("key_set", "n_rows", "share")

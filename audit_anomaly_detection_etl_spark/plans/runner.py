@@ -113,8 +113,17 @@ def _wave_violations(
                 key_col=spec.schema_spec.key_col,
                 part_col=spec.schema_spec.part_col,
                 # schema's allowed-codec domain constraint owns declared-codec
-                # validity; only re-report it when schema is off
-                report_unknown_codec=("schema" not in checks),
+                # validity; suppress the duplicate report only when that
+                # constraint actually EXISTS in the active spec AND the schema
+                # check runs (a spec whose codec column has no allowed-list
+                # would otherwise let unknown codecs pass the suite silently)
+                report_unknown_codec=not (
+                    "schema" in checks
+                    and any(
+                        c.name == "codec" and c.allowed
+                        for c in spec.schema_spec.columns
+                    )
+                ),
             )
         )
     if "encoding" in checks:
@@ -447,9 +456,11 @@ def quarantine_rows(
     quarantine. Reference-side orphan keys have no detail row and don't
     appear here — the ranked violation table remains the complete record.
     """
+    # the violations frame ALWAYS names its partition column 'part'
+    # (VIOLATION_SCHEMA); part_col applies only to the clips side of the join
     per_key = (
         violations.where(F.col("key").isNotNull())
-        .groupBy(F.col(part_col).alias("__qpart"), F.col("key"))
+        .groupBy(F.col("part").alias("__qpart"), F.col("key"))
         .agg(
             F.sort_array(F.collect_set("check")).alias("checks"),
             F.max("severity").alias("max_severity"),

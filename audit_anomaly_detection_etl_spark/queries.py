@@ -3557,14 +3557,21 @@ def q131(spark, sf_dir):
     human reports, capped at Excel's own sheet limit with a refuse-don't-
     truncate guard; sharedStrings files from Excel/openpyxl also parse
     (tests/test_xlsxio.py)."""
+    import os
     import tempfile
 
     from .sources import xlsxio
 
     sup = _t(spark, sf_dir, "supplier")
-    p = tempfile.mktemp(suffix=".xlsx", prefix="q131_")
-    xlsxio.write_xlsx(sup, p)
-    back = xlsxio.read_xlsx(spark, p)
+    fd, p = tempfile.mkstemp(suffix=".xlsx", prefix="q131_")
+    os.close(fd)
+    try:
+        xlsxio.write_xlsx(sup, p)
+        # read_xlsx parses eagerly on the driver, so the file can go now —
+        # repeated gate/bench invocations must not accumulate temp files
+        back = xlsxio.read_xlsx(spark, p)
+    finally:
+        os.unlink(p)
     return back.groupBy(F.col("s_nationkey").cast("int").alias("s_nationkey")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
@@ -3631,7 +3638,8 @@ def q132(spark, sf_dir):
                            THEN value * 1000000 ELSE value END AS v
                FROM events WHERE value IS NOT NULL AND value > 0),
     d AS (SELECT event_type,
-                 CASE WHEN v >= 1
+                 CASE WHEN v >= 1e15 THEN 15
+                      WHEN v >= 1
                       THEN CAST(length(CAST(CAST(FLOOR(v) AS BIGINT) AS VARCHAR)) - 1 AS INT)
                       ELSE -1 END AS decade
           FROM p),

@@ -85,6 +85,12 @@ def _cell_xml(ref: str, v) -> str:
         return ""
     if isinstance(v, bool):
         return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+    if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+        # SpreadsheetML numeric cells cannot carry NaN/Infinity (Excel would
+        # reject the file, and 'nan' text would silently demote the whole
+        # column to string on read-back). Excel's own representation of a
+        # non-finite number is an empty cell -> null after the round trip.
+        return ""
     if isinstance(v, (int, float)):
         return f'<c r="{ref}"><v>{v!r}</v></c>'
     return f'<c r="{ref}" t="inlineStr"><is><t>{escape(str(v))}</t></is></c>'
@@ -182,7 +188,12 @@ def read_xlsx(spark: SparkSession, path: str) -> DataFrame:
     """
     raw = _read_rows(path)
     if not raw:
-        return spark.createDataFrame([], schema="")
+        # a blank sheet (Excel writes <sheetData/> for these) has no header
+        # row to derive a schema from: a 0-column, 0-row frame is the honest
+        # result (schema="" would raise a DDL ParseException)
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], schema=StructType([]))
     header = [str(h) for h in raw[0]]
     body = [r + [None] * (len(header) - len(r)) for r in raw[1:]]
     types = []

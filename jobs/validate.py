@@ -22,6 +22,8 @@ import os
 import sys
 import time
 
+from pyspark.errors import AnalysisException
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from audit_anomaly_detection_etl_spark.plans.runner import (
@@ -160,7 +162,13 @@ def main(argv: list[str] | None = None) -> dict:
         qdf.write.mode("overwrite").partitionBy(spec.schema_spec.part_col).parquet(
             args.quarantine
         )
-        quarantined = spark.read.parquet(args.quarantine).count()
+        # read-back count is one cheap scan of the written files (recomputing
+        # qdf would re-run the join) — but a CLEAN table writes only _SUCCESS
+        # and the schema-less read raises; that path means 0 quarantined rows
+        try:
+            quarantined = spark.read.parquet(args.quarantine).count()
+        except AnalysisException:
+            quarantined = 0
     summary = {
         "quarantined_rows": quarantined,
         "partitioning_audit": partitioning_audit,

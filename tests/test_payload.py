@@ -150,3 +150,55 @@ def test_byte_length_in_suite(spark, clip_dir, tmp_path):
     total = sum(v.violations_by_check.get("byte_length", 0) for v in res.verdicts.values())
     assert total >= 1  # injector plants truncated payloads
     assert all(set(v.violations_by_check) <= {"byte_length"} for v in res.verdicts.values())
+
+
+def test_unknown_codec_reported_when_schema_lacks_codec_domain(spark, clip_dir, tmp_path):
+    """A spec that runs the schema check but whose codec column has NO
+    allowed-list must NOT suppress byte_length's unknown_codec verdicts —
+    otherwise unknown codecs pass the whole suite silently. (The suppression
+    exists only to avoid double-reporting when the schema domain constraint
+    actually owns the defect.)"""
+    import os
+
+    from audit_anomaly_detection_etl_spark.operators.schema_check import (
+        ColumnSpec,
+        TableSchemaSpec,
+    )
+    from audit_anomaly_detection_etl_spark.plans.runner import run_suite
+    from audit_anomaly_detection_etl_spark.plans.spec import SuiteSpec
+
+    no_domain = TableSchemaSpec(
+        columns=[
+            ColumnSpec("clip_id", "string", nullable=False),
+            ColumnSpec("codec", "string", nullable=False),  # no allowed=
+        ],
+        key_col="clip_id",
+        part_col="part",
+    )
+    spec = SuiteSpec(schema_spec=no_domain, checks=("schema", "byte_length"))
+    res = run_suite(
+        spark,
+        clips_root=os.path.join(clip_dir, "clips"),
+        ref_root=None,
+        hist_ref_path=None,
+        checkpoint_dir=str(tmp_path / "ck_nodom"),
+        spec=spec,
+    )
+    total = sum(
+        v.violations_by_check.get("byte_length", 0) for v in res.verdicts.values()
+    )
+    assert total >= 1  # injector's unknown-codec clips surface via byte_length
+
+    # control: with the domain constraint present, byte_length defers to it
+    spec2 = SuiteSpec(checks=("schema", "byte_length"))
+    res2 = run_suite(
+        spark,
+        clips_root=os.path.join(clip_dir, "clips"),
+        ref_root=None,
+        hist_ref_path=None,
+        checkpoint_dir=str(tmp_path / "ck_dom"),
+        spec=spec2,
+    )
+    v2 = spark.read.parquet(res2.violations_path).toPandas()
+    bl = v2[(v2.check == "byte_length") & v2.detail.str.startswith("unknown_codec")]
+    assert len(bl) == 0

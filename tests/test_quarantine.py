@@ -65,3 +65,33 @@ def test_quarantine_cli_writes_partitioned_table(spark, tmp_path):
     back = spark.read.parquet(qdir)
     assert back.count() == summary["quarantined_rows"]
     assert "part" in back.columns and "checks" in back.columns
+
+
+def test_quarantine_with_custom_part_col(spark):
+    """quarantine_rows with a non-default part_col: the violations frame
+    always names its partition column 'part' (VIOLATION_SCHEMA); part_col
+    applies only to the clips side of the join."""
+    clips = spark.createDataFrame(
+        [("a", 0, b"x"), ("b", 1, b"y"), ("c", 0, b"z")],
+        "clip_id string, pt int, bytes binary",
+    )
+    viols = spark.createDataFrame(
+        [("a", "uniqueness", "dup", 0, 4.0), ("a", "codec", "bad", 0, 5.0)],
+        "key string, check string, detail string, part int, severity double",
+    )
+    out = quarantine_rows(clips, viols, key_col="clip_id", part_col="pt").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["clip_id"] == "a" and r["pt"] == 0
+    assert r["checks"] == ["codec", "uniqueness"]
+    assert r["max_severity"] == 5.0 and r["n_violations"] == 2
+
+
+def test_quarantine_empty_violations_is_empty(spark):
+    clips = spark.createDataFrame(
+        [("a", 0, b"x")], "clip_id string, part int, bytes binary"
+    )
+    viols = spark.createDataFrame(
+        [], "key string, check string, detail string, part int, severity double"
+    )
+    assert quarantine_rows(clips, viols).count() == 0

@@ -93,3 +93,24 @@ def test_bandwidth_audit_flags_upsampled_content(spark):
     assert not out.loc["silent"]["band_limited"]
     assert out.loc["silent"]["bw_ratio"] is None or np.isnan(out.loc["silent"]["bw_ratio"])
     assert not out.loc["bad"]["band_limited"]
+
+
+def test_bandwidth_audit_conflicting_dup_rates_deterministic(spark):
+    """Duplicate clip_ids with CONFLICTING declared sr_hz: the declared side
+    collapses to min(sr_hz) — deterministic across shuffles, and the most
+    conservative band-limit denominator. (dropDuplicates would keep an
+    arbitrary copy and flip band_limited between runs.)"""
+    rng = np.random.default_rng(5)
+    noise = (0.2 * rng.standard_normal(16000)).clip(-0.9, 0.9)
+    payload = codecs.encode(noise, "pcm_s16le")
+    rows = [
+        ("dup", 0, payload, "pcm_s16le", 16000),
+        ("dup", 0, payload, "pcm_s16le", 48000),  # re-ingest, metadata "fixed"
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["clip_id", "part", "bytes", "codec", "sr_hz"])
+    )
+    out = media.bandwidth_audit(media.audio_features(df), df).toPandas()
+    # both feature rows join the SAME declared rate: min = 16000
+    assert set(out["sr_hz"]) == {16000}
+    assert len(out) == 2  # both dup copies audited, no k^2 fan-out

@@ -70,3 +70,14 @@ def test_windows_are_partitioned(spark):
 
     for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
         assert m.group(1), "unpartitioned window found:\n" + plan
+
+
+def test_overflow_decade_is_safe_and_flags(spark):
+    """Values >= 1e15 (incl. past 2^63, where Spark's floor->long saturates
+    and a bigint cast would throw in the oracle engine) land in the terminal
+    overflow decade 15 and still flag against a sane cluster."""
+    rows = [("g", 10.0)] * 50 + [("g", 9.3e18)] * 30 + [("g", 1e25)] * 20
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = CS.mixed_unit_audit(df, "v", "grp").collect()[0]
+    assert out["heavy_decades"] == "1,15"
+    assert out["mixed_units"] is True and out["max_gap"] == 14

@@ -76,3 +76,41 @@ def test_xlsx_bounded_report_guard(spark, tmp_path):
     df = spark.range(100).select(F.col("id"))
     with pytest.raises(ValueError, match="aggregate first"):
         xlsxio.write_xlsx(df, str(tmp_path / "big.xlsx"), max_rows=50)
+
+
+def test_nonfinite_doubles_roundtrip_as_null(spark, tmp_path):
+    """Excel has no NaN/Infinity: non-finite numeric cells are written
+    empty (-> null on read) and, critically, do NOT demote the rest of the
+    column to string."""
+    df = spark.createDataFrame(
+        [(1, 1.5), (2, float("nan")), (3, float("inf")), (4, 2.5)],
+        "id long, x double",
+    )
+    p = str(tmp_path / "nonfinite.xlsx")
+    xlsxio.write_xlsx(df, p)
+    back = xlsxio.read_xlsx(spark, p)
+    assert dict(back.dtypes)["x"] == "double"
+    got = {r["id"]: r["x"] for r in back.collect()}
+    assert got[1] == 1.5 and got[4] == 2.5
+    assert got[2] is None and got[3] is None
+
+
+def test_blank_sheet_reads_as_empty_frame(spark, tmp_path):
+    """Excel writes <sheetData/> for blank sheets; the reader returns a
+    0-column, 0-row frame instead of raising on an empty DDL schema."""
+    import zipfile
+
+    p = str(tmp_path / "blank.xlsx")
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("[Content_Types].xml", xlsxio._CONTENT_TYPES)
+        z.writestr("_rels/.rels", xlsxio._ROOT_RELS)
+        z.writestr("xl/workbook.xml", xlsxio._WORKBOOK)
+        z.writestr("xl/_rels/workbook.xml.rels", xlsxio._WORKBOOK_RELS)
+        z.writestr(
+            "xl/worksheets/sheet1.xml",
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<worksheet xmlns="http://schemas.openxmlformats.org/'
+            'spreadsheetml/2006/main"><sheetData/></worksheet>',
+        )
+    back = xlsxio.read_xlsx(spark, p)
+    assert back.columns == [] and back.count() == 0
