@@ -3582,6 +3582,12 @@ def q131(spark, sf_dir):
 @q(
     "q132_encoding_audit",
     """
+    WITH planted AS (
+      SELECT lang,
+             CASE WHEN doc_id % 11 = 0 THEN text || ' caf__MOJI_E__ __REPL__'
+                  WHEN doc_id % 13 = 0 THEN '__BOM__' || text
+                  ELSE text END AS text
+      FROM documents WHERE text IS NOT NULL)
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(length(text) - length(replace(text, '__REPL__', '')))
@@ -3594,9 +3600,10 @@ def q131(spark, sf_dir):
                     AS BIGINT)) AS BIGINT) AS mojibake_seqs,
            CAST(SUM(CASE WHEN contains(text, '__BOM__') THEN 1 ELSE 0 END)
                 AS BIGINT) AS bom_docs
-    FROM documents WHERE text IS NOT NULL
+    FROM planted
     GROUP BY lang
-    """.replace("__REPL__", T.REPL_CHAR)
+    """.replace("__MOJI_E__", "Ã©")
+    .replace("__REPL__", T.REPL_CHAR)
     .replace("__CTRL__", T.CTRL_CHAR_RE)
     .replace("__MOJI__", T.MOJIBAKE_RE)
     .replace("__BOM__", T.BOM_CHAR),
@@ -3616,10 +3623,24 @@ def q132(spark, sf_dir):
     whole-stage-codegen string expressions in one scan, two-phase hash agg
     at language grain (a handful of groups). The regex constants use the
     Java-regex/RE2 common escape subset so the identical pattern string
-    feeds Spark and the DuckDB oracle."""
+    feeds Spark and the DuckDB oracle. The driver's documents table is
+    pure ASCII, so corruption is planted in-query on deterministic doc_id
+    slices (the q130/q133 pattern) — the oracle verifies non-zero counts,
+    not an all-zeros no-op; the suite path gets its real signal from the
+    synth injector (tests/test_encoding.py)."""
     d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    planted = d.select(
+        "lang",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit(" cafÃ© " + T.REPL_CHAR)),
+        )
+        .when(F.col("doc_id") % 13 == 0, F.concat(F.lit(T.BOM_CHAR), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
     t = F.col("text")
-    return d.groupBy("lang").agg(
+    return planted.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(T.repl_char_count(t)).cast("long").alias("repl_chars"),
         F.sum(T.ctrl_char_count(t)).cast("long").alias("ctrl_chars"),
