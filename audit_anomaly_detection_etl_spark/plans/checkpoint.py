@@ -112,6 +112,21 @@ class CheckpointStore:
         a write elsewhere in the table leaves this marker valid. Without it
         (legacy callers), falls back to whole-snapshot equality."""
         out = {}
+        for part, v in self.all_markers().items():
+            if v.spec_hash != spec_hash:
+                continue
+            if fingerprints is not None:
+                if v.part_fingerprint and v.part_fingerprint == fingerprints.get(part):
+                    out[part] = v
+            elif v.snapshot_id == snapshot_id:
+                out[part] = v
+        return out
+
+    def all_markers(self) -> dict[int, PartitionVerdict]:
+        """Every readable partition marker, regardless of lineage — the one
+        place that knows the marker directory layout (completed() filters it
+        by lineage; verdict_diff() diffs two stores' markers)."""
+        out: dict[int, PartitionVerdict] = {}
         if not os.path.isdir(self.root):
             return out
         for name in os.listdir(self.root):
@@ -122,12 +137,7 @@ class CheckpointStore:
             except ValueError:
                 continue
             v = self.read(part)
-            if not v or v.spec_hash != spec_hash:
-                continue
-            if fingerprints is not None:
-                if v.part_fingerprint and v.part_fingerprint == fingerprints.get(part):
-                    out[part] = v
-            elif v.snapshot_id == snapshot_id:
+            if v:
                 out[part] = v
         return out
 
@@ -161,22 +171,7 @@ def verdict_diff(store_a: "CheckpointStore", store_b: "CheckpointStore") -> list
     passed/n_violations, and the per-check violation delta — empty list
     means the two runs agree exactly.
     """
-    def markers(store):
-        out = {}
-        if not os.path.isdir(store.root):
-            return out
-        for name in os.listdir(store.root):
-            if name.startswith("part="):
-                try:
-                    part = int(name.split("=", 1)[1])
-                except ValueError:
-                    continue
-                v = store.read(part)
-                if v:
-                    out[part] = v
-        return out
-
-    a, b = markers(store_a), markers(store_b)
+    a, b = store_a.all_markers(), store_b.all_markers()
     diffs: list[dict] = []
     for part in sorted(set(a) | set(b)):
         va, vb = a.get(part), b.get(part)

@@ -30,6 +30,8 @@ run, never checkpointed) and in ``SuiteResult.global_violations_by_check``.
 
 from __future__ import annotations
 
+import os
+import shutil
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -60,7 +62,8 @@ class SuiteResult:
     skipped_parts: list[int]
     schema_issues: list[dict]
     drift_metrics: list[dict]
-    violations_path: str
+    # None when no violation rows exist on disk (nothing to read)
+    violations_path: str | None
     # key_partitioned=False only: per-run global uniqueness/referential
     # results (recomputed every invocation, never checkpointed — partition
     # markers only carry partition-decomposable state)
@@ -130,7 +133,7 @@ def _wave_violations(
         parts.append(
             schema_check.encoding_violations(
                 wave_df,
-                text_col="transcript",
+                text_col=spec.encoding_text_col,
                 key_col=spec.schema_spec.key_col,
                 part_col=spec.schema_spec.part_col,
             )
@@ -201,6 +204,14 @@ def run_suite(
     fail_after_waves: int | None = None,
 ) -> SuiteResult:
     spec = spec or SuiteSpec()
+    if "encoding" in spec.checks and not any(
+        c.name == spec.encoding_text_col for c in spec.schema_spec.columns
+    ):
+        raise ValueError(
+            f"encoding check enabled but spec schema has no column "
+            f"'{spec.encoding_text_col}' (set SuiteSpec.encoding_text_col or "
+            "drop the check)"
+        )
     store = CheckpointStore(checkpoint_dir)
     spec_hash = spec.spec_hash()
     snap, pending, done, part_fps = plan_resume(clips_root, store, spec_hash, spark)
@@ -218,14 +229,18 @@ def run_suite(
                 prev_schema["columns"], full.schema
             )
 
-    hist_ref = spark.read.parquet(hist_ref_path) if hist_ref_path else None
-    drift_refs = (
-        drift.ref_counts(hist_ref, spec.drift_specs)
-        if ("drift" in spec.checks and hist_ref is not None)
+    # gate the read on the check, not just the path: jobs pass hist_ref_path
+    # unconditionally, and a drift-less spec must neither pay the read nor
+    # fail on a missing/unreadable snapshot it would never use
+    hist_ref = (
+        spark.read.parquet(hist_ref_path)
+        if (hist_ref_path and "drift" in spec.checks)
         else None
     )
+    drift_refs = (
+        drift.ref_counts(hist_ref, spec.drift_specs) if hist_ref is not None else None
+    )
     violations_path = f"{checkpoint_dir.rstrip('/')}/violations"
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     all_drift: list[dict] = []
     ran: list[int] = []
@@ -235,7 +250,17 @@ def run_suite(
             raise KilledMidRun(f"injected kill before wave {w_i} (parts {wave})")
 
         wave_df = tableio.read_partitions(spark, clips_root, wave)
-        ref_df = tableio.read_partitions(spark, ref_root, wave) if ref_root else None
+        # payload joins ref on key: when the partition column is NOT a key
+        # function, a clip's ref row can live outside the wave, and a
+        # wave-pruned ref side would silently skip its SNR/transcript checks
+        # (left join -> has_ref=False, no violation). Non-key layouts pay a
+        # full-ref-side join per wave — prefer key-partitioned tables.
+        if ref_root is None:
+            ref_df = None
+        elif spec.key_partitioned:
+            ref_df = tableio.read_partitions(spark, ref_root, wave)
+        else:
+            ref_df = tableio.read_table(spark, ref_root)
 
         wave_checks = (
             spec.checks
@@ -243,13 +268,25 @@ def run_suite(
             else tuple(c for c in spec.checks if c not in ("uniqueness", "referential"))
         )
         viols = _wave_violations(wave_df, ref_df, spec, wave_checks)
+        # clear this wave's previous violation partitions FIRST: dynamic
+        # overwrite only replaces partitions PRESENT in the new write, so a
+        # re-validated partition that is now clean would otherwise keep its
+        # stale rows forever while its marker says passed
+        for p in wave:
+            shutil.rmtree(
+                os.path.join(violations_path, f"part={p}"), ignore_errors=True
+            )
         if viols is not None:
             # persist: the union plan (incl. payload decode) computes ONCE;
             # the write materializes it and the summary reads the cache —
             # no parquet read-back job, no decode recompute
             viols = viols.select(*VIOLATION_COLS).repartition("part").persist()
             # idempotent: dynamic overwrite replaces exactly this wave's parts
-            viols.write.mode("overwrite").partitionBy("part").parquet(violations_path)
+            # (writer-scoped option — run_suite must not flip the SHARED
+            # session's overwrite semantics for unrelated jobs)
+            viols.write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("part").parquet(violations_path)
             viol_summary = (
                 viols.groupBy("part", "check").agg(F.count(F.lit(1)).alias("n")).collect()
             )
@@ -264,11 +301,21 @@ def run_suite(
         part_col = spec.schema_spec.part_col
         need_stats = "stats" in spec.checks
         need_hists = drift_refs is not None
-        # NB: no "bytes" in the stat columns — a null-rate over the binary
-        # column would drag the payload through the metrics scan; null bytes
-        # already surface as schema-constraint violations
-        num_cols = ["sr_hz", "dur_ms"]
-        stat_cols = ["sr_hz", "dur_ms", "transcript", "codec"]
+        # NB: no binary columns in the stat set — a null-rate over bytes
+        # would drag the payload through the metrics scan (null bytes already
+        # surface as schema-constraint violations); the key column's
+        # null-rate is the uniqueness/schema checks' job. Derived from the
+        # ACTIVE spec so file-driven custom schemas get stats over their own
+        # columns instead of crashing on hard-coded names.
+        _numeric = {"int", "integer", "long", "bigint", "short", "float", "double"}
+        num_cols = [
+            c.name for c in spec.schema_spec.columns if c.dtype in _numeric
+        ]
+        stat_cols = [
+            c.name
+            for c in spec.schema_spec.columns
+            if c.dtype != "binary" and c.name != spec.schema_spec.key_col
+        ]
         stats_rows: list[dict] = []
         wave_counts: dict = {}
         if need_stats or need_hists:
@@ -292,7 +339,7 @@ def run_suite(
                     wave_counts[(p,)] = drift.counts_from_wide(d, spec.drift_specs)
         else:
             n_rows = {
-                r["part"]: r["n"]
+                r[part_col]: r["n"]
                 for r in wave_df.groupBy(part_col)
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
@@ -400,39 +447,64 @@ def run_suite(
             }
             g.unpersist()
 
-    # record the fully-validated schema as the next run's evolution baseline
-    # (reached only on a completed pass — a kill above leaves the old
-    # baseline in place so the evolution keeps being reported)
-    if "schema" in spec.checks:
+    # record the validated schema as the next run's evolution baseline —
+    # reached only on a completed pass (a kill above leaves the old baseline
+    # in place) and only when no BREAKING evolution was reported: a dropped
+    # column / narrowed type must keep re-reporting until the table or the
+    # spec is actually fixed, not self-acknowledge after one run
+    # (checkpoint.py write_table_schema contract)
+    if "schema" in spec.checks and not any(
+        i.get("breaking") for i in schema_issues
+    ):
         store.write_table_schema(
             snap, {f.name: f.dataType.simpleString() for f in full.schema.fields}
         )
 
+    ran_set = set(ran)
     return SuiteResult(
         snapshot_id=snap,
         spec_hash=spec_hash,
         verdicts=done,
         ran_parts=ran,
-        skipped_parts=[p for p in done if p not in ran],
+        skipped_parts=sorted(p for p in done if p not in ran_set),
         schema_issues=schema_issues,
         drift_metrics=global_drift + all_drift,
-        violations_path=violations_path,
+        # None when no violation rows exist on disk (a stats/drift-only spec,
+        # or an all-clean table whose stale partitions were just cleared):
+        # a parquet read of an empty/absent dir would raise
+        violations_path=(
+            violations_path
+            if os.path.isdir(violations_path)
+            and any(n.startswith("part=") for n in os.listdir(violations_path))
+            else None
+        ),
         global_violations_path=global_path,
         global_violations_by_check=global_by_check,
     )
 
 
 def ranked_violations(
-    spark: SparkSession, violations_path: str, global_path: str | None = None
+    spark: SparkSession, violations_path: str | None, global_path: str | None = None
 ) -> DataFrame:
     """Global ranked violation output — the reference's sorted anomaly table
     (SURVEY.md O1): severity desc, then key for determinism. Pass the
     SuiteResult's ``global_violations_path`` to fold in the
-    key_partitioned=False global-check rows.
+    key_partitioned=False global-check rows. Either path may be None
+    (SuiteResult sets violations_path=None when no rows exist on disk);
+    with both absent the result is a correctly-typed empty frame.
     """
-    v = spark.read.parquet(violations_path).select(*VIOLATION_COLS)
-    if global_path:
-        v = v.unionByName(spark.read.parquet(global_path).select(*VIOLATION_COLS))
+    sides = [
+        spark.read.parquet(p).select(*VIOLATION_COLS)
+        for p in (violations_path, global_path)
+        if p
+    ]
+    if not sides:
+        return spark.createDataFrame(
+            [], "key string, check string, detail string, part int, severity double"
+        )
+    v = sides[0]
+    for s in sides[1:]:
+        v = v.unionByName(s)
     return v.orderBy(F.desc("severity"), "key", "check")
 
 

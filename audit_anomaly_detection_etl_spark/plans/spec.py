@@ -59,6 +59,9 @@ class SuiteSpec:
         "schema", "stats", "uniqueness", "referential", "drift", "payload",
         "byte_length", "encoding",
     )
+    # which string column the encoding check inspects; must exist in
+    # schema_spec.columns when the check is enabled (run_suite fails fast)
+    encoding_text_col: str = "transcript"
     # transcript<->audio plausibility bounds (words/sec); the check itself is
     # opt-in via checks=(..., "speaking_rate") — see media.speaking_rate_violations
     speaking_rate_bounds: tuple = (0.3, 6.0)
@@ -79,6 +82,14 @@ class SuiteSpec:
         checkpoint lineage (editing the spec — in code OR in a spec FILE —
         invalidates prior partition verdicts)."""
         def enc(o):
+            # a Column (extra_predicates values) must hash by its EXPRESSION
+            # string, not by vars(): recursing into the py4j JavaObject would
+            # pull per-JVM object ids into the blob, silently invalidating
+            # every checkpoint on each new driver process
+            from pyspark.sql import Column
+
+            if isinstance(o, Column):
+                return str(o)
             if hasattr(o, "__dict__"):
                 return {k: enc(v) for k, v in vars(o).items()}
             if isinstance(o, (list, tuple)):
@@ -105,6 +116,7 @@ class SuiteSpec:
 _SPEC_KEYS = {
     "schema", "drift", "psi_threshold", "checks", "key_partitioned",
     "uniqueness_salts", "speaking_rate_bounds", "loudness_bounds",
+    "encoding_text_col",
 }
 
 # every check name the runner understands — the default SuiteSpec.checks
@@ -175,6 +187,8 @@ def spec_from_dict(doc: dict) -> SuiteSpec:
         if not (isinstance(b, (list, tuple)) and len(b) == 2):
             raise ValueError("loudness_bounds must be [target_dbfs, tolerance_db]")
         kwargs["loudness_bounds"] = (float(b[0]), float(b[1]))
+    if "encoding_text_col" in doc:
+        kwargs["encoding_text_col"] = str(doc["encoding_text_col"])
     if "key_partitioned" in doc:
         kwargs["key_partitioned"] = bool(doc["key_partitioned"])
     if "uniqueness_salts" in doc:

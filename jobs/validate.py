@@ -150,9 +150,8 @@ def main(argv: list[str] | None = None) -> dict:
     if args.quarantine:
         from audit_anomaly_detection_etl_spark.sources import tableio
 
-        v = spark.read.parquet(res.violations_path)
-        if res.global_violations_path:
-            v = v.unionByName(spark.read.parquet(res.global_violations_path))
+        # ranked_violations handles a None violations_path (clean table)
+        v = ranked_violations(spark, res.violations_path, res.global_violations_path)
         qdf = quarantine_rows(
             tableio.read_table(spark, args.data),
             v,
