@@ -62,8 +62,14 @@ def _validate_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         n = len(pdf)
         raw_col = pdf["bytes"].to_numpy()
         ref_col = pdf["pcm_ref"].to_numpy()
-        sr_col = pdf["sr_hz"].to_numpy(dtype=np.int64)
-        dur_col = pdf["dur_ms"].to_numpy(dtype=np.int64)
+        # NULL metadata arrives as NaN floats; a straight int64 cast turns
+        # NaN into INT64_MIN garbage. Null sr/dur is the schema/byte_length
+        # checks' defect (no-double-count) — mask it out of the dur check.
+        meta_ok = (
+            ~(pd.isna(pdf["sr_hz"]) | pd.isna(pdf["dur_ms"]))
+        ).to_numpy(dtype=bool)
+        sr_col = pdf["sr_hz"].fillna(0).to_numpy(dtype=np.int64)
+        dur_col = pdf["dur_ms"].fillna(0).to_numpy(dtype=np.int64)
         tr_vals = pdf["transcript"].to_numpy()
         trr_vals = pdf["transcript_ref"].to_numpy()
 
@@ -95,7 +101,12 @@ def _validate_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             np.cumsum(lens[:-1], out=starts[1:])
             sr = sr_col[idx]
             with np.errstate(divide="ignore", invalid="ignore"):
-                dur_ok[idx] = (sr > 0) & (dur_col[idx] == np.round(lens / np.maximum(sr, 1) * 1000.0))
+                dur_ok[idx] = np.where(
+                    meta_ok[idx],
+                    (sr > 0)
+                    & (dur_col[idx] == np.round(lens / np.maximum(sr, 1) * 1000.0)),
+                    True,  # null metadata: not this check's defect
+                )
 
             # SNR vs reference: rows with a ref row; float32 ref => 4 B/sample
             m = has_ref[idx]
@@ -119,8 +130,10 @@ def _validate_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             sig = np.add.reduceat(ref_all**2, seg)
             with np.errstate(divide="ignore", invalid="ignore"):
                 s = 10.0 * np.log10(sig / noise)
-            s[noise == 0.0] = float("inf")  # bit-exact
+            # order matches codecs.snr_db: a bit-exact match is +inf even
+            # when both sides are all-zero (noise==0 wins over sig==0)
             s[sig == 0.0] = float("-inf")  # silent reference can't attest
+            s[noise == 0.0] = float("inf")  # bit-exact
             snr[rows] = s
 
         # transcript byte-equality is independent of audio decode success
@@ -195,6 +208,8 @@ def payload_violations(report: DataFrame) -> DataFrame:
 def byte_length_audit(
     clips: DataFrame,
     tolerance_samples: int = 1,
+    key_col: str = "clip_id",
+    part_col: str = "part",
 ) -> DataFrame:
     """Pre-decode triage: does the payload's BYTE LENGTH match what the
     declared (dur_ms, sr_hz, codec) metadata promises? ``expected_bytes =
@@ -222,7 +237,8 @@ def byte_length_audit(
     n_bytes = F.length(F.col("bytes")).cast("long")
     exp_samples = F.round(F.col("dur_ms").cast("double") / 1000.0 * F.col("sr_hz"))
     exp_bytes = (exp_samples * bps).cast("long")
-    delta = F.when(bps.isNotNull(), (n_bytes - exp_bytes) / bps).cast("long")
+    byte_delta = n_bytes - exp_bytes
+    delta = F.when(bps.isNotNull(), byte_delta / bps).cast("long")
     bad_meta = (
         F.col("bytes").isNull()
         | F.col("dur_ms").isNull()
@@ -230,16 +246,26 @@ def byte_length_audit(
         | (F.col("dur_ms") <= 0)
         | (F.col("sr_hz") <= 0)
     )
+    # verdict compares BYTES, not the truncated-toward-zero sample delta: a
+    # payload short by 1.75 samples would otherwise cast to -1 and pass the
+    # 1-sample tolerance. Misaligned lengths (n_bytes % bps != 0) can never
+    # decode and are never 'ok' regardless of tolerance.
     verdict = (
         F.when(bad_meta, F.lit("bad_meta"))
         .when(bps.isNull(), F.lit("unknown_codec"))
-        .when(F.abs(delta) <= tolerance_samples, F.lit("ok"))
-        .when(delta < 0, F.lit("truncated"))
+        .when(
+            (F.abs(byte_delta) <= tolerance_samples * bps) & (n_bytes % bps == 0),
+            F.lit("ok"),
+        )
+        .when(byte_delta < 0, F.lit("truncated"))
         .otherwise(F.lit("oversized"))
     )
+    # metadata column names (bytes/sr_hz/dur_ms/codec) are the input-hint
+    # contract; only the key/partition columns are spec-configurable, and
+    # they normalize to (clip_id, part) in the output
     return clips.select(
-        "clip_id",
-        "part",
+        F.col(key_col).alias("clip_id"),
+        F.col(part_col).alias("part"),
         n_bytes.alias("n_bytes"),
         F.when(~bad_meta & bps.isNotNull(), exp_bytes).alias("expected_bytes"),
         F.when(~bad_meta & bps.isNotNull(), delta).alias("delta_samples"),
@@ -266,11 +292,11 @@ def byte_length_violations(
     Pure codegen — safe to enable on every wave (and default-ON: at 10^12
     clips this is the cheapest violation source in the suite, catching
     truncation before the expensive decode pass)."""
-    audit = byte_length_audit(clips, tolerance_samples)
+    audit = byte_length_audit(clips, tolerance_samples, key_col, part_col)
     skip = ("ok", "bad_meta") if report_unknown_codec else ("ok", "bad_meta", "unknown_codec")
     bad = audit.where(~F.col("verdict").isin(*skip))
     return bad.select(
-        F.col("clip_id").alias("key") if key_col == "clip_id" else F.col(key_col).alias("key"),
+        F.col("clip_id").alias("key"),
         F.lit("byte_length").alias("check"),
         F.concat(
             F.col("verdict"),
@@ -281,6 +307,6 @@ def byte_length_violations(
             F.lit(" delta_samples="),
             F.coalesce(F.col("delta_samples").cast("string"), F.lit("?")),
         ).alias("detail"),
-        F.col(part_col).alias("part"),
+        F.col("part"),
         F.lit(4.5).alias("severity"),
     )

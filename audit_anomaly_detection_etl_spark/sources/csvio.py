@@ -88,6 +88,13 @@ def read_csv_union(
         df = df.toDF(*[c.strip() for c in df.columns])
         widths.append(len(df.columns))
         if id_col is not None:
+            if id_col in df.columns:
+                # withColumn would silently OVERWRITE the data column and
+                # then the width check would blame a phantom mismatch
+                raise ValueError(
+                    f"read_csv_union: input {p!r} already has a column named "
+                    f"{id_col!r}; pass a different id_col (or None)"
+                )
             stem = os.path.splitext(os.path.basename(p.rstrip("/")))[0]
             df = df.withColumn(id_col, F.lit(stem))
         frames.append(df)

@@ -94,12 +94,18 @@ class RestSource:
             )
         return True, "Credential format is valid."
 
+    def _probe_url(self) -> str:
+        """1-row probe URL: '&limit=1' only fits a url that already has a
+        query string; bare urls need '?'."""
+        sep = "&" if "?" in self.url else "?"
+        return f"{self.url}{sep}limit=1"
+
     def check_reachability(self) -> tuple[str, str]:
-        """GET ``&limit=1`` and map the status code (kobo_tools.py:6-24).
+        """GET a 1-row probe and map the status code (kobo_tools.py:6-24).
         Transport exceptions come back as ('Error', message), not raises —
         this is a pre-flight, not the load."""
         try:
-            status, _ = self._get(f"{self.url}&limit=1", retries=1)
+            status, _ = self._get(self._probe_url(), retries=1)
         except Exception as e:
             return "Error", f"Connection error: {e}"
         if status in _STATUS_MESSAGES:
@@ -110,16 +116,19 @@ class RestSource:
         """1-row metadata probe: verify every configured ``mapping`` column
         exists in the payload (kobo_tools.py:42-87). Returns violation rows
         (engine-style) — empty list means all present."""
-        status, body = self._get(f"{self.url}&limit=1")
+        status, body = self._get(self._probe_url())
         if status != 200:
             return [{"column": None, "violation": f"probe_failed_http_{status}"}]
         try:
             rows = json.loads(body)[data_key]
-        except (KeyError, ValueError):
+            present: set[str] = set()
+            for r in rows:
+                present.update(r.keys())
+        except (KeyError, ValueError, TypeError, AttributeError):
+            # KeyError/ValueError: missing data_key / not JSON;
+            # TypeError: top-level array indexed by string;
+            # AttributeError: rows that aren't objects (no .keys())
             return [{"column": None, "violation": "unexpected_payload_format"}]
-        present: set[str] = set()
-        for r in rows:
-            present.update(r.keys())
         return [
             {"column": spec.get("mapping", ""), "violation": "missing_field"}
             for spec in raw_data_columns.values()
@@ -170,6 +179,16 @@ class RestSource:
                     f.write(json.dumps(r) + "\n")
             url = payload.get(next_key)
             n += 1
+        if url is not None:
+            # cap-hit with a pending next link: a partial scan presented as
+            # complete would silently understate rows/violations — for a
+            # validation engine that is worse than failing loudly (the cap
+            # exists as a pagination-cycle guard, not a sampling knob)
+            raise RuntimeError(
+                f"scan_json: max_pages={max_pages} reached with more pages "
+                f"pending (next={url!r}); raise max_pages or fix the API's "
+                "pagination"
+            )
         reader = spark.read
         if schema is not None:
             reader = reader.schema(schema)

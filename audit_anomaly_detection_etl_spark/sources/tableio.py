@@ -227,12 +227,45 @@ def partition_health(
     The small-file problem is the silent killer of scan throughput at
     10^12 rows (every file is a task + an open + a footer parse); Iceberg's
     ``rewrite_data_files`` fixes it but something has to DECIDE where to run
-    it — this audit is that decision table. On a real deployment the same
-    report comes from the Iceberg manifests (``table.files`` metadata
-    table); here it is rebuilt from the directory manifest + parquet
-    footers, which is metadata-scale work on the driver exactly like
+    it — this audit is that decision table. With a configured Iceberg
+    catalog the report comes straight from the ``files`` metadata table
+    (manifest entries: size + record_count per data file — no data pages,
+    no driver loop); for filesystem roots it is rebuilt from the directory
+    manifest + parquet footers, metadata-scale driver work exactly like
     ``snapshot_id``/``partition_fingerprints`` above.
     """
+    if iceberg_catalog_of(spark, root):
+        from pyspark.sql import functions as F
+
+        per = (
+            spark.table(f"{root}.files")
+            .select(
+                F.col("partition.part").cast("int").alias("part"),
+                F.col("file_size_in_bytes").cast("long").alias("sz"),
+                F.col("record_count").cast("long").alias("rc"),
+            )
+            .groupBy("part")
+            .agg(
+                F.count(F.lit(1)).cast("int").alias("n_files"),
+                F.sum("rc").cast("long").alias("n_rows"),
+                F.sum("sz").cast("long").alias("n_bytes"),
+            )
+        )
+        mean_mb = F.round(
+            F.col("n_bytes").cast("double") / F.col("n_files") / 1048576.0, 6
+        )
+        return per.select(
+            "part",
+            "n_files",
+            "n_rows",
+            "n_bytes",
+            mean_mb.alias("mean_file_mb"),
+            (
+                (F.col("n_files") > 1)
+                & (mean_mb < F.lit(target_file_mb * small_file_frac))
+            ).alias("compact"),
+        )
+
     import pyarrow.parquet as pq
 
     rows = []

@@ -40,6 +40,22 @@ _NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 _INT_RE = re.compile(r"^-?\d+$")
 _NUM_RE = re.compile(r"^-?(\d+\.?\d*|\.\d+)([eE][-+]?\d+)?$")
 
+# XML 1.0 cannot carry these code points at all (not even entity-escaped);
+# SpreadsheetML's own convention (ECMA-376 §22.9.2.19, what Excel writes) is
+# the _xHHHH_ escape. Literal '_xHHHH_'-shaped text must itself be escaped
+# as _x005F_xHHHH_ so the round trip is lossless.
+_XML_ILLEGAL_RE = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
+_X_ESCAPE_RE = re.compile(r"_x([0-9A-Fa-f]{4})_")
+
+
+def _x_escape(s: str) -> str:
+    s = _X_ESCAPE_RE.sub(lambda m: f"_x005F_x{m.group(1)}_", s)
+    return _XML_ILLEGAL_RE.sub(lambda m: f"_x{ord(m.group(0)):04X}_", s)
+
+
+def _x_unescape(s: str) -> str:
+    return _X_ESCAPE_RE.sub(lambda m: chr(int(m.group(1), 16)), s)
+
 
 def _col_letter(i: int) -> str:
     """0-based column index -> A, B, ..., Z, AA, AB, ..."""
@@ -93,7 +109,9 @@ def _cell_xml(ref: str, v) -> str:
         return ""
     if isinstance(v, (int, float)):
         return f'<c r="{ref}"><v>{v!r}</v></c>'
-    return f'<c r="{ref}" t="inlineStr"><is><t>{escape(str(v))}</t></is></c>'
+    return (
+        f'<c r="{ref}" t="inlineStr"><is><t>{escape(_x_escape(str(v)))}</t></is></c>'
+    )
 
 
 def write_xlsx(df: DataFrame, path: str, max_rows: int = MAX_XLSX_ROWS) -> int:
@@ -161,13 +179,15 @@ def _read_rows(path: str) -> list[list]:
             idx = _cell_ref_to_col(ref) if ref else ci
             t = c.get("t")
             if t == "inlineStr":
-                cells[idx] = "".join(x.text or "" for x in c.iter(f"{_NS}t"))
+                cells[idx] = _x_unescape(
+                    "".join(x.text or "" for x in c.iter(f"{_NS}t"))
+                )
                 continue
             v = c.find(f"{_NS}v")
             if v is None or v.text is None:
                 cells[idx] = None
             elif t == "s":
-                cells[idx] = shared[int(v.text)]
+                cells[idx] = _x_unescape(shared[int(v.text)])
             elif t == "b":
                 cells[idx] = v.text == "1"
             else:

@@ -120,3 +120,12 @@ def test_orc_roundtrip_value_exact(spark, tmp_path):
     a = sorted(df.collect(), key=str)
     b = sorted(back.collect(), key=str)
     assert a == b
+
+
+def test_id_col_collision_raises(spark, tmp_path):
+    import pytest
+
+    p = tmp_path / "a.csv"
+    p.write_text("x,source_id\n1,z\n")
+    with pytest.raises(ValueError, match="already has a column named"):
+        csvio.read_csv_union(spark, [str(p)], id_col="source_id")

@@ -202,3 +202,98 @@ def test_unknown_codec_reported_when_schema_lacks_codec_domain(spark, clip_dir, 
     v2 = spark.read.parquet(res2.violations_path).toPandas()
     bl = v2[(v2.check == "byte_length") & v2.detail.str.startswith("unknown_codec")]
     assert len(bl) == 0
+
+
+def test_byte_length_fractional_truncation_not_ok(spark):
+    """A payload short by a FRACTION of a sample (not even bps-aligned) must
+    never verdict 'ok': the old sample-delta cast truncated -1.75 -> -1 and
+    passed the 1-sample tolerance."""
+    import numpy as np
+    import pandas as pd
+
+    from audit_anomaly_detection_etl_spark.functions import codecs as C
+    from audit_anomaly_detection_etl_spark.operators import payload as P
+
+    pcm = 0.3 * np.sin(np.arange(1000) / 20.0)
+    full = C.encode(pcm, "pcm_f32le")  # 4000 bytes
+    rows = [
+        ("frac_short", 0, full[:3993], "pcm_f32le", 8000, 125),  # -1.75 samples
+        ("misaligned_over", 0, full + b"\x00\x00", "pcm_f32le", 8000, 125),
+        ("one_sample_short", 0, full[:3996], "pcm_f32le", 8000, 125),  # aligned -1
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["clip_id", "part", "bytes", "codec", "sr_hz", "dur_ms"])
+    )
+    out = {r["clip_id"]: r for r in P.byte_length_audit(df).collect()}
+    assert out["frac_short"]["verdict"] == "truncated"
+    assert out["misaligned_over"]["verdict"] == "oversized"
+    assert out["one_sample_short"]["verdict"] == "ok"  # within aligned tolerance
+
+
+def test_byte_length_custom_key_and_part_cols(spark):
+    import pandas as pd
+
+    from audit_anomaly_detection_etl_spark.operators import payload as P
+
+    rows = [("u1", 3, b"\x00\x00", "pcm_s16le", 8000, 99999)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["utt_id", "pt", "bytes", "codec", "sr_hz", "dur_ms"])
+    )
+    v = P.byte_length_violations(df, key_col="utt_id", part_col="pt").collect()
+    assert len(v) == 1 and v[0]["key"] == "u1" and v[0]["part"] == 3
+
+
+def test_null_metadata_not_reported_as_dur_mismatch(spark):
+    """NULL sr_hz/dur_ms used to cast NaN->INT64_MIN and emit a spurious
+    dur_mismatch; null metadata is the schema/byte_length checks' defect."""
+    import numpy as np
+    import pandas as pd
+
+    from audit_anomaly_detection_etl_spark.functions import codecs as C
+    from audit_anomaly_detection_etl_spark.operators import payload as P
+
+    pcm = 0.3 * np.sin(np.arange(800) / 20.0)
+    enc = C.encode(pcm, "pcm_s16le")
+    clips = spark.createDataFrame(
+        pd.DataFrame(
+            [("nullmeta", 0, enc, None, None, "pcm_s16le", "t")],
+            columns=["clip_id", "part", "bytes", "sr_hz", "dur_ms", "codec", "transcript"],
+        ).astype({"sr_hz": "Int32", "dur_ms": "Int32"})
+    )
+    ref = spark.createDataFrame(
+        pd.DataFrame(
+            [("nullmeta", 0, pcm.astype(np.float32).tobytes(), "t")],
+            columns=["clip_id", "part", "pcm_ref", "transcript_ref"],
+        )
+    )
+    rep = P.payload_report(clips, ref).collect()[0]
+    assert rep["decode_ok"] and rep["dur_ok"]  # no dur_mismatch for null meta
+    v = P.payload_violations(P.payload_report(clips, ref)).toPandas()
+    assert "dur_mismatch" not in set(v.check)
+
+
+def test_allzero_bitexact_clip_is_inf_like_snr_db(spark):
+    """All-zero ref == all-zero payload: bit-exact wins (+inf), matching
+    codecs.snr_db's ordering — not a payload_snr violation."""
+    import numpy as np
+    import pandas as pd
+
+    from audit_anomaly_detection_etl_spark.functions import codecs as C
+    from audit_anomaly_detection_etl_spark.operators import payload as P
+
+    z = np.zeros(500)
+    clips = spark.createDataFrame(
+        pd.DataFrame(
+            [("silent", 0, C.encode(z, "pcm_f32le"), 8000, 63, "pcm_f32le", "t")],
+            columns=["clip_id", "part", "bytes", "sr_hz", "dur_ms", "codec", "transcript"],
+        )
+    )
+    ref = spark.createDataFrame(
+        pd.DataFrame(
+            [("silent", 0, z.astype(np.float32).tobytes(), "t")],
+            columns=["clip_id", "part", "pcm_ref", "transcript_ref"],
+        )
+    )
+    rep = P.payload_report(clips, ref).collect()[0]
+    assert rep["snr_db"] == float("inf")
+    assert rep["snr_db"] == C.snr_db(z, z)

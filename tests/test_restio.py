@@ -29,7 +29,7 @@ def _paged_transport(pages: dict[str, dict], fail_first: int = 0, log: list | No
         calls["n"] += 1
         if calls["n"] <= fail_first:
             raise OSError("flaky connection")
-        base = url.split("&limit=")[0]
+        base = url.split("&limit=")[0].split("?limit=")[0]
         if base not in pages:
             return 404, b"{}"
         return 200, json.dumps(pages[base]).encode()
@@ -136,11 +136,16 @@ class TestScans:
         # one staging file per page -> one scan task per page
         assert len(list((tmp_path / "stage").glob("page-*.jsonl"))) == 2
 
-    def test_max_pages_bound(self, spark, tmp_path):
+    def test_max_pages_bound_raises_on_pending_pages(self, spark, tmp_path):
+        """A cap-hit with a next link still pending must raise, not return a
+        partial scan presented as complete (a validation engine silently
+        understating rows is worse than failing loudly)."""
+        import pytest
+
         pages = {"api?page=1": {"results": [{"id": 1}], "next": "api?page=1"}}  # cycle
         src = restio.RestSource("api?page=1", transport=_paged_transport(pages), retry_delay=0)
-        df = src.scan_json(spark, str(tmp_path / "s2"), schema="id bigint", max_pages=3)
-        assert df.count() == 3
+        with pytest.raises(RuntimeError, match="max_pages=3 reached"):
+            src.scan_json(spark, str(tmp_path / "s2"), schema="id bigint", max_pages=3)
 
     def test_rescan_clears_stale_pages(self, spark, tmp_path):
         # first scan: 2 pages; second scan into the SAME dir: 1 page — the
@@ -186,3 +191,29 @@ class TestScans:
         missing = restio.RestSource(f"file://{tmp_path}/nope.json", transport=restio.file_transport)
         status, _ = missing.check_reachability()
         assert status == "Error"
+
+
+class TestProbeHardening:
+    def test_bare_url_probe_uses_question_mark(self):
+        log: list = []
+        t = _paged_transport({"bare/data.json": {"results": [{"a": 1}]}}, log=log)
+        src = restio.RestSource("bare/data.json", transport=t, retry_delay=0)
+        status, _ = src.check_reachability()
+        assert status == "Success"
+        assert log[0][0] == "bare/data.json?limit=1"  # not '&limit=1'
+
+    def test_array_payload_probe_reports_not_crashes(self):
+        def t(url, headers):
+            return 200, b'[{"a": 1}]'  # top-level array, no data_key
+
+        src = restio.RestSource("u?x=1", transport=t, retry_delay=0)
+        out = src.check_columns({"c": {"mapping": "a"}})
+        assert out == [{"column": None, "violation": "unexpected_payload_format"}]
+
+    def test_non_object_rows_probe_reports_not_crashes(self):
+        def t(url, headers):
+            return 200, b'{"results": [1, 2]}'  # rows without .keys()
+
+        src = restio.RestSource("u?x=1", transport=t, retry_delay=0)
+        out = src.check_columns({"c": {"mapping": "a"}})
+        assert out == [{"column": None, "violation": "unexpected_payload_format"}]

@@ -114,3 +114,19 @@ def test_blank_sheet_reads_as_empty_frame(spark, tmp_path):
         )
     back = xlsxio.read_xlsx(spark, p)
     assert back.columns == [] and back.count() == 0
+
+
+def test_control_chars_roundtrip_via_x_escape(spark, tmp_path):
+    """XML 1.0 cannot carry control chars; the SpreadsheetML _xHHHH_ escape
+    (what Excel itself writes) must round-trip them losslessly — including
+    literal text that already looks like an escape."""
+    df = spark.createDataFrame(
+        [(1, "bell\x07and\x1funit"), (2, "literal _x0007_ text"), (3, "plain")],
+        "id long, t string",
+    )
+    p = str(tmp_path / "ctrl.xlsx")
+    xlsxio.write_xlsx(df, p)
+    back = {r["id"]: r["t"] for r in xlsxio.read_xlsx(spark, p).collect()}
+    assert back[1] == "bell\x07and\x1funit"
+    assert back[2] == "literal _x0007_ text"
+    assert back[3] == "plain"
