@@ -35,20 +35,31 @@ class BinSpec:
 
 def _bucket(spec: BinSpec):
     # width_bucket: 0 = below lo, n_bins+1 = above hi -> clamp into [1, n_bins]
-    bucket = F.width_bucket(
-        F.col(spec.col).cast("double"), F.lit(spec.lo), F.lit(spec.hi), F.lit(spec.n_bins)
-    )
-    return (F.least(F.greatest(bucket, F.lit(1)), F.lit(spec.n_bins)) - 1).cast("int")
+    # (+-inf land on the edge bins via those codes). NULL and NaN both make
+    # width_bucket return NULL — and greatest() SKIPS nulls, so without the
+    # guard they would silently clamp into bin 0 instead of being excluded
+    # (the fused bucket_count_aggs path had exactly that: NULL dur_ms rows
+    # counted as lowest-bin values). The when() pins both to NULL so every
+    # consumer (histogram's bin-null filter, multi_histogram's, sum(bucket==k)
+    # three-valued logic) drops them uniformly.
+    x = F.col(spec.col).cast("double")
+    bucket = F.width_bucket(x, F.lit(spec.lo), F.lit(spec.hi), F.lit(spec.n_bins))
+    clamped = (F.least(F.greatest(bucket, F.lit(1)), F.lit(spec.n_bins)) - 1).cast("int")
+    return F.when(x.isNotNull() & ~F.isnan(x), clamped)
 
 
 def histogram(df: DataFrame, spec: BinSpec, group_by: list[str] | None = None) -> DataFrame:
     """Equi-width histogram: (group..., bin, count). Out-of-range values clamp
-    to the edge bins so total counts always reconcile with n_rows.
+    to the edge bins so total counts reconcile with the non-null, non-NaN row
+    count. NaN is excluded like NULL (width_bucket(NaN) is NULL; a bin=NULL
+    row would corrupt numpy consumers — arr[None] broadcasts across the whole
+    array), matching multi_histogram's bin-null filter.
     """
     gb = group_by or []
     return (
         df.where(F.col(spec.col).isNotNull())
         .select(*gb, _bucket(spec).alias("bin"))
+        .where(F.col("bin").isNotNull())
         .groupBy(*gb, "bin")
         .agg(F.count(F.lit(1)).alias("count"))
     )
@@ -241,9 +252,16 @@ def categorical_drift(
     )
     dof = (F.col("__ncat") - 1).cast("int")
     h = 2.0 / (9.0 * dof.cast("double"))
-    crit = dof.cast("double") * F.pow(
-        F.lit(1.0) - h + F.lit(z_alpha) * F.sqrt(h), F.lit(3.0)
-    )
+    # dof=0 (a single category): h divides by zero -> NULL crit -> NULL
+    # drifted verdict that neither consumer filter matches. A one-category
+    # table has chi2 = 0 by construction (obs == exp), so crit=0 keeps
+    # drifted a defined false (0 > 0). CASE WHEN evaluates lazily, so the
+    # division never runs on the dof=0 branch.
+    crit = F.when(
+        dof > 0,
+        dof.cast("double")
+        * F.pow(F.lit(1.0) - h + F.lit(z_alpha) * F.sqrt(h), F.lit(3.0)),
+    ).otherwise(F.lit(0.0))
     return per.select(
         F.col("bucket_ts").alias("window_start"),
         "n_events",

@@ -280,7 +280,13 @@ def frame_sample_plan(
 
     n_frames = (F.col(dur_col) / F.lit(every_ms)).cast("int")
     return (
-        videos.select(
+        videos
+        # NULL/zero/negative duration: greatest(NULL-1, 0) = 0 (greatest
+        # skips NULLs) would emit a phantom frame_idx=0 row for a video with
+        # no known duration — exclude those rows instead; every video with a
+        # positive duration still gets >= 1 frame via the greatest guard
+        .where(F.col(dur_col).isNotNull() & (F.col(dur_col) > 0))
+        .select(
             F.col(id_col),
             F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))).alias("k"),
             F.col(fps_col),
@@ -375,11 +381,21 @@ def wav_consistency_violations(
             5.0,
         ),
         (
-            F.col("wav_ok") & (F.col("container_sr") != F.col("_sr")),
+            # null-guarded like the dur check below: a NULL declared sample
+            # rate is unverifiable -> violation, not a three-valued-logic
+            # silent pass (NULL != x is NULL and emits nothing)
+            F.col("wav_ok")
+            & (
+                F.col("container_sr").isNull()
+                | F.col("_sr").isNull()
+                | (F.col("container_sr") != F.col("_sr"))
+            ),
             F.lit("wav_sr_mismatch"),
             F.concat(
-                F.lit("table says "), F.col("_sr").cast("string"),
-                F.lit(" Hz, container says "), F.col("container_sr").cast("string"),
+                F.lit("table says "),
+                F.coalesce(F.col("_sr").cast("string"), F.lit("(null)")),
+                F.lit(" Hz, container says "),
+                F.coalesce(F.col("container_sr").cast("string"), F.lit("(null)")),
             ),
             3.0,
         ),
@@ -387,11 +403,13 @@ def wav_consistency_violations(
             F.col("wav_ok")
             & (
                 F.col("container_codec").isNull()
+                | F.col("_codec").isNull()
                 | (F.col("container_codec") != F.col("_codec"))
             ),
             F.lit("wav_codec_mismatch"),
             F.concat(
-                F.lit("table says "), F.col("_codec"),
+                F.lit("table says "),
+                F.coalesce(F.col("_codec"), F.lit("(null)")),
                 F.lit(", container says "),
                 F.coalesce(F.col("container_codec"), F.lit("(unknown tag)")),
             ),
@@ -468,10 +486,16 @@ def resample_audio(
                 pdf["bytes"], pdf["sr_hz"], pdf["codec"],
             ):
                 try:
-                    pcm = codecs.decode(raw if raw is not None else b"", codec)
+                    if raw is None or len(raw) == 0:
+                        # an empty payload "decodes" to zero samples; emitting
+                        # it ok=true would hand downstream a zero-length
+                        # training clip instead of quarantining it
+                        raise ValueError("empty payload")
+                    pcm = codecs.decode(raw, codec)
                     out = codecs.resample_linear(pcm, int(sr), target_sr)
                     rows.append((cid, part, True, target_sr, len(out), codecs.encode(out, out_codec)))
-                except (ValueError, KeyError, ZeroDivisionError) as e:
+                except (ValueError, KeyError, TypeError, ZeroDivisionError):
+                    # TypeError covers NULL sr_hz (int(None)/int(pd.NA))
                     rows.append((cid, part, False, target_sr, 0, None))
             yield pd.DataFrame(
                 rows, columns=["clip_id", "part", "ok", "sr_hz", "n_samples", "bytes"]
@@ -791,10 +815,18 @@ def loudness_violations(
     suite that SKIPS the payload check, or accept a second decode of the
     wave (the waves are checkpoint-bounded either way).
     """
-    audit = loudness_audit(audio_features(clips), target_dbfs, tolerance_db)
+    # audio_features/loudness_audit hardcode clip_id/part internally — map a
+    # custom key/part column onto those names first, so a spec with e.g.
+    # key_col="utt_id" resolves instead of failing UNRESOLVED_COLUMN
+    src = clips
+    if key_col != "clip_id":
+        src = src.withColumnRenamed(key_col, "clip_id")
+    if part_col != "part":
+        src = src.withColumnRenamed(part_col, "part")
+    audit = loudness_audit(audio_features(src), target_dbfs, tolerance_db)
     bad = audit.where(F.col("verdict") == "boost_clips")
     return bad.select(
-        F.col("clip_id").alias("key") if key_col == "clip_id" else F.col(key_col).alias("key"),
+        F.col("clip_id").alias("key"),
         F.lit("loudness").alias("check"),
         F.concat(
             F.lit("gain_db="),
@@ -803,7 +835,7 @@ def loudness_violations(
             F.round(F.col("headroom_db"), 2).cast("string"),
             F.lit(f" normalizing to {target_dbfs} dBFS would clip"),
         ).alias("detail"),
-        F.col(part_col).alias("part"),
+        F.col("part").alias("part"),
         F.lit(3.0).alias("severity"),
     )
 

@@ -52,7 +52,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, IntegerType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 _EULER_GAMMA = 0.5772156649015329
 
@@ -198,6 +205,15 @@ class RobustZDetector:
         return self.offset_ - self._maxz(X)
 
 
+# Distance-matrix chunking bound for the neighbor detectors: rows are
+# processed in chunks of ceil(_CHUNK_ELEMS / n_fit_sample), so peak transient
+# memory is ~_CHUNK_ELEMS float64 (~32 MB) regardless of fit-sample size —
+# without it a 100k-row fit sample means a 100k x 100k (75 GiB) matrix on the
+# driver at fit time and batch x 100k (~8 GB) per Arrow batch on executors.
+# Chunking is row-independent, so scores are bit-identical to the dense path.
+_CHUNK_ELEMS = 4_000_000
+
+
 @dataclass
 class KnnDistanceDetector:
     """Distance to the k-th nearest fit-sample neighbor over standardized
@@ -224,14 +240,21 @@ class KnnDistanceDetector:
         return self
 
     def _kdist(self, S: np.ndarray, kth: int) -> np.ndarray:
-        d2 = (
-            np.sum(S * S, axis=1)[:, None]
-            + np.sum(self.sample_ * self.sample_, axis=1)[None, :]
-            - 2.0 * (S @ self.sample_.T)
-        )
-        np.maximum(d2, 0.0, out=d2)
-        kth = min(kth, d2.shape[1] - 1)
-        return np.sqrt(np.partition(d2, kth, axis=1)[:, kth])
+        n = self.sample_.shape[0]
+        kth = min(kth, n - 1)
+        samp_sq = np.sum(self.sample_ * self.sample_, axis=1)
+        out = np.empty(S.shape[0], dtype=np.float64)
+        step = max(1, _CHUNK_ELEMS // max(1, n))
+        for i in range(0, S.shape[0], step):
+            C = S[i : i + step]
+            d2 = (
+                np.sum(C * C, axis=1)[:, None]
+                + samp_sq[None, :]
+                - 2.0 * (C @ self.sample_.T)
+            )
+            np.maximum(d2, 0.0, out=d2)
+            out[i : i + step] = np.sqrt(np.partition(d2, kth, axis=1)[:, kth])
+        return out
 
     def decision_function(self, X: np.ndarray) -> np.ndarray:
         S = (np.asarray(X, np.float64) - self.mean_) / self.std_
@@ -271,34 +294,44 @@ class LocalDensityDetector:
         self.sample_ = (X - self.mean_) / self.std_
         # k-th neighbor among fit rows EXCLUDING self (self at distance 0)
         kth = min(self.k, len(X) - 1)
-        d = self._dists(self.sample_)
-        self.sample_kdist_ = np.partition(d, kth, axis=1)[:, kth]
+        kd = np.empty(len(X), dtype=np.float64)
+        for i, d in self._dist_chunks(self.sample_):
+            kd[i : i + d.shape[0]] = np.partition(d, kth, axis=1)[:, kth]
+        self.sample_kdist_ = kd
         ratio = self._ratio(self.sample_, fit_mode=True)
         self.offset_ = float(np.quantile(ratio, 1.0 - self.contamination))
         return self
 
-    def _dists(self, S: np.ndarray) -> np.ndarray:
-        d2 = (
-            np.sum(S * S, axis=1)[:, None]
-            + np.sum(self.sample_ * self.sample_, axis=1)[None, :]
-            - 2.0 * (S @ self.sample_.T)
-        )
-        np.maximum(d2, 0.0, out=d2)
-        return np.sqrt(d2)
+    def _dist_chunks(self, S: np.ndarray):
+        """Yield (row_offset, dist_block) with blocks bounded at _CHUNK_ELEMS
+        float64 — never a dense |S| x |sample| matrix (see _CHUNK_ELEMS)."""
+        samp_sq = np.sum(self.sample_ * self.sample_, axis=1)
+        step = max(1, _CHUNK_ELEMS // max(1, self.sample_.shape[0]))
+        for i in range(0, S.shape[0], step):
+            C = S[i : i + step]
+            d2 = (
+                np.sum(C * C, axis=1)[:, None]
+                + samp_sq[None, :]
+                - 2.0 * (C @ self.sample_.T)
+            )
+            np.maximum(d2, 0.0, out=d2)
+            yield i, np.sqrt(d2)
 
     def _ratio(self, S: np.ndarray, fit_mode: bool) -> np.ndarray:
         # fit_mode: S IS the fit sample -> self sits at distance 0 in its
         # own row; take neighbors 1..k instead of 0..k-1
         lo = 1 if fit_mode else 0
         kth = min(self.k - 1 + lo, self.sample_.shape[0] - 1)
-        d = self._dists(S)
-        idx = np.argpartition(d, kth, axis=1)[:, : kth + 1]
-        dd = np.take_along_axis(d, idx, axis=1)
-        order = np.argsort(dd, axis=1)[:, lo : kth + 1]
-        nbrs = np.take_along_axis(idx, order, axis=1)
-        kdist = np.take_along_axis(dd, order, axis=1)[:, -1]
-        denom = np.maximum(self.sample_kdist_[nbrs].mean(axis=1), 1e-12)
-        return kdist / denom
+        out = np.empty(S.shape[0], dtype=np.float64)
+        for i, d in self._dist_chunks(S):
+            idx = np.argpartition(d, kth, axis=1)[:, : kth + 1]
+            dd = np.take_along_axis(d, idx, axis=1)
+            order = np.argsort(dd, axis=1)[:, lo : kth + 1]
+            nbrs = np.take_along_axis(idx, order, axis=1)
+            kdist = np.take_along_axis(dd, order, axis=1)[:, -1]
+            denom = np.maximum(self.sample_kdist_[nbrs].mean(axis=1), 1e-12)
+            out[i : i + d.shape[0]] = kdist / denom
+        return out
 
     def decision_function(self, X: np.ndarray) -> np.ndarray:
         S = (np.asarray(X, np.float64) - self.mean_) / self.std_
@@ -360,6 +393,12 @@ def fit_ensemble(
         samp = samp.where(F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(sample_mod)) == 0)
     pdf = samp.select(id_col, *feature_cols).orderBy(id_col).toPandas()
     X = pdf[list(feature_cols)].to_numpy(dtype=np.float64)
+    if X.shape[0] == 0:
+        raise ValueError(
+            "fit_ensemble: the features table (after sampling with "
+            f"sample_mod={sample_mod}) is empty — nothing to fit. Check the "
+            "upstream filters, or pass sample_mod=1."
+        )
     model = EnsembleModel(
         feature_cols=list(feature_cols),
         iforest=NumpyIsolationForest(
@@ -515,9 +554,12 @@ def ranked_anomalies(
         acc += counts[pid]
     b_off = output.sparkSession.sparkContext.broadcast(offsets)
 
+    # rank is int64: partition offsets are cumulative GLOBAL row counts, and
+    # int32 silently wraps past 2^31-1 rows — exactly the scale this path is
+    # designed for
     schema = StructType(
         [f for f in s.schema.fields if f.name != "_pid"]
-        + [StructField("rank", IntegerType(), False)]
+        + [StructField("rank", LongType(), False)]
     )
 
     def gen(batches):
@@ -530,7 +572,7 @@ def ranked_anomalies(
                 off = b_off.value[int(pdf["_pid"].iloc[0])]
             pdf = pdf.drop(columns=["_pid"])
             pdf["rank"] = np.arange(
-                off + seen + 1, off + seen + len(pdf) + 1, dtype=np.int32
+                off + seen + 1, off + seen + len(pdf) + 1, dtype=np.int64
             )
             seen += len(pdf)
             yield pdf

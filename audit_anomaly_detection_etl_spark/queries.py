@@ -1761,10 +1761,16 @@ def q86(spark, sf_dir):
            ncat AS n_categories,
            ROUND(chi2, 6) AS chi2,
            CAST(ncat - 1 AS INT) AS dof,
-           ROUND((ncat - 1) * POW(1.0 - 2.0 / (9.0 * (ncat - 1))
-                 + 1.6449 * sqrt(2.0 / (9.0 * (ncat - 1))), 3.0), 6) AS chi2_crit,
-           chi2 > (ncat - 1) * POW(1.0 - 2.0 / (9.0 * (ncat - 1))
-                 + 1.6449 * sqrt(2.0 / (9.0 * (ncat - 1))), 3.0) AS drifted
+           -- dof=0 guard mirrors operators/drift.categorical_drift: one
+           -- category => chi2=0, crit=0, drifted=false (never NULL)
+           CASE WHEN ncat > 1
+                THEN ROUND((ncat - 1) * POW(1.0 - 2.0 / (9.0 * (ncat - 1))
+                     + 1.6449 * sqrt(2.0 / (9.0 * (ncat - 1))), 3.0), 6)
+                ELSE 0.0 END AS chi2_crit,
+           CASE WHEN ncat > 1
+                THEN chi2 > (ncat - 1) * POW(1.0 - 2.0 / (9.0 * (ncat - 1))
+                     + 1.6449 * sqrt(2.0 / (9.0 * (ncat - 1))), 3.0)
+                ELSE FALSE END AS drifted
     FROM per
     """,
 )
@@ -2882,10 +2888,16 @@ def q114(spark, sf_dir):
            ncat AS n_categories,
            ROUND(chi2, 6) AS chi2,
            CAST(ncat - 1 AS INT) AS dof,
-           ROUND((ncat - 1) * POW(1.0 - 2.0 / (9.0 * (ncat - 1))
-                 + 1.6449 * sqrt(2.0 / (9.0 * (ncat - 1))), 3.0), 6) AS chi2_crit,
-           chi2 > (ncat - 1) * POW(1.0 - 2.0 / (9.0 * (ncat - 1))
-                 + 1.6449 * sqrt(2.0 / (9.0 * (ncat - 1))), 3.0) AS drifted
+           -- dof=0 guard mirrors operators/drift.categorical_drift: one
+           -- category => chi2=0, crit=0, drifted=false (never NULL)
+           CASE WHEN ncat > 1
+                THEN ROUND((ncat - 1) * POW(1.0 - 2.0 / (9.0 * (ncat - 1))
+                     + 1.6449 * sqrt(2.0 / (9.0 * (ncat - 1))), 3.0), 6)
+                ELSE 0.0 END AS chi2_crit,
+           CASE WHEN ncat > 1
+                THEN chi2 > (ncat - 1) * POW(1.0 - 2.0 / (9.0 * (ncat - 1))
+                     + 1.6449 * sqrt(2.0 / (9.0 * (ncat - 1))), 3.0)
+                ELSE FALSE END AS drifted
     FROM per
     """,
 )
@@ -4762,6 +4774,7 @@ def q124(spark, sf_dir):
            CAST(ROUND(k * 500.0 / 1000.0 * fps) AS INT) AS frame_idx,
            CAST(k * 500.0 AS DOUBLE)                    AS ts_ms
     FROM v, UNNEST(range(0, GREATEST(CAST(FLOOR(dur_ms / 500.0) AS INT) - 1, 0) + 1)) AS t(k)
+    WHERE dur_ms IS NOT NULL AND dur_ms > 0
     """,
 )
 def q45(spark, sf_dir):
