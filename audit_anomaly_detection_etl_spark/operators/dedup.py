@@ -38,9 +38,13 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     h = docs.select(F.col(id_col).alias("doc_id"), T.fingerprint_md5(F.col(text_col)).alias("text_md5"))
     grp = h.groupBy("text_md5").agg(
         F.count(F.lit(1)).alias("dup_count"), F.min("doc_id").alias("canonical_id")
-    )
+    ).select(F.col("text_md5").alias("__md5"), "dup_count", "canonical_id")
     return (
-        h.join(grp, "text_md5")
+        # null-safe join: NULL-text docs hash to a NULL md5, which groupBy
+        # keeps as a group but a plain equi-join back would drop — the
+        # report must cover EVERY doc (null-content dups are still dups)
+        h.join(grp, h["text_md5"].eqNullSafe(grp["__md5"]))
+        .drop("__md5")
         .select(
             "doc_id",
             "text_md5",

@@ -141,11 +141,15 @@ def rate_anomaly(
     med = counts.groupBy(group_col).agg(
         med_of(F.col("n_events").cast("double")).alias("__med")
     )
-    d = counts.join(F.broadcast(med), group_col)
+    # null-safe join-backs (module docstring rule): a NULL group key — e.g.
+    # events with an unparsed/unknown type, the classic stuck-producer
+    # symptom — forms a group in the aggregates, and a plain equi-join
+    # would silently drop its buckets from the report
+    d = _join_bounds(counts, med, [group_col])
     mad = d.groupBy(group_col).agg(
         med_of(F.abs(F.col("n_events") - F.col("__med"))).alias("__mad")
     )
-    out = d.join(F.broadcast(mad), group_col)
+    out = _join_bounds(d, mad, [group_col])
     z = F.try_divide(
         F.lit(0.6745) * (F.col("n_events") - F.col("__med")),
         F.nullif(F.col("__mad"), F.lit(0.0)),

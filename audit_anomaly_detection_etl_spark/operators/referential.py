@@ -142,8 +142,16 @@ def fk_health_matrix(
         pkeys = parent.select(F.col(pk).alias("__v")).distinct()
         orphan = vals.where(F.col("__v").isNotNull()).join(pkeys, "__v", "left_anti")
         per_edge = vals.agg(
-            F.sum("__n").cast("long").alias("child_rows"),
-            F.sum(F.when(F.col("__v").isNotNull(), F.col("__n")).otherwise(F.lit(0)))
+            # coalesce like the orphan sums below: an EMPTY child table
+            # (truncated / not-yet-loaded) must report 0s and a defined ok
+            # verdict, not NULL counts and ok=NULL
+            F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("child_rows"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("__v").isNotNull(), F.col("__n")).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            )
             .cast("long")
             .alias("nonnull_rows"),
             F.count(F.when(F.col("__v").isNotNull(), F.lit(1))).cast("long").alias(
@@ -202,8 +210,11 @@ def aggregate_reconciliation(
 
     Verdicts: ``consistent`` (|parent - sum| <= tol), ``mismatch``,
     ``missing_child`` (parent with no child rows — sum is undefined, not
-    zero: a parent total of 0.0 with no children is its own signal).
-    Child-side orphans are the FK checks' job and are not re-reported.
+    zero: a parent total of 0.0 with no children is its own signal), and
+    ``null_amounts`` (child rows exist but every amount is NULL — a real
+    discrepancy, distinct from the FK-gap bucket consumers treat
+    missing_child as). Child-side orphans are the FK checks' job and are
+    not re-reported.
 
     Returns one row per parent key: (parent_key, parent_value, child_sum,
     n_children, abs_diff, verdict).
@@ -222,7 +233,8 @@ def aggregate_reconciliation(
         "child_sum",
         F.coalesce(F.col("n_children"), F.lit(0)).alias("n_children"),
         diff.alias("abs_diff"),
-        F.when(F.col("child_sum").isNull(), F.lit("missing_child"))
+        F.when(F.col("n_children").isNull(), F.lit("missing_child"))
+        .when(F.col("child_sum").isNull(), F.lit("null_amounts"))
         .when(diff <= F.lit(float(tol)), F.lit("consistent"))
         .otherwise(F.lit("mismatch"))
         .alias("verdict"),

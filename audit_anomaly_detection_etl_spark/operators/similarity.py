@@ -71,7 +71,12 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero (or NULL) vector — e.g. a failed upstream embedding
+    # job writing zeros — has norm 0, and plain division would kill the whole
+    # query under ANSI mode (DIVIDE_BY_ZERO). NULL from try_divide coalesces
+    # to similarity 0.0: the degenerate vector matches nothing and can never
+    # outrank a genuine neighbor.
+    return F.coalesce(F.try_divide(dot(a, b), norm(a) * norm(b)), F.lit(0.0))
 
 
 def _dbl(c: Column) -> Column:
@@ -235,7 +240,16 @@ def kmeans_fit(
         .collect()
     )
     X = np.asarray([r.v for r in rows], dtype=np.float64)
+    if X.size == 0:
+        raise ValueError(
+            "kmeans_fit: the base table is empty — no vectors to fit "
+            "centroids on."
+        )
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    # fewer sample rows than requested centroids: clamp instead of letting
+    # rng.choice fail with a cryptic sampling error — IVF with fewer lists
+    # is still correct, just coarser
+    n_centroids = min(n_centroids, len(X))
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=n_centroids, replace=False)].copy()
     for _ in range(n_iters):

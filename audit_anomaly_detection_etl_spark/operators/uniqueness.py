@@ -46,10 +46,18 @@ def uniqueness_violations(
     join back to recover partitions broadcasts it (hint explicit — at
     10^12 rows we don't want AQE to guess late).
     """
-    dups = duplicate_keys(df, [key_col], n_salts=n_salts)
+    dups = duplicate_keys(df, [key_col], n_salts=n_salts).select(
+        F.col(key_col).alias("__dup_key"), "dup_count"
+    )
+    keyed = df.select(F.col(key_col), F.col(part_col).cast("int").alias("part"))
     return (
-        df.select(F.col(key_col), F.col(part_col).cast("int").alias("part"))
-        .join(F.broadcast(dups), key_col)
+        # null-safe join: duplicated NULL keys (the most common key-integrity
+        # defect) are detected by duplicate_keys but a plain equi-join back
+        # would drop them, silently passing the uniqueness check
+        keyed.join(
+            F.broadcast(dups), keyed[key_col].eqNullSafe(dups["__dup_key"])
+        )
+        .drop("__dup_key")
         .select(
             F.col(key_col).alias("key"),
             F.lit("uniqueness").alias("check"),

@@ -60,8 +60,14 @@ def distinct_counts(
     return df.groupBy(group_col).agg(
         _count_distinct(value_col, exact, rsd).alias("n_distinct"),
         F.count(F.lit(1)).alias("n_rows"),
+        # try_divide: a group whose values are ALL NULL has n_distinct=0 and
+        # plain division would abort the query under ANSI — report the group
+        # with a NULL ratio instead
         F.round(
-            F.count(F.lit(1)).cast("double") / _count_distinct(value_col, exact, rsd),
+            F.try_divide(
+                F.count(F.lit(1)).cast("double"),
+                _count_distinct(value_col, exact, rsd),
+            ),
             6,
         ).alias("rows_per_distinct"),
     )
@@ -123,17 +129,22 @@ def zipf_audit(
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    slope = num / denx
-    r2 = (num * num) / (denx * deny)
+    # try_divide: a degenerate head — a single distinct term (denx=0) or a
+    # perfectly flat rank-frequency curve, every tf equal (deny=0), which is
+    # exactly the machine-generated-text failure mode this audit exists to
+    # flag — must report zipf_ok=false, not abort with DIVIDE_BY_ZERO
+    slope = F.try_divide(num, denx)
+    r2 = F.try_divide(num * num, denx * deny)
     return s.select(
         F.col("n").cast("long").alias("n_terms"),
         "top_tf",
         F.round(slope, 6).alias("slope"),
         F.round(r2, 6).alias("r2"),
-        (
+        F.coalesce(
             (slope >= F.lit(slope_lo))
             & (slope <= F.lit(slope_hi))
-            & (r2 >= F.lit(min_r2))
+            & (r2 >= F.lit(min_r2)),
+            F.lit(False),
         ).alias("zipf_ok"),
     )
 
@@ -179,8 +190,13 @@ def vocab_divergence(
         F.count(F.lit(1)).cast("int").alias("k"),
     )
     j = top.crossJoin(F.broadcast(tot))
-    p = F.col("na").cast("double") / F.col("ta")
-    q = F.col("nb").cast("double") / F.col("tb")
+    # try_divide + coalesce: an EMPTY side (side_a matching all or no rows —
+    # the maximal-divergence case this check exists for) has a zero total;
+    # plain division would crash under ANSI. Treating the empty side's mass
+    # as 0 makes every term p*ln(2) (m = p/2), i.e. jsd_norm = 0.5 ->
+    # diverged=true, the verdict total divergence deserves.
+    p = F.coalesce(F.try_divide(F.col("na").cast("double"), F.col("ta")), F.lit(0.0))
+    q = F.coalesce(F.try_divide(F.col("nb").cast("double"), F.col("tb")), F.lit(0.0))
     m = (p + q) / F.lit(2.0)
     term = F.when(p > 0, p * F.log(p / m)).otherwise(F.lit(0.0)) + F.when(
         q > 0, q * F.log(q / m)

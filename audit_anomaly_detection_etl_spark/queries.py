@@ -614,7 +614,7 @@ def q19(spark, sf_dir):
                FROM h GROUP BY text_md5)
     SELECT h.doc_id, h.text_md5, g.dup_count,
            h.doc_id = g.canonical_id AS is_canonical
-    FROM h JOIN g USING (text_md5)
+    FROM h JOIN g ON h.text_md5 IS NOT DISTINCT FROM g.text_md5
     """.format(norm=_sql_norm("text")),
 )
 def q20(spark, sf_dir):
@@ -3464,7 +3464,8 @@ def q128(spark, sf_dir):
     SELECT o.o_orderkey,
            ROUND(CAST(o_totalprice AS DOUBLE), 4) AS parent_value,
            CAST(COALESCE(a.n_children, 0) AS BIGINT) AS n_children,
-           CASE WHEN a.child_sum IS NULL THEN 'missing_child'
+           CASE WHEN a.n_children IS NULL THEN 'missing_child'
+                WHEN a.child_sum IS NULL THEN 'null_amounts'
                 WHEN ABS(CAST(o_totalprice AS DOUBLE) - a.child_sum) <= 0.01
                      THEN 'consistent'
                 ELSE 'mismatch' END AS verdict

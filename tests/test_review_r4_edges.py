@@ -16,6 +16,7 @@ modules (scoring / media / drift) — each test pins one previously-wrong edge:
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from audit_anomaly_detection_etl_spark.functions import codecs
 from audit_anomaly_detection_etl_spark.operators import drift, media, scoring
@@ -171,3 +172,134 @@ def test_loudness_violations_custom_key_col(spark):
         df, key_col="utt_id", part_col="pt"
     ).collect()
     assert rows and rows[0]["key"] == "u1" and rows[0]["part"] == 3
+
+
+# --- second review batch: dedup / similarity / uniqueness / vocab /
+# --- referential / outliers edge defects
+
+
+def test_cosine_knn_survives_zero_vector(spark):
+    from audit_anomaly_detection_etl_spark.operators import similarity
+
+    base = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.0, 0.0])],
+        "vec_id int, embedding array<double>",
+    )
+    q = spark.createDataFrame([(9, [1.0, 0.0])], "vec_id int, embedding array<double>")
+    rows = similarity.cosine_knn(base, q, k=3).collect()
+    by_n = {r["neighbor_id"]: r["cos"] for r in rows}
+    assert by_n[1] == 1.0 and by_n[3] == 0.0  # zero vector scores 0, no crash
+
+
+def test_distinct_counts_all_null_group(spark):
+    from audit_anomaly_detection_etl_spark.operators import vocab
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", None), ("b", None)], "g string, v string"
+    )
+    rows = {r["g"]: r for r in vocab.distinct_counts(df, "g", "v").collect()}
+    assert rows["a"]["rows_per_distinct"] == 1.0
+    assert rows["b"]["n_distinct"] == 0
+    assert rows["b"]["rows_per_distinct"] is None  # no crash, NULL ratio
+
+
+def test_zipf_audit_flat_curve_fails_not_crashes(spark):
+    from audit_anomaly_detection_etl_spark.operators import vocab
+
+    docs = spark.createDataFrame(
+        [("alpha beta",), ("gamma delta",)], "text string"
+    )
+    r = vocab.zipf_audit(docs).collect()[0]
+    assert r["zipf_ok"] is False  # uniform tf: deny=0 — defined false
+
+
+def test_vocab_divergence_empty_side_reports_divergence(spark):
+    from pyspark.sql import functions as SF
+
+    from audit_anomaly_detection_etl_spark.operators import vocab
+
+    docs = spark.createDataFrame(
+        [("the quick brown fox",), ("lazy dog jumps over",)], "text string"
+    )
+    r = vocab.vocab_divergence(docs, SF.lit(True)).collect()[0]
+    assert r["n_tokens_b"] == 0
+    assert r["diverged"] is True and r["jsd_norm"] == 0.5
+
+
+def test_rate_anomaly_keeps_null_group(spark):
+    from audit_anomaly_detection_etl_spark.operators import outliers
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:05:00"), ("a", "2024-01-01 01:05:00")]
+        + [(None, "2024-01-01 0%d:10:00" % h) for h in range(4)],
+        "event_type string, ts string",
+    ).selectExpr("event_type", "CAST(ts AS TIMESTAMP) AS ts")
+    got = outliers.rate_anomaly(df)
+    groups = {r["event_type"] for r in got.collect()}
+    assert None in groups and "a" in groups
+
+
+def test_uniqueness_violations_null_dup_keys(spark):
+    from audit_anomaly_detection_etl_spark.operators import uniqueness
+
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), ("c1", 1), ("c1", 1), ("c2", 3)],
+        "clip_id string, part int",
+    )
+    rows = uniqueness.uniqueness_violations(df).collect()
+    keys = [r["key"] for r in rows]
+    assert keys.count(None) == 2 and keys.count("c1") == 2
+
+
+def test_exact_duplicates_covers_null_text(spark):
+    from audit_anomaly_detection_etl_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "hi")], "doc_id int, text string"
+    )
+    rows = {r["doc_id"]: r for r in dedup.exact_duplicates(docs).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["dup_count"] == 2 and rows[1]["is_canonical"]
+    assert rows[2]["dup_count"] == 2 and not rows[2]["is_canonical"]
+
+
+def test_kmeans_fit_small_and_empty_sample(spark):
+    from audit_anomaly_detection_etl_spark.operators import similarity
+
+    base = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id int, embedding array<double>"
+    )
+    cents = similarity.kmeans_fit(base, n_centroids=8)
+    assert len(cents) == 2  # clamped to sample size
+    with pytest.raises(ValueError, match="empty"):
+        similarity.kmeans_fit(base.where("vec_id < 0"), n_centroids=8)
+
+
+def test_fk_health_matrix_empty_child(spark):
+    from audit_anomaly_detection_etl_spark.operators import referential
+
+    child = spark.createDataFrame([], "fk int, x int")
+    parent = spark.createDataFrame([(1,), (2,)], "pk int")
+    r = referential.fk_health_matrix(
+        [("edge", child, "fk", "parent", parent, "pk")]
+    ).collect()[0]
+    assert r["child_rows"] == 0 and r["null_fk_rows"] == 0
+    assert r["ok"] is True  # defined verdict, not NULL
+
+
+def test_aggregate_reconciliation_null_amounts_verdict(spark):
+    from audit_anomaly_detection_etl_spark.operators import referential
+
+    parent = spark.createDataFrame(
+        [(1, 10.0), (2, 5.0), (3, 7.0)], "k int, total double"
+    )
+    child = spark.createDataFrame(
+        [(1, None), (1, None), (2, 5.0)], "k int, amt double"
+    )
+    rows = {
+        r["k"]: r["verdict"]
+        for r in referential.aggregate_reconciliation(
+            parent, child, "k", "k", "total", F.col("amt")
+        ).collect()
+    }
+    assert rows == {1: "null_amounts", 2: "consistent", 3: "missing_child"}
