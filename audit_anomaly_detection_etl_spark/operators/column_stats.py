@@ -95,7 +95,10 @@ def column_stats(
                 (F.col(f"{c}__max") if is_num else F.lit(None).cast("double")).alias("max"),
                 (F.col(f"{c}__mean") if is_num else F.lit(None).cast("double")).alias("mean"),
                 (F.col(f"{c}__stddev") if is_num else F.lit(None).cast("double")).alias("stddev"),
-                (F.col(f"{c}__nulls") / F.col("n_rows")).alias("null_rate"),
+                # try_divide: an empty input still yields the 1-row global
+                # aggregate (n_rows = 0) and plain long division would abort
+                # under ANSI; NULL rate matches tall_stats_from_wide's guard
+                F.try_divide(F.col(f"{c}__nulls"), F.col("n_rows")).alias("null_rate"),
             )
         )
     exploded = wide.select(
@@ -150,11 +153,16 @@ def profile_diff(
         F.col("max").alias("max_cur"),
     )
     j = r.join(F.broadcast(c), "column")
+    # try_divide end-to-end: a CONSTANT column (stddev 0 in both snapshots)
+    # makes se = 0, and plain division would kill the whole diff with an
+    # ANSI DIVIDE_BY_ZERO; NULL z -> the coalesced verdicts below stay a
+    # defined false, and DuckDB's native x/0 -> NULL keeps the oracle
+    # matched. (An empty snapshot, n = 0, rides the same guard.)
     se = F.sqrt(
-        F.col("sd_ref") * F.col("sd_ref") / F.col("n_ref")
-        + F.col("sd_cur") * F.col("sd_cur") / F.col("n_cur")
+        F.try_divide(F.col("sd_ref") * F.col("sd_ref"), F.col("n_ref"))
+        + F.try_divide(F.col("sd_cur") * F.col("sd_cur"), F.col("n_cur"))
     )
-    z = F.abs(F.col("mean_cur") - F.col("mean_ref")) / se
+    z = F.try_divide(F.abs(F.col("mean_cur") - F.col("mean_ref")), se)
     null_delta = F.col("nr_cur") - F.col("nr_ref")
     breach = (F.col("min_cur") < F.col("min_ref")) | (F.col("max_cur") > F.col("max_ref"))
     return j.select(

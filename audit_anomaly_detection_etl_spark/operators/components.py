@@ -138,10 +138,18 @@ def dedup_clusters(
         id_col,
         F.coalesce("component", F.col(id_col)).alias("cluster_id"),
     )
-    size = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+    w = Window.partitionBy("cluster_id")
+    size = F.count(F.lit(1)).over(w)
+    # canonical = min doc id of the cluster WITHIN docs, not the raw
+    # cluster label: when docs is a filtered subset of the pair graph's
+    # nodes (quarantine removed the label doc, a re-run over a slice), the
+    # min-node label may not be present and `doc_id == cluster_id` would
+    # leave the whole cluster keeper-less — every copy killed. Same window
+    # as cluster_size, so no extra shuffle; identical output whenever docs
+    # covers the graph (min node of the component IS the min present doc).
     return d.select(
         id_col,
         "cluster_id",
         size.cast("long").alias("cluster_size"),
-        (F.col(id_col) == F.col("cluster_id")).alias("keep"),
+        (F.col(id_col) == F.min(id_col).over(w)).alias("keep"),
     )

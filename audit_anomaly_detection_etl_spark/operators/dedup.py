@@ -402,7 +402,11 @@ def edit_verified_pairs(
         f"CAST(FLOOR(({1.0 - sim_lit!r}) * GREATEST(length(a.nt), length(b.nt))) AS INT) + 1)"
     )
     mx = F.greatest(F.length("a.nt"), F.length("b.nt")).cast("double")
-    sim = F.lit(1.0) - lev.cast("double") / mx
+    # try_divide: two EMPTY normalized texts give mx = 0 and ANSI plain
+    # division would abort the pass; NULL sim drops the pair at the sim
+    # filter on both engines (DuckDB's 0/0 is NULL too) — empty-empty
+    # duplicates are the exact-dup tier's catch (q20), not this kernel's
+    sim = F.lit(1.0) - F.try_divide(lev.cast("double"), mx)
     # lev >= |len_a - len_b|, so sim >= t forces the length gap under
     # (1-t)*max_len. Filtering on lengths FIRST (join-condition-pushable,
     # O(1) per pair) skips the O(L^2) levenshtein kernel for the bulk of

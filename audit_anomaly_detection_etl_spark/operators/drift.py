@@ -32,6 +32,15 @@ class BinSpec:
     hi: float
     n_bins: int
 
+    def __post_init__(self):
+        # a degenerate range or bin count would otherwise surface as an
+        # ANSI DIVIDE_BY_ZERO deep inside a consumer's plan (e.g. the
+        # wasserstein w1 / (hi - lo) normalization) — fail at construction
+        if not (self.hi > self.lo):
+            raise ValueError(f"BinSpec({self.col}): hi must exceed lo")
+        if self.n_bins <= 0:
+            raise ValueError(f"BinSpec({self.col}): n_bins must be positive")
+
 
 def _bucket(spec: BinSpec):
     # width_bucket: 0 = below lo, n_bins+1 = above hi -> clamp into [1, n_bins]

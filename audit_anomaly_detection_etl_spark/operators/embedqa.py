@@ -64,7 +64,14 @@ def embedding_qa(
         F.col(id_col),
         F.size(F.col(vec_col)).alias("dim"),
         _nonfinite_count(F.col(vec_col)).alias("n_nonfinite"),
-        _l2_norm(F.col(vec_col)).alias("__norm"),
+        # a NULL vector (upstream embedding job emitted nothing) must be
+        # FLAGGED, not NULL-flagged: norm 0.0 puts it on the zero_norm
+        # verdict, so `WHERE zero_norm` catches it — otherwise every flag
+        # is NULL and the row silently escapes all downstream filters.
+        # Matches the q83 oracle's coalesce(list_sum(..), 0) exactly.
+        F.when(F.col(vec_col).isNull(), F.lit(0.0))
+        .otherwise(_l2_norm(F.col(vec_col)))
+        .alias("__norm"),
     )
     clean = (F.col("n_nonfinite") == 0) & (F.col("__norm") > zero_tol)
     if expected_dim is None:

@@ -66,7 +66,12 @@ def filter_verdicts(
     ``keep`` (no rule fired) and ``first_fail`` (earliest firing rule in
     ``RULE_ORDER``, NULL when kept) — ``WHERE NOT keep`` is the kill-list,
     ``GROUP BY first_fail`` the tuning report."""
-    ws = T.words(T.normalized_text(F.col(text_col)))
+    # NULL text coalesces to '' so the doc is KILLED (too_short), not
+    # NULL-verdicted: under ANSI size(NULL) is NULL, which would make every
+    # rule NULL and let the doc slip through `WHERE NOT keep` — the one
+    # document class that must never survive a corpus filter silently
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    ws = T.words(T.normalized_text(txt))
     n = F.size(ws)
     nd = n.cast("double")
     mean_wl = F.when(
@@ -76,7 +81,7 @@ def filter_verdicts(
     stop_ratio = F.when(
         n > 0, F.size(F.filter(ws, lambda x: x.isin(T.STOPWORDS))) / nd
     ).otherwise(F.lit(0.0))
-    punct_ratio = T.punct_count(F.col(text_col)).cast("double") / F.greatest(
+    punct_ratio = T.punct_count(txt).cast("double") / F.greatest(
         nd, F.lit(1.0)
     )
 
@@ -99,7 +104,7 @@ def filter_verdicts(
     tops = tc.groupBy(id_col).agg(
         (F.max("c").cast("double") / F.sum("c")).alias("__topf")
     )
-    bgs = docs.select(F.col(id_col), F.explode(T.ngrams(F.col(text_col), 2)).alias("bg"))
+    bgs = docs.select(F.col(id_col), F.explode(T.ngrams(txt, 2)).alias("bg"))
     bc = bgs.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("c"))
     dupb = bc.groupBy(id_col).agg(
         (

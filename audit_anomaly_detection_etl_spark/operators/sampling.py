@@ -123,15 +123,22 @@ def mixing_weights(
         F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias("tot_pw"),
     )
     j = per.crossJoin(F.broadcast(tot))
-    p = F.col("n_tokens").cast("double") / F.col("tot_tokens")
-    w = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) / F.col("tot_pw")
+    # try_divide: a ZERO-token source (all docs empty/whitespace — a broken
+    # extractor is exactly what this report surfaces) makes p = 0 and
+    # sample_factor = 0/0, which ANSI plain division turns into a
+    # query-killing DIVIDE_BY_ZERO. NULL matches DuckDB's x/0 semantics, so
+    # the oracle needs no change.
+    p = F.try_divide(F.col("n_tokens").cast("double"), F.col("tot_tokens"))
+    w = F.try_divide(
+        F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)), F.col("tot_pw")
+    )
     return j.select(
         "source",
         "n_docs",
         "n_tokens",
         F.round(p, 6).alias("p_tokens"),
         F.round(w, 6).alias("weight"),
-        F.round(w / p, 6).alias("sample_factor"),
+        F.round(F.try_divide(w, p), 6).alias("sample_factor"),
     )
 
 
@@ -221,10 +228,16 @@ def mixture_materialize(
         F.sum("n_tokens").alias("tot_tokens"),
         F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias("tot_pw"),
     )
-    p = F.col("n_tokens").cast("double") / F.col("tot_tokens")
-    wgt = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) / F.col("tot_pw")
+    # try_divide (see mixing_weights): a zero-token source would otherwise
+    # abort the whole materialization with DIVIDE_BY_ZERO under ANSI; NULL
+    # epochs flow to NULL n_copies, which the >= 1 filter drops — a source
+    # with no tokens contributes no training copies, the right verdict
+    p = F.try_divide(F.col("n_tokens").cast("double"), F.col("tot_tokens"))
+    wgt = F.try_divide(
+        F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)), F.col("tot_pw")
+    )
     factors = per.crossJoin(F.broadcast(tot)).select(
-        "source", (F.lit(rate) * wgt / p).alias("epochs")
+        "source", (F.lit(rate) * F.try_divide(wgt, p)).alias("epochs")
     )
     j = docs.select(
         F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")

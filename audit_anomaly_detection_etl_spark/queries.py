@@ -1469,7 +1469,7 @@ def q72(spark, sf_dir):
     SELECT doc_id, cluster_id,
            CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
                AS cluster_size,
-           doc_id = cluster_id AS keep
+           doc_id = MIN(doc_id) OVER (PARTITION BY cluster_id) AS keep
     FROM lab
     """.format(cte=_winnow_fps_sql()),
 )
@@ -1644,7 +1644,8 @@ def q84(spark, sf_dir):
 @q(
     "q85_filter_verdicts",
     """
-    WITH w AS (SELECT doc_id, text, {words} AS ws FROM documents),
+    WITH docs0 AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+    w AS (SELECT doc_id, text, {words} AS ws FROM docs0),
     s AS (SELECT doc_id, len(ws) AS n_words,
             CASE WHEN len(ws) > 0
                  THEN list_sum(list_transform(ws, x -> len(x)))

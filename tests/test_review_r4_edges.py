@@ -303,3 +303,102 @@ def test_aggregate_reconciliation_null_amounts_verdict(spark):
         ).collect()
     }
     assert rows == {1: "null_amounts", 2: "consistent", 3: "missing_child"}
+
+
+# --- third review batch: ANSI division crashes and NULL-escape edges in
+# --- embedqa / sampling / column_stats / quality_filter / components / drift
+
+
+def test_embedding_qa_null_vector_flagged(spark):
+    from audit_anomaly_detection_etl_spark.operators import embedqa
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, None)], "vec_id int, embedding array<double>"
+    )
+    rows = {r["vec_id"]: r for r in embedqa.embedding_qa(df).collect()}
+    assert rows[1]["zero_norm"] is False and rows[1]["l2_norm"] == 5.0
+    # NULL vector must land on a defined flag, not NULL-escape every filter
+    assert rows[2]["zero_norm"] is True and rows[2]["l2_norm"] == 0.0
+
+
+def test_mixing_weights_zero_token_source(spark):
+    from audit_anomaly_detection_etl_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(1, "a", "hello world"), (2, "a", "more text"), (3, "b", "   ")],
+        "doc_id int, source string, text string",
+    )
+    rows = {r["source"]: r for r in sampling.mixing_weights(docs).collect()}
+    assert rows["a"]["weight"] == 1.0
+    assert rows["b"]["weight"] == 0.0
+    assert rows["b"]["sample_factor"] is None  # 0/0: NULL, not a crash
+
+
+def test_mixture_materialize_zero_token_source(spark):
+    from audit_anomaly_detection_etl_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(1, "a", "hello world"), (2, "a", "more text"), (3, "b", None)],
+        "doc_id int, source string, text string",
+    )
+    out = sampling.mixture_materialize(docs, rate=1.0).collect()
+    assert {r["doc_id"] for r in out} == {1, 2}  # zero-token source: no copies
+
+
+def test_profile_diff_constant_column_no_drift(spark):
+    from audit_anomaly_detection_etl_spark.operators import column_stats as cs
+
+    schema = (
+        "column string, n_rows long, mean double, stddev double, "
+        "null_rate double, min double, max double"
+    )
+    ref = spark.createDataFrame([("c", 10, 5.0, 0.0, 0.0, 5.0, 5.0)], schema)
+    cur = spark.createDataFrame([("c", 12, 5.0, 0.0, 0.0, 5.0, 5.0)], schema)
+    r = cs.profile_diff(ref, cur).collect()[0]
+    # identical constant column: z undefined (se=0) but verdict defined false
+    assert r["mean_shift_z"] is None and r["mean_drift"] is False
+
+
+def test_column_stats_empty_input(spark):
+    from audit_anomaly_detection_etl_spark.operators import column_stats as cs
+
+    df = spark.createDataFrame([], "x double, y string")
+    rows = cs.column_stats(df, ["x"], ["x", "y"]).collect()
+    assert len(rows) == 2  # global agg row survives an empty table
+    assert all(r["null_rate"] is None and r["n_rows"] == 0 for r in rows)
+
+
+def test_filter_verdicts_null_text_is_killed(spark):
+    from audit_anomaly_detection_etl_spark.operators import quality_filter
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "the quick brown fox jumps over the lazy dog and then "
+                        "runs a of to and far away home again soon")],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_filter.filter_verdicts(docs).collect()}
+    assert rows[1]["keep"] is False and rows[1]["first_fail"] == "too_short"
+    assert rows[2]["keep"] is True
+
+
+def test_dedup_clusters_keeper_survives_filtered_canonical(spark):
+    from audit_anomaly_detection_etl_spark.operators import components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a int, doc_b int"
+    )
+    docs = spark.createDataFrame([(2,), (3,), (4,)], "doc_id int")
+    rows = {r["doc_id"]: r for r in components.dedup_clusters(docs, pairs).collect()}
+    # doc 1 (the component's min label) is not in docs: the cluster must
+    # still retain exactly one canonical survivor among present docs
+    assert rows[2]["keep"] is True and rows[3]["keep"] is False
+    assert rows[4]["keep"] is True and rows[4]["cluster_size"] == 1
+
+
+def test_binspec_rejects_degenerate_range():
+    from audit_anomaly_detection_etl_spark.operators.drift import BinSpec
+
+    with pytest.raises(ValueError, match="hi must exceed lo"):
+        BinSpec("x", 1.0, 1.0, 10)
+    with pytest.raises(ValueError, match="n_bins"):
+        BinSpec("x", 0.0, 1.0, 0)
