@@ -57,6 +57,8 @@ HEADLINE = [
     "q89_wasserstein_drift",    # aggregate-grain dense grid + partitioned cumsum
     "q94_edit_verified_pairs",  # bounded prefix-block self-join + JVM levenshtein
     "q97_fk_health_matrix",     # 7 key-grain anti-join edges in one action
+    "q130_json_key_profile",    # JVM from_json key-set profile (round-4 rep)
+    "q133_unit_mismatch",       # decade-grain magnitude clustering (round-4 rep)
 ]
 
 
