@@ -46,10 +46,23 @@ _NUM_RE = re.compile(r"^-?(\d+\.?\d*|\.\d+)([eE][-+]?\d+)?$")
 # as _x005F_xHHHH_ so the round trip is lossless.
 _XML_ILLEGAL_RE = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
 _X_ESCAPE_RE = re.compile(r"_x([0-9A-Fa-f]{4})_")
+# escape-side match is a LOOKAHEAD on the leading underscore: tokens can
+# OVERLAP (the trailing '_' of '_x005F_' is the lead of a following
+# 'x0041_'), and a consuming match would skip the second token — literal
+# '_x005F_x0041_' text then corrupts to '_x005FA' after a round trip. The
+# lookahead escapes every underscore that starts a token shape, consuming
+# nothing, so overlapping tokens each get their own _x005F_. The shape's
+# closing '_' may also MATERIALIZE in the escaped output: an illegal char
+# right after '_xHHHH' becomes an '_x00NN_' escape whose lead underscore
+# completes the spurious token (literal '_x0041'+\\x01 would decode as
+# 'A'+...), so the lookahead accepts 'closing _ OR illegal char' there.
+_X_LEAD_RE = re.compile(
+    r"_(?=x[0-9A-Fa-f]{4}(?:_|[\x00-\x08\x0b\x0c\x0e-\x1f]))"
+)
 
 
 def _x_escape(s: str) -> str:
-    s = _X_ESCAPE_RE.sub(lambda m: f"_x005F_x{m.group(1)}_", s)
+    s = _X_LEAD_RE.sub("_x005F_", s)
     return _XML_ILLEGAL_RE.sub(lambda m: f"_x{ord(m.group(0)):04X}_", s)
 
 

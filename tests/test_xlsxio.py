@@ -130,3 +130,53 @@ def test_control_chars_roundtrip_via_x_escape(spark, tmp_path):
     assert back[1] == "bell\x07and\x1funit"
     assert back[2] == "literal _x0007_ text"
     assert back[3] == "plain"
+
+
+# --- property fuzz: the SpreadsheetML _xHHHH_ escape layer ---------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from audit_anomaly_detection_etl_spark.sources.xlsxio import (
+    _X_ESCAPE_RE,
+    _XML_ILLEGAL_RE,
+    _x_escape,
+    _x_unescape,
+)
+
+# adversarial fragments: whole escape-shaped tokens (so OVERLAPPING tokens
+# like '_x005F_x0041_' actually occur), bare pieces of the token syntax,
+# XML-illegal controls, XML-special characters, and ordinary text
+_adversarial = st.lists(
+    st.one_of(
+        st.sampled_from(
+            ["_x0041_", "_x005F_", "_x0001_", "_", "x0041_", "_x0041",
+             "x005F", "<", ">", "&", '"', "A", "9", "é", "　", " "]
+        ),
+        st.characters(min_codepoint=0, max_codepoint=0x1F),
+        st.text(max_size=6),
+    ),
+    max_size=12,
+).map("".join)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_adversarial)
+def test_x_escape_roundtrip_lossless(s):
+    esc = _x_escape(s)
+    # escaped form is XML-legal and carries no *unintentional* escape
+    # sequences: every _xHHHH_ in it decodes back to exactly the original
+    assert _XML_ILLEGAL_RE.search(esc) is None
+    assert _x_unescape(esc) == s
+
+
+def test_literal_escape_text_survives(spark, tmp_path):
+    # a cell whose TEXT is literally '_x0041_' must come back as that text,
+    # not decode to 'A' (the _x005F_ self-escape rule, ECMA-376 §22.9.2.19)
+    from audit_anomaly_detection_etl_spark.sources import xlsxio
+
+    p = str(tmp_path / "lit.xlsx")
+    df = spark.createDataFrame([("_x0041_",), ("_x005F_x0041_",)], "s string")
+    xlsxio.write_xlsx(df, p)
+    got = sorted(r["s"] for r in xlsxio.read_xlsx(spark, p).collect())
+    assert got == ["_x0041_", "_x005F_x0041_"]
