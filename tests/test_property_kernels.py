@@ -97,3 +97,43 @@ def test_ks_critical_monotone_in_sample_size(n, m):
     c = stats.ks_critical(n, m)
     assert c > 0
     assert stats.ks_critical(n * 4, m * 4) < c
+
+
+# --- parse_wav adversarial-bytes contract --------------------------------
+# The RIFF walker feeds the wav_metadata mapInPandas pass, which catches
+# ONLY ValueError (operators/media.py) — any other exception type from a
+# malformed payload would kill the whole Arrow batch, failing every clip in
+# it instead of just the torn one. Contract: arbitrary bytes either parse
+# to a dict or raise ValueError; mutated VALID containers too.
+
+_garbage = st.binary(max_size=64)
+_mutation = st.tuples(
+    st.integers(min_value=0, max_value=199),  # flip position (mod len)
+    st.integers(min_value=0, max_value=255),  # new byte value
+    st.integers(min_value=0, max_value=200),  # truncation point (mod len+1)
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_garbage)
+def test_parse_wav_garbage_bytes_contract(raw):
+    try:
+        m = codecs.parse_wav(raw)
+        assert isinstance(m, dict) and "data" in m
+    except ValueError:
+        pass  # the one allowed failure mode
+
+
+@settings(max_examples=200, deadline=None)
+@given(_mutation)
+def test_parse_wav_mutated_valid_container_contract(mut):
+    pcm = np.linspace(-0.5, 0.5, 40, dtype=np.float64)
+    raw = bytearray(codecs.encode_wav(pcm, 8000, "pcm_s16le"))
+    pos, val, cut = mut
+    raw[pos % len(raw)] = val
+    raw = bytes(raw[: cut % (len(raw) + 1)])
+    try:
+        m = codecs.parse_wav(raw)
+        assert isinstance(m, dict)
+    except ValueError:
+        pass
