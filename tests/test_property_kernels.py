@@ -137,3 +137,21 @@ def test_parse_wav_mutated_valid_container_contract(mut):
         assert isinstance(m, dict)
     except ValueError:
         pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.one_of(
+        st.binary(max_size=64),
+        st.binary(max_size=60).map(lambda b: b"\xff\xd8" + b),   # JPEG magic
+        st.binary(max_size=56).map(
+            lambda b: b"\x89PNG\r\n\x1a\n" + b                   # PNG magic
+        ),
+    )
+)
+def test_sniff_image_never_raises(raw):
+    from audit_anomaly_detection_etl_spark.operators.media import _sniff_image
+
+    fmt, w, h = _sniff_image(raw)  # contract: 3-tuple, no exception
+    assert fmt in (None, "png", "jpeg")
+    assert w is None or w >= 0
