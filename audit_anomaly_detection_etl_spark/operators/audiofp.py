@@ -84,17 +84,25 @@ def _constellation(pcm: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _landmarks(t: np.ndarray, f: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """(hash, anchor_t) pairs from a constellation — fully vectorized:
-    valid-pair matrix -> per-anchor rank via row cumsum -> first ``FANOUT``."""
+    """(hash, anchor_t) pairs from a constellation — O(p * FANOUT):
+    ``t`` is sorted, so each anchor's valid targets (0 < dt <= MAX_DT, taken
+    in (t, f) order) are a contiguous slice found with two searchsorted
+    calls. The obvious p x p valid-pair matrix is quadratic in PEAK COUNT —
+    ~1 GB of temporaries for a 30 s clip and unbounded for long recordings —
+    while this form is linear in output size regardless of clip length."""
     p = len(t)
     if p < 2:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    dt = t[None, :] - t[:, None]  # dt[i, j] = t_j - t_i
-    valid = (dt > 0) & (dt <= MAX_DT)
-    rank = np.cumsum(valid, axis=1)  # targets already in (t, f) order
-    take = valid & (rank <= FANOUT)
-    ai, tj = np.nonzero(take)
-    h = (f[ai].astype(np.int64) << 16) | (f[tj].astype(np.int64) << 8) | dt[ai, tj].astype(np.int64)
+    lo = np.searchsorted(t, t, side="right")  # first j with t[j] > t[i]
+    hi = np.searchsorted(t, t + MAX_DT, side="right")  # first j past the window
+    cnt = np.minimum(hi - lo, FANOUT)
+    ai = np.repeat(np.arange(p), cnt)
+    if ai.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    starts = np.cumsum(cnt) - cnt
+    tj = lo[ai] + (np.arange(ai.size) - np.repeat(starts, cnt))
+    dt = t[tj] - t[ai]
+    h = (f[ai].astype(np.int64) << 16) | (f[tj].astype(np.int64) << 8) | dt.astype(np.int64)
     return h, t[ai].astype(np.int64)
 
 

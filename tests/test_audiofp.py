@@ -132,3 +132,36 @@ def test_degenerate_clips_yield_no_fingerprints(spark):
     )
     out = audiofp.fingerprints(spark.createDataFrame(rows)).collect()
     assert out == []
+
+
+def test_landmarks_match_bruteforce_on_random_constellations():
+    """The searchsorted pairing must equal the naive O(p^2) walk — order
+    included — over constellations denser and duplicate-heavier than real
+    audio produces (many peaks per frame, runs of equal t)."""
+
+    def brute(t, f):
+        out = []
+        peaks = list(zip(t.tolist(), f.tolist()))
+        for i, (t1, f1) in enumerate(peaks):
+            n = 0
+            for t2, f2 in peaks[i + 1 :]:
+                if t2 == t1:
+                    continue
+                if t2 - t1 > audiofp.MAX_DT:
+                    break
+                out.append(((f1 << 16) | (f2 << 8) | (t2 - t1), t1))
+                n += 1
+                if n == audiofp.FANOUT:
+                    break
+        return out
+
+    rng = np.random.default_rng(7)
+    for trial in range(50):
+        p = int(rng.integers(0, 40))
+        t = np.sort(rng.integers(0, 12, size=p)).astype(np.int64)
+        f = rng.integers(1, 129, size=p).astype(np.int64)
+        # sort by (t, f) exactly like _constellation does
+        order = np.lexsort((f, t))
+        t, f = t[order], f[order]
+        h, at = audiofp._landmarks(t, f)
+        assert list(zip(h.tolist(), at.tolist())) == brute(t, f), f"trial {trial}"
