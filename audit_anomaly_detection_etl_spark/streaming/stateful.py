@@ -106,7 +106,13 @@ def stateful_chronology_monitor(
         max_back = 0
         new_hw = hw
         for pdf in pdfs:
-            us = (pdf[ts_col].astype("datetime64[us]").astype("int64")).to_numpy()
+            ts = pdf[ts_col]
+            # NaT casts to int64-min, which would read as a ~292k-year
+            # backstep; null timestamps are the schema check's violation,
+            # not a chronology event
+            us = (
+                ts[ts.notna()].astype("datetime64[us]").astype("int64")
+            ).to_numpy()
             if us.size == 0:
                 continue
             if hw is not None:

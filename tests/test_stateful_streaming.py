@@ -164,3 +164,51 @@ def test_chronology_monitor_string_entity_key(spark, tmp_path):
     assert set(rows) == {"clip-a"}
     assert rows["clip-a"]["n_late"] == 1
     assert rows["clip-a"]["max_backstep_sec"] == 30.0
+
+
+def test_chronology_monitor_ignores_null_timestamps(spark, tmp_path):
+    """A NaT timestamp casts to int64-min in pandas — untreated it would
+    score as a ~292,000-year backstep. Null ts rows are the schema check's
+    problem; the chronology monitor must skip them entirely."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+
+    def write(name, rows):
+        os.makedirs(src, exist_ok=True)
+        with open(os.path.join(src, name), "w") as f:
+            for cid, ts in rows:
+                f.write(json.dumps({"clip_id": cid, "ts": ts}) + "\n")
+
+    def run():
+        stream = (
+            spark.readStream.schema("clip_id string, ts string")
+            .json(src)
+            .selectExpr("clip_id", "CAST(ts AS TIMESTAMP) AS ts")
+        )
+        late = stateful.stateful_chronology_monitor(stream, group_col="clip_id")
+
+        def dump(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(sink)
+
+        q = (
+            late.writeStream.foreachBatch(dump)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.awaitTermination()
+
+    write("b1.jsonl", [("clip-a", "2024-06-01 12:00:00")])
+    run()
+    # null ts + an on-time arrival: nothing is late, nothing may emit
+    write("b2.jsonl", [("clip-a", None), ("clip-a", "2024-06-01 12:01:00")])
+    run()
+    assert not os.path.exists(sink) or spark.read.parquet(sink).count() == 0
+    # a REAL late arrival after the null batch still fires against 12:01
+    write("b3.jsonl", [("clip-a", "2024-06-01 12:00:30")])
+    run()
+    rows = spark.read.parquet(sink).collect()
+    assert len(rows) == 1 and rows[0]["n_late"] == 1
+    assert rows[0]["max_backstep_sec"] == 30.0
