@@ -81,12 +81,19 @@ def cramers_v(
     out = cell_sum.crossJoin(F.broadcast(tot))
     chi2 = F.col("tot") * (F.col("s") - F.lit(1.0))
     dof = ((F.col("n_a") - 1) * (F.col("n_b") - 1)).cast("int")
-    h = 2.0 / (9.0 * dof.cast("double"))
+    # A constant column gives dof = 0 (chi2 is then exactly 0 — a constant
+    # is independent of everything); the Wilson-Hilferty h and the V
+    # denominator both divide by dof-derived terms, which ANSI mode turns
+    # into a DIVIDE_BY_ZERO abort. Report: crit NULL (no test possible),
+    # V = 0.0, associated = false.
+    h = F.when(dof > 0, F.lit(2.0) / (F.lit(9.0) * dof.cast("double")))
     crit = dof.cast("double") * F.pow(
         F.lit(1.0) - h + F.lit(z_alpha) * F.sqrt(h), F.lit(3.0)
     )
     vmin = F.least(F.col("n_a") - 1, F.col("n_b") - 1).cast("double")
-    v = F.sqrt(F.greatest(chi2, F.lit(0.0)) / (F.col("tot") * vmin))
+    v = F.when(
+        vmin > 0, F.sqrt(F.greatest(chi2, F.lit(0.0)) / (F.col("tot") * vmin))
+    ).otherwise(F.lit(0.0))
     return out.select(
         F.lit(la).alias("col_a"),
         F.lit(lb).alias("col_b"),
@@ -97,5 +104,5 @@ def cramers_v(
         F.round(chi2, 6).alias("chi2"),
         F.round(crit, 6).alias("chi2_crit"),
         F.round(v, 6).alias("cramers_v"),
-        (chi2 > crit).alias("associated"),
+        F.coalesce(chi2 > crit, F.lit(False)).alias("associated"),
     )

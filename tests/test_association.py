@@ -62,3 +62,18 @@ def test_perfect_dependence_and_independence(spark):
     r = association.cramers_v(ind, "x", "y").collect()[0]
     assert r["chi2"] == pytest.approx(0.0, abs=1e-9)
     assert r["associated"] is False
+
+
+def test_constant_column_reports_no_association(spark):
+    """dof = 0 (one dimension constant) used to abort with DIVIDE_BY_ZERO
+    under ANSI mode; a constant is independent of everything, so the audit
+    must report chi2 = 0, V = 0, associated = false, crit = NULL."""
+    df = spark.createDataFrame(
+        [("x", i % 3) for i in range(30)], "a string, b int"
+    )
+    r = association.cramers_v(df, "a", "b").collect()[0]
+    assert r["n"] == 30 and r["n_a"] == 1 and r["dof"] == 0
+    assert r["chi2"] == 0.0
+    assert r["cramers_v"] == 0.0
+    assert r["chi2_crit"] is None
+    assert r["associated"] is False
