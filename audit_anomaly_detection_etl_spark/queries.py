@@ -2575,12 +2575,18 @@ def q107(spark, sf_dir):
                       SUM(l_extendedprice * l_extendedprice) AS syy
                FROM lineitem),
     fit AS (SELECT n,
-                   (sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope,
-                   sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx / n
+                   CASE WHEN sxx - sx * sx / n > 0
+                        THEN (sxy - sx * sy / n) / (sxx - sx * sx / n) END
+                       AS slope,
+                   CASE WHEN sxx - sx * sx / n > 0
+                        THEN sy / n - (sxy - sx * sy / n)
+                             / (sxx - sx * sx / n) * sx / n END
                        AS intercept,
-                   sqrt(((syy - sy * sy / n)
-                         - (sxy - sx * sy / n) * (sxy - sx * sy / n)
-                           / (sxx - sx * sx / n)) / (n - 2.0)) AS rsd
+                   CASE WHEN n > 2 AND sxx - sx * sx / n > 0
+                        THEN sqrt(((syy - sy * sy / n)
+                                   - (sxy - sx * sy / n) * (sxy - sx * sy / n)
+                                     / (sxx - sx * sx / n)) / (n - 2.0)) END
+                       AS rsd
             FROM s)
     SELECT l_orderkey, l_linenumber, l_quantity,
            ROUND(l_extendedprice, 2) AS price,
@@ -2588,8 +2594,9 @@ def q107(spark, sf_dir):
            ROUND((l_extendedprice - intercept - slope * l_quantity) / rsd, 6)
                AS resid_z
     FROM lineitem CROSS JOIN fit
-    WHERE ABS(l_extendedprice - intercept - slope * l_quantity) > 3.0 * rsd
-    """,
+    WHERE rsd > 0
+      AND ABS(l_extendedprice - intercept - slope * l_quantity) > 3.0 * rsd
+""",
 )
 def q108(spark, sf_dir):
     """Cross-field regression conformance: fit price ~ quantity globally in
@@ -2612,17 +2619,25 @@ def q108(spark, sf_dir):
     sxc = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
     sxxc = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
     syyc = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
-    slope = sxc / sxxc
+    # degenerate-fit guards (ANSI divide-by-zero otherwise): no x-variance
+    # or n <= 2 means no regression exists -> NULL fit -> zero violations;
+    # rsd == 0 (perfectly collinear) likewise cannot flag a 3-sigma residual
+    slope = F.when(sxxc > 0, sxc / sxxc)
     fit = s.select(
         slope.alias("slope"),
         (F.col("sy") / F.col("n") - slope * F.col("sx") / F.col("n")).alias(
             "intercept"
         ),
-        F.sqrt((syyc - sxc * sxc / sxxc) / (F.col("n") - 2.0)).alias("rsd"),
+        F.when(
+            (F.col("n") > 2) & (sxxc > 0),
+            F.sqrt((syyc - sxc * sxc / sxxc) / (F.col("n") - 2.0)),
+        ).alias("rsd"),
     )
     j = li.crossJoin(F.broadcast(fit))
     resid = y - F.col("intercept") - F.col("slope") * x
-    return j.where(F.abs(resid) > 3.0 * F.col("rsd")).select(
+    return j.where(
+        (F.col("rsd") > 0) & (F.abs(resid) > 3.0 * F.col("rsd"))
+    ).select(
         "l_orderkey",
         "l_linenumber",
         "l_quantity",

@@ -402,3 +402,50 @@ def test_binspec_rejects_degenerate_range():
         BinSpec("x", 1.0, 1.0, 10)
     with pytest.raises(ValueError, match="n_bins"):
         BinSpec("x", 0.0, 1.0, 0)
+
+
+def _write_lineitem(tmp_path, rows):
+    import os
+
+    os.makedirs(tmp_path, exist_ok=True)
+    pd.DataFrame(
+        rows,
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+    ).to_parquet(os.path.join(tmp_path, "lineitem.parquet"))
+    return str(tmp_path)
+
+
+def test_q108_degenerate_fits_yield_zero_violations(spark, tmp_path):
+    """A regression that cannot be fit (n <= 2, or zero x-variance, or a
+    perfectly collinear cloud with rsd == 0) must emit zero conformance
+    violations — not abort with ANSI DIVIDE_BY_ZERO."""
+    import audit_anomaly_detection_etl_spark.queries as Q
+
+    single = _write_lineitem(tmp_path / "one", [(1, 1, 5.0, 50.0)])
+    assert Q.QUERIES["q108_regression_conformance"](spark, single).count() == 0
+
+    novar = _write_lineitem(
+        tmp_path / "novar", [(i, 1, 7.0, 10.0 * i) for i in range(1, 11)]
+    )
+    assert Q.QUERIES["q108_regression_conformance"](spark, novar).count() == 0
+
+    collinear = _write_lineitem(
+        tmp_path / "line", [(i, 1, float(i), 10.0 * i) for i in range(1, 21)]
+    )
+    assert Q.QUERIES["q108_regression_conformance"](spark, collinear).count() == 0
+
+
+def test_q108_flags_planted_relationship_outlier(spark, tmp_path):
+    """The 3-sigma residual screen must flag a row whose price is far off
+    the global price ~ quantity line even though both fields are in range."""
+    import audit_anomaly_detection_etl_spark.queries as Q
+
+    rows = [
+        (i, 1, float(i % 40 + 1), 10.0 * (i % 40 + 1) + (0.5 if i % 2 else -0.5))
+        for i in range(1, 101)
+    ]
+    rows.append((999, 1, 20.0, 600.0))  # on-range fields, off-line pairing
+    sf = _write_lineitem(tmp_path, rows)
+    out = Q.QUERIES["q108_regression_conformance"](spark, sf).collect()
+    assert [r["l_orderkey"] for r in out] == [999]
+    assert abs(out[0]["resid_z"]) > 3.0
