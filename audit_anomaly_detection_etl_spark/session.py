@@ -61,3 +61,31 @@ def _default_shuffle_partitions(master: str) -> int:
         except ValueError:
             return 32
     return 200
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make the engine importable on executors when the job was launched
+    without ``--py-files`` (e.g. ``python jobs/validate.py`` from an
+    arbitrary cwd): zip the installed package and ``addPyFile`` it — the
+    same distribution path ``spark-submit --py-files`` uses, built on
+    demand. No-op when the driver itself imported the package from a
+    ``--py-files`` zip (spark-submit already shipped that archive; walking
+    inside it to re-zip would fail).
+    """
+    import shutil
+    import tempfile
+
+    import audit_anomaly_detection_etl_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    if ".zip" in pkg_dir:
+        return
+    staging = tempfile.mkdtemp(prefix="engine_pyfiles_")
+    zip_base = os.path.join(staging, "engine")
+    shutil.make_archive(
+        zip_base,
+        "zip",
+        root_dir=os.path.dirname(pkg_dir),
+        base_dir=os.path.basename(pkg_dir),
+    )
+    spark.sparkContext.addPyFile(zip_base + ".zip")

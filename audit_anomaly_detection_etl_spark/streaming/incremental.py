@@ -60,16 +60,27 @@ def incremental_clip_validation(
     stream = reader.parquet(clips_root + "/part=*")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        viols = schema_check.constraint_violations(batch_df, spec.schema_spec)
+        # The schema and payload branches both consume the micro-batch; as
+        # plain lineage each union branch re-scans the source files —
+        # doubling the IO on the binary-heavy clips table. Pin the batch
+        # once (memory-and-disk, bounded by maxFilesPerTrigger) so the scan
+        # runs once per batch, and release it after the sink write.
         if ref_df is not None:
-            rep = payload.payload_report(batch_df, ref_df)
-            viols = viols.unionByName(payload.payload_violations(rep))
-        (
-            viols.select(*VIOLATION_COLS)
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(sink_dir)
-        )
+            batch_df = batch_df.persist()
+        try:
+            viols = schema_check.constraint_violations(batch_df, spec.schema_spec)
+            if ref_df is not None:
+                rep = payload.payload_report(batch_df, ref_df)
+                viols = viols.unionByName(payload.payload_violations(rep))
+            (
+                viols.select(*VIOLATION_COLS)
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(sink_dir)
+            )
+        finally:
+            if ref_df is not None:
+                batch_df.unpersist()
 
     return (
         stream.writeStream.foreachBatch(process)

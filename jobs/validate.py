@@ -32,7 +32,7 @@ from audit_anomaly_detection_etl_spark.plans.runner import (
     run_suite,
 )
 from audit_anomaly_detection_etl_spark.plans.spec import SuiteSpec
-from audit_anomaly_detection_etl_spark.session import get_spark
+from audit_anomaly_detection_etl_spark.session import get_spark, ship_package as _ship_package
 
 
 def main(argv: list[str] | None = None) -> dict:
@@ -188,30 +188,6 @@ def main(argv: list[str] | None = None) -> dict:
     }
     print(json.dumps(summary))
     return summary
-
-
-def _ship_package(spark) -> None:
-    """Make the engine importable on executors when the job was launched
-    without ``--py-files`` (e.g. ``python jobs/validate.py`` from an
-    arbitrary cwd): zip the installed package and addPyFile it — the same
-    distribution path spark-submit --py-files uses, built on demand.
-    """
-    import shutil
-    import tempfile
-
-    import audit_anomaly_detection_etl_spark as pkg
-
-    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
-    if ".zip" in pkg_dir:
-        # already zip-imported: the driver got the package from a --py-files
-        # archive, which spark-submit has ALREADY shipped to the executors —
-        # re-zipping would try to walk inside the archive and fail
-        return
-    staging = tempfile.mkdtemp(prefix="engine_pyfiles_")
-    zip_base = os.path.join(staging, "engine")
-    shutil.make_archive(zip_base, "zip", root_dir=os.path.dirname(pkg_dir),
-                        base_dir=os.path.basename(pkg_dir))
-    spark.sparkContext.addPyFile(zip_base + ".zip")
 
 
 def _sum_by_check(res) -> dict:

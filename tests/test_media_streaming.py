@@ -334,3 +334,29 @@ def test_payload_drift_matches_numpy_psi_oracle(spark):
         spark.createDataFrame(base), spark.createDataFrame(fresh), min_n=100
     ).collect()[0]
     assert not same["drifted"] and same["psi"] < 0.1
+
+
+def test_validate_stream_job_summary_and_resume(spark, tmp_path):
+    """The spark-submit streaming job: one run validates every landed file
+    exactly once (numInputRows counts ONE scan of the micro-batch, not one
+    per check branch), prints the violation families, and a re-run with no
+    new files validates zero rows — the file-offset log is the resume
+    marker."""
+    import sys
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo_root, "jobs"))
+    import validate_stream
+
+    ck = str(tmp_path / "ck")
+    s1 = validate_stream.main(["--synth", "200", "--checkpoint", ck])
+    assert s1["rows_validated"] == 200
+    assert "transcript_mismatch" in s1["violations_by_check_cumulative"]
+    assert "payload_snr" in s1["violations_by_check_cumulative"]
+
+    s2 = validate_stream.main(["--synth", "200", "--checkpoint", ck])
+    assert s2["rows_validated"] == 0
+    # cumulative sink is unchanged by the no-op run
+    assert (
+        s2["violations_by_check_cumulative"] == s1["violations_by_check_cumulative"]
+    )
