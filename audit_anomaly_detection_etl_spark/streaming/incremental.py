@@ -12,8 +12,9 @@ Two operators:
 
 - ``incremental_clip_validation``: file-source stream over the clips table
   root; each micro-batch runs the cheap row-level checks (schema domain +
-  payload decode invariants) via ``foreachBatch`` and appends violation rows
-  to a parquet sink. Cross-partition checks (uniqueness, referential, drift)
+  payload decode invariants) via ``foreachBatch`` and lands violation rows
+  in a batch_id-partitioned parquet sink (dynamic overwrite per batch_id —
+  a replayed micro-batch replaces its own rows, never duplicates them). Cross-partition checks (uniqueness, referential, drift)
   stay in the batch suite — they need table-wide state.
 - ``windowed_event_stats``: event-time tumbling-window aggregation with a
   watermark over a timestamped event stream (late data dropped past the
@@ -72,10 +73,18 @@ def incremental_clip_validation(
             if ref_df is not None:
                 rep = payload.payload_report(batch_df, ref_df)
                 viols = viols.unionByName(payload.payload_violations(rep))
+            # Exactly-once sink: foreachBatch can REPLAY a batch whose sink
+            # write completed but whose offset commit didn't (kill between
+            # the two). A plain append would duplicate that batch's
+            # violation rows; dynamic overwrite keyed on batch_id replaces
+            # exactly the replayed batch's partition instead (the replay
+            # reuses the same batch_id from the offset log).
             (
                 viols.select(*VIOLATION_COLS)
                 .withColumn("batch_id", F.lit(batch_id))
-                .write.mode("append")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
                 .parquet(sink_dir)
             )
         finally:

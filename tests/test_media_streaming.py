@@ -360,3 +360,46 @@ def test_validate_stream_job_summary_and_resume(spark, tmp_path):
     assert (
         s2["violations_by_check_cumulative"] == s1["violations_by_check_cumulative"]
     )
+
+
+def test_incremental_sink_survives_batch_replay_without_duplicates(spark, tmp_path):
+    """Kill-point realism: Structured Streaming commits the sink write
+    BEFORE the offset commit, so a crash between the two replays the whole
+    micro-batch on restart. Simulate exactly that by deleting the last
+    batch's commit marker from the offset log and re-running — the
+    batch_id-keyed dynamic overwrite must leave the sink bit-identical,
+    not doubled."""
+    import glob
+    import shutil
+
+    t = synth.generate_clips(n_clips=120, n_parts=4, seed=3)
+    paths = synth.write_clip_tables(t, str(tmp_path / "data"))
+    sink = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    ref = spark.read.parquet(paths["clips_ref"])
+
+    def run():
+        q = incremental.incremental_clip_validation(
+            spark, paths["clips"], sink, ck, ref_df=ref
+        )
+        q.awaitTermination()
+
+    run()
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(sink).drop("batch_id").collect()
+    )
+    assert before, "fixture must produce violations"
+
+    # crash simulation: offsets say batch 0 ran, commits say it never
+    # finished -> restart replays batch 0 against the already-written sink
+    commits = sorted(glob.glob(os.path.join(ck, "commits", "[0-9]*")))
+    last = commits[-1]
+    os.remove(last)
+    crc = os.path.join(os.path.dirname(last), f".{os.path.basename(last)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(sink).drop("batch_id").collect()
+    )
+    assert after == before
