@@ -147,14 +147,24 @@ def streaming_drift_monitor(
     available_now: bool = True,
 ):
     """Wire the windowed histogram through a ``foreachBatch`` PSI/KS
-    finalize into an append-mode parquet sink. ``available_now=True``
+    finalize into a batch_id-partitioned parquet sink. ``available_now=True``
     drains the backlog and stops (the batch-replay mode tests use);
     ``False`` runs continuously."""
     hist = windowed_histogram(stream_df, spec, ts_col, window, slide, watermark)
 
     def _finalize(batch_df: DataFrame, batch_id: int) -> None:
         scored = psi_over_windows(batch_df, spec, ref_counts, psi_thresh)
-        scored.write.mode("append").parquet(sink_dir)
+        # Same exactly-once shape as incremental_clip_validation's sink: a
+        # kill between the sink write and the offset commit replays this
+        # batch_id; dynamic overwrite of its partition replaces rather than
+        # duplicates the replayed windows.
+        (
+            scored.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sink_dir)
+        )
 
     writer = (
         hist.writeStream.outputMode("append")

@@ -106,3 +106,41 @@ def test_streamed_result_matches_batch(spark, batch_scored, tmp_path_factory):
         assert got[ws]["psi"] == r["psi"] and got[ws]["ks"] == r["ks"]
         assert got[ws]["drifted"] == r["drifted"]
         assert got[ws]["n_events"] == r["n_events"]
+
+
+def test_drift_sink_survives_batch_replay_without_duplicates(spark, tmp_path):
+    """Same kill-point as the incremental validator's replay test: the sink
+    write lands, the offset commit doesn't, the restart replays the batch.
+    The batch_id-keyed dynamic overwrite must leave the drift sink with one
+    row per finalized window, not two."""
+    import glob
+
+    src, sink, ck = (str(tmp_path / d) for d in ("src", "sink", "ck"))
+    df = spark.createDataFrame(_events(), "ts timestamp, value double")
+    df.repartition(4).write.parquet(src)
+
+    def run():
+        stream = spark.readStream.schema("ts timestamp, value double").parquet(src)
+        q = drift_stream.streaming_drift_monitor(
+            stream, SPEC, _ref_counts(), sink_dir=sink, checkpoint_dir=ck,
+            window="10 minutes", watermark="30 minutes",
+        )
+        q.awaitTermination(120)
+
+    run()
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(sink).drop("batch_id").collect()
+    )
+    assert before, "stream must finalize windows"
+
+    commits = sorted(glob.glob(os.path.join(ck, "commits", "[0-9]*")))
+    last = commits[-1]
+    os.remove(last)
+    crc = os.path.join(os.path.dirname(last), f".{os.path.basename(last)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(sink).drop("batch_id").collect()
+    )
+    assert after == before
