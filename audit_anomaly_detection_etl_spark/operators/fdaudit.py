@@ -42,16 +42,24 @@ def fd_audit(
     audit as conforming."""
     lhs = list(lhs)
     rkey = F.coalesce(F.col(rhs).cast("string"), F.lit(" null"))
+    # counts feeds two unshared subtrees (per-lhs rollup + the dominant-value
+    # join) and per_lhs feeds two more (dominant filter + final join) —
+    # without pinning, Catalyst plans a fresh detail scan under each branch
+    # (no exchange reuse across the differing downstream shapes; verified on
+    # the executed plan). Lazy localCheckpoints pin both at their tiny
+    # aggregate grains so the detail table is scanned exactly once, as the
+    # scale contract above promises (same pattern as benford.benford_audit).
     counts = (
         df.select(*lhs, rkey.alias("__rv"))
         .groupBy(*lhs, "__rv")
         .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False)
     )
     per_lhs = counts.groupBy(*lhs).agg(
         F.sum("__c").cast("long").alias("n_rows"),
         F.max("__c").cast("long").alias("__maxc"),
         F.countDistinct("__rv").cast("int").alias("n_rhs_values"),
-    )
+    ).localCheckpoint(eager=False)
     dominant = (
         counts.join(per_lhs, lhs)
         .where(F.col("__c") == F.col("__maxc"))
