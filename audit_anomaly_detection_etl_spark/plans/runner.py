@@ -36,6 +36,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators import (
     VIOLATION_COLS,
@@ -278,18 +279,36 @@ def run_suite(
             )
         if viols is not None:
             # persist: the union plan (incl. payload decode) computes ONCE;
-            # the write materializes it and the summary reads the cache —
-            # no parquet read-back job, no decode recompute
+            # the summary aggregate materializes it and the sink write reads
+            # the cache — no parquet read-back job, no decode recompute
             viols = viols.select(*VIOLATION_COLS).repartition("part").persist()
-            # idempotent: dynamic overwrite replaces exactly this wave's parts
-            # (writer-scoped option — run_suite must not flip the SHARED
-            # session's overwrite semantics for unrelated jobs)
-            viols.write.mode("overwrite").option(
-                "partitionOverwriteMode", "dynamic"
-            ).partitionBy("part").parquet(violations_path)
+            # EXACT counts first, from the FULL violation set — verdicts and
+            # metrics never see the sink cap below
             viol_summary = (
                 viols.groupBy("part", "check").agg(F.count(F.lit(1)).alias("n")).collect()
             )
+            # sink bound: a catastrophic failure (ref table gone, every row
+            # tripping one check) must not write table-scale example rows.
+            # row_number + <= cap compiles to WindowGroupLimit (top-k kept
+            # map-side per group, no full per-group sort materialization);
+            # the window is partitioned, so the plan-audit WindowExec rule
+            # holds. Truncation is discoverable: verdict count > sink rows.
+            sink = viols
+            if spec.max_violation_rows_per_check is not None:
+                w = Window.partitionBy("part", "check").orderBy(
+                    F.desc("severity"), F.asc("key"), F.asc("detail")
+                )
+                sink = (
+                    sink.withColumn("__rn", F.row_number().over(w))
+                    .where(F.col("__rn") <= int(spec.max_violation_rows_per_check))
+                    .drop("__rn")
+                )
+            # idempotent: dynamic overwrite replaces exactly this wave's parts
+            # (writer-scoped option — run_suite must not flip the SHARED
+            # session's overwrite semantics for unrelated jobs)
+            sink.write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("part").parquet(violations_path)
             viols.unpersist()
         else:
             viol_summary = []

@@ -76,6 +76,13 @@ class SuiteSpec:
     # they run globally on every invocation (cheap: key columns only).
     key_partitioned: bool = True
     uniqueness_salts: int = 32
+    # violations SINK bound: at 10^12 rows a catastrophic failure (ref table
+    # gone, a schema change that flags every row) would otherwise write
+    # table-scale violation rows to the sink. Per (part, check) only the
+    # top-N most severe example rows are kept (deterministic order:
+    # severity desc, key asc, detail asc); verdict counts stay EXACT — they
+    # aggregate the full violation set BEFORE the cap. None = unbounded.
+    max_violation_rows_per_check: int | None = 10_000
 
     def spec_hash(self) -> str:
         """Stable content hash over the spec tree + engine version; part of
@@ -116,7 +123,7 @@ class SuiteSpec:
 _SPEC_KEYS = {
     "schema", "drift", "psi_threshold", "checks", "key_partitioned",
     "uniqueness_salts", "speaking_rate_bounds", "loudness_bounds",
-    "encoding_text_col",
+    "encoding_text_col", "max_violation_rows_per_check",
 }
 
 # every check name the runner understands — the default SuiteSpec.checks
@@ -193,6 +200,17 @@ def spec_from_dict(doc: dict) -> SuiteSpec:
         kwargs["key_partitioned"] = bool(doc["key_partitioned"])
     if "uniqueness_salts" in doc:
         kwargs["uniqueness_salts"] = int(doc["uniqueness_salts"])
+    if "max_violation_rows_per_check" in doc:
+        cap = doc["max_violation_rows_per_check"]
+        if cap is not None:
+            cap = int(cap)
+            if cap < 1:
+                raise ValueError(
+                    "max_violation_rows_per_check must be >= 1 or null "
+                    "(a zero cap would leave no example row to diagnose a "
+                    "failed partition with)"
+                )
+        kwargs["max_violation_rows_per_check"] = cap
     return SuiteSpec(**kwargs)
 
 

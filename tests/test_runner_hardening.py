@@ -196,3 +196,47 @@ def test_encoding_check_requires_text_column():
     )  # default checks include 'encoding' but schema lacks 'transcript'
     with pytest.raises(ValueError, match="encoding check"):
         run_suite(None, "/nonexistent", None, None, "/tmp/never", spec=spec)
+
+
+def test_violation_sink_cap_bounds_rows_but_counts_stay_exact(spark, tmp_path):
+    """A partition tripping one check on many rows writes only the capped
+    top-severity examples to the sink, while the verdict's per-check counts
+    come from the FULL violation set. Part 1 stays under the cap and is
+    untouched."""
+    clips = str(tmp_path / "clips")
+    rows = (
+        # 7 rows of one duplicated clip_id in part 0 -> 7 uniqueness rows
+        [("dup", 0, 8000, 100, "pcm_s16le", "t", None)] * 7
+        # part 1: a single duplicate pair -> 2 rows, below the cap
+        + [("pair", 1, 8000, 100, "pcm_s16le", "t", None)] * 2
+        + [("ok", 1, 8000, 100, "pcm_s16le", "t", None)]
+    )
+    _write_clips(clips, rows)
+    spec = SuiteSpec(checks=("uniqueness",), max_violation_rows_per_check=3)
+    res = run_suite(spark, clips, None, None, str(tmp_path / "ck"), spec=spec)
+    # exact counts, from the uncapped set
+    assert res.verdicts[0].violations_by_check == {"uniqueness": 7}
+    assert res.verdicts[1].violations_by_check == {"uniqueness": 2}
+    v = spark.read.parquet(res.violations_path).toPandas()
+    assert len(v[v.part == 0]) == 3  # sink capped
+    assert len(v[v.part == 1]) == 2  # under cap: untouched
+    # truncation is discoverable: count exceeds surviving sink rows
+    assert res.verdicts[0].n_violations > len(v[v.part == 0])
+
+
+def test_violation_sink_cap_none_keeps_every_row(spark, tmp_path):
+    clips = str(tmp_path / "clips")
+    _write_clips(clips, [("dup", 0, 8000, 100, "pcm_s16le", "t", None)] * 5)
+    spec = SuiteSpec(checks=("uniqueness",), max_violation_rows_per_check=None)
+    res = run_suite(spark, clips, None, None, str(tmp_path / "ck"), spec=spec)
+    assert res.verdicts[0].violations_by_check == {"uniqueness": 5}
+    assert spark.read.parquet(res.violations_path).count() == 5
+
+
+def test_spec_loader_validates_violation_cap(tmp_path):
+    from audit_anomaly_detection_etl_spark.plans.spec import spec_from_dict
+
+    assert spec_from_dict({"max_violation_rows_per_check": 50}).max_violation_rows_per_check == 50
+    assert spec_from_dict({"max_violation_rows_per_check": None}).max_violation_rows_per_check is None
+    with pytest.raises(ValueError, match="must be >= 1 or null"):
+        spec_from_dict({"max_violation_rows_per_check": 0})
