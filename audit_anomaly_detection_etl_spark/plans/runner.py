@@ -194,6 +194,27 @@ def _global_key_checks(
     return out
 
 
+def _cap_sink(viols: DataFrame, cap: int | None) -> DataFrame:
+    """Sink bound: a catastrophic failure (ref table gone, every row tripping
+    one check) must not write table-scale example rows. Keep only the top
+    ``cap`` most severe rows per (part, check) — deterministic order:
+    severity desc, key asc, detail asc. row_number + <= cap compiles to
+    WindowGroupLimit (top-k kept map-side per group, no full per-group sort
+    materialization); the window is partitioned, so the plan-audit
+    WindowExec rule holds. Truncation is always discoverable: verdict /
+    summary counts aggregate the UNCAPPED set before this is applied."""
+    if cap is None:
+        return viols
+    w = Window.partitionBy("part", "check").orderBy(
+        F.desc("severity"), F.asc("key"), F.asc("detail")
+    )
+    return (
+        viols.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= int(cap))
+        .drop("__rn")
+    )
+
+
 def run_suite(
     spark: SparkSession,
     clips_root: str,
@@ -287,22 +308,7 @@ def run_suite(
             viol_summary = (
                 viols.groupBy("part", "check").agg(F.count(F.lit(1)).alias("n")).collect()
             )
-            # sink bound: a catastrophic failure (ref table gone, every row
-            # tripping one check) must not write table-scale example rows.
-            # row_number + <= cap compiles to WindowGroupLimit (top-k kept
-            # map-side per group, no full per-group sort materialization);
-            # the window is partitioned, so the plan-audit WindowExec rule
-            # holds. Truncation is discoverable: verdict count > sink rows.
-            sink = viols
-            if spec.max_violation_rows_per_check is not None:
-                w = Window.partitionBy("part", "check").orderBy(
-                    F.desc("severity"), F.asc("key"), F.asc("detail")
-                )
-                sink = (
-                    sink.withColumn("__rn", F.row_number().over(w))
-                    .where(F.col("__rn") <= int(spec.max_violation_rows_per_check))
-                    .drop("__rn")
-                )
+            sink = _cap_sink(viols, spec.max_violation_rows_per_check)
             # idempotent: dynamic overwrite replaces exactly this wave's parts
             # (writer-scoped option — run_suite must not flip the SHARED
             # session's overwrite semantics for unrelated jobs)
@@ -459,11 +465,16 @@ def run_suite(
         if g is not None:
             global_path = f"{checkpoint_dir.rstrip('/')}/violations_global"
             g = g.select(*VIOLATION_COLS).persist()
-            g.write.mode("overwrite").parquet(global_path)
+            # exact counts from the FULL set, then the capped sink write —
+            # same contract as the per-wave path (truncation discoverable:
+            # count > surviving sink rows)
             global_by_check = {
                 r["check"]: r["n"]
                 for r in g.groupBy("check").agg(F.count(F.lit(1)).alias("n")).collect()
             }
+            _cap_sink(g, spec.max_violation_rows_per_check).write.mode(
+                "overwrite"
+            ).parquet(global_path)
             g.unpersist()
 
     # record the validated schema as the next run's evolution baseline —

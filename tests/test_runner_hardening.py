@@ -233,6 +233,22 @@ def test_violation_sink_cap_none_keeps_every_row(spark, tmp_path):
     assert spark.read.parquet(res.violations_path).count() == 5
 
 
+def test_violation_sink_cap_applies_to_global_checks(spark, tmp_path):
+    """key_partitioned=False routes uniqueness through the global pass; its
+    sink must honor the same cap while global_violations_by_check stays
+    exact."""
+    clips = str(tmp_path / "clips")
+    _write_clips(clips, [("dup", 0, 8000, 100, "pcm_s16le", "t", None)] * 7)
+    spec = SuiteSpec(
+        checks=("uniqueness",), key_partitioned=False,
+        max_violation_rows_per_check=3,
+    )
+    res = run_suite(spark, clips, None, None, str(tmp_path / "ck"), spec=spec)
+    assert res.global_violations_by_check == {"uniqueness": 7}  # exact
+    gv = spark.read.parquet(res.global_violations_path)
+    assert gv.count() == 3  # sink capped
+
+
 def test_spec_loader_validates_violation_cap(tmp_path):
     from audit_anomaly_detection_etl_spark.plans.spec import spec_from_dict
 
