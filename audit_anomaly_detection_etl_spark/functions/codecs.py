@@ -126,8 +126,15 @@ del _INT16_GRID
 
 
 def _encode_ulaw(pcm: np.ndarray) -> bytes:
-    x = np.clip(pcm * 32768.0, -_ULAW_CLIP, _ULAW_CLIP).astype(np.int32)
-    return _ULAW_ENCODE_LUT[x + 32768].tobytes()
+    # take(mode="clip"): NaN samples clip->NaN->astype gives INT32_MIN,
+    # which plain fancy indexing would raise IndexError on (killing the
+    # whole Arrow batch); the arithmetic kernels never raise on NaN, and
+    # neither may the LUT hot path. mode="clip" pins the index in-range
+    # at zero extra passes over the data. errstate: the NaN->int cast is
+    # deliberate here, don't spam a RuntimeWarning per Arrow batch.
+    with np.errstate(invalid="ignore"):
+        x = np.clip(pcm * 32768.0, -_ULAW_CLIP, _ULAW_CLIP).astype(np.int32)
+    return _ULAW_ENCODE_LUT.take(x + 32768, mode="clip").tobytes()
 
 
 def _decode_ulaw(raw: bytes) -> np.ndarray:
@@ -135,8 +142,10 @@ def _decode_ulaw(raw: bytes) -> np.ndarray:
 
 
 def _encode_alaw(pcm: np.ndarray) -> bytes:
-    x = np.clip(pcm * 32768.0, -32767, 32767).astype(np.int32)
-    return _ALAW_ENCODE_LUT[x + 32768].tobytes()
+    # mode="clip" + errstate: NaN-safe indexing, see _encode_ulaw
+    with np.errstate(invalid="ignore"):
+        x = np.clip(pcm * 32768.0, -32767, 32767).astype(np.int32)
+    return _ALAW_ENCODE_LUT.take(x + 32768, mode="clip").tobytes()
 
 
 def _decode_alaw(raw: bytes) -> np.ndarray:

@@ -142,6 +142,13 @@ def _validate_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             # when both sides are all-zero (noise==0 wins over sig==0)
             s[sig == 0.0] = float("-inf")  # silent reference can't attest
             s[noise == 0.0] = float("inf")  # bit-exact
+            # any remaining NaN is corruption, not a verdict: inf/inf from
+            # float32 overflow (|x| > ~1.8e19 squares past f32 max) or NaN
+            # samples in either side. Spark orders NaN ABOVE every number,
+            # so a NaN snr_db would silently PASS the `< threshold` check —
+            # force it to a fail. (The pre-LUT float64 path could not
+            # overflow here but passed NaN samples the same silent way.)
+            s[np.isnan(s)] = float("-inf")
             snr[rows] = s
 
         # transcript byte-equality is independent of audio decode success

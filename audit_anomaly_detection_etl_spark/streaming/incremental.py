@@ -42,7 +42,7 @@ def incremental_clip_validation(
     checkpoint_dir: str,
     spec: SuiteSpec | None = None,
     ref_df: DataFrame | None = None,
-    max_files_per_trigger: int | None = None,
+    max_files_per_trigger: int | None = 64,
 ):
     """Start an available-now stream validating newly-ingested clip files.
 
@@ -50,6 +50,12 @@ def incremental_clip_validation(
     Re-running after new files land validates ONLY the new files — the
     file-source offset log in ``checkpoint_dir`` is the streaming analogue
     of the batch runner's per-partition verdict markers.
+
+    ``max_files_per_trigger`` defaults to a BOUNDED micro-batch (64 files):
+    available-now with no bound puts the ENTIRE backlog in batch 0, so the
+    per-batch persist below would spill a full copy of the binary-heavy
+    table to executor disk on a first run against a large landing zone.
+    Pass ``None`` to explicitly unbound it (small zones, tests).
     """
     spec = spec or SuiteSpec()
     reader = (
@@ -64,8 +70,9 @@ def incremental_clip_validation(
         # The schema and payload branches both consume the micro-batch; as
         # plain lineage each union branch re-scans the source files —
         # doubling the IO on the binary-heavy clips table. Pin the batch
-        # once (memory-and-disk, bounded by maxFilesPerTrigger) so the scan
-        # runs once per batch, and release it after the sink write.
+        # once (memory-and-disk, bounded by the 64-file default micro-batch
+        # above) so the scan runs once per batch, and release it after the
+        # sink write.
         if ref_df is not None:
             batch_df = batch_df.persist()
         try:

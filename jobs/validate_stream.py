@@ -48,7 +48,8 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--master", default=None)
     ap.add_argument(
         "--max-files-per-trigger", dest="mfpt", type=int, default=None,
-        help="micro-batch size bound (files); default: one available-now batch",
+        help="micro-batch size bound (files); default: the engine's bounded "
+        "default (64); pass 0 to unbound (one available-now batch)",
     )
     ap.add_argument("--synth", type=int, default=0,
                     help="synthesize N clips under --checkpoint/data")
@@ -69,13 +70,51 @@ def main(argv: list[str] | None = None) -> dict:
             t = synth.generate_clips(n_clips=args.synth, seed=args.synth_seed)
             paths = synth.write_clip_tables(t, os.path.join(args.checkpoint, "data"))
             data_dir = paths["clips"]
-            ref_dir = ref_dir or paths["clips_ref"]
+        # OUTSIDE the creation branch: on a RE-run the data dir already
+        # exists, and deriving ref only at creation time would silently
+        # drop the payload/transcript checks for every newly-landed file
+        # (ref_df=None narrows the check set with no indication)
+        default_ref = os.path.join(args.checkpoint, "data", "clips_ref")
+        if ref_dir is None and os.path.isdir(default_ref):
+            ref_dir = default_ref
     if not data_dir:
         ap.error("--data or --synth is required")
 
     sink_dir = args.sink or os.path.join(args.checkpoint, "violations")
     ref_df = spark.read.parquet(ref_dir) if ref_dir else None
 
+    # exact per-run tally: q.recentProgress is CAPPED at
+    # spark.sql.streaming.numRecentProgressUpdates (~100 entries), so
+    # summing it undercounts any run with more micro-batches (e.g.
+    # --max-files-per-trigger 1 over a few hundred files)
+    from pyspark.sql.streaming.listener import StreamingQueryListener
+
+    class _Tally(StreamingQueryListener):
+        def __init__(self):
+            self.rows = 0
+            self.batches = 0
+            self.done = False
+
+        def onQueryStarted(self, event):  # noqa: D102
+            pass
+
+        def onQueryProgress(self, event):  # noqa: D102
+            self.rows += int(event.progress.numInputRows)
+            self.batches += 1
+
+        def onQueryIdle(self, event):  # noqa: D102
+            pass
+
+        def onQueryTerminated(self, event):  # noqa: D102
+            self.done = True
+
+    tally = _Tally()
+    spark.streams.addListener(tally)
+
+    kwargs = {}
+    if args.mfpt is not None:
+        # 0 = explicitly unbounded (engine None); else the given bound
+        kwargs["max_files_per_trigger"] = args.mfpt or None
     t0 = time.time()
     q = incremental_clip_validation(
         spark,
@@ -83,12 +122,22 @@ def main(argv: list[str] | None = None) -> dict:
         sink_dir,
         os.path.join(args.checkpoint, "stream_offsets"),
         ref_df=ref_df,
-        max_files_per_trigger=args.mfpt,
+        **kwargs,
     )
     q.awaitTermination()
     elapsed = time.time() - t0
+    # listener events are delivered async on the listener bus; the
+    # terminated event arrives after every progress event for the query
+    deadline = time.time() + 10
+    while not tally.done and time.time() < deadline:
+        time.sleep(0.1)
+    spark.streams.removeListener(tally)
 
-    rows_this_run = sum(int(p["numInputRows"]) for p in q.recentProgress)
+    rows_this_run = tally.rows
+    n_batches = tally.batches
+    if n_batches == 0:  # listener missed (shouldn't happen): capped fallback
+        rows_this_run = sum(int(p["numInputRows"]) for p in q.recentProgress)
+        n_batches = len(q.recentProgress)
     by_check: dict[str, int] = {}
     try:
         for r in (
@@ -100,7 +149,11 @@ def main(argv: list[str] | None = None) -> dict:
 
     summary = {
         "rows_validated": rows_this_run,
-        "batches": len(q.recentProgress),
+        # observable guard for the re-run regression: payload/transcript
+        # checks require the ref table, which must be (re)detected on EVERY
+        # run, not just the one that synthesized the data
+        "ref_active": ref_df is not None,
+        "batches": n_batches,
         "elapsed_sec": round(elapsed, 2),
         "clips_per_sec": round(rows_this_run / elapsed, 1) if elapsed > 0 else None,
         "violations_by_check_cumulative": by_check,

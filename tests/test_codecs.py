@@ -79,3 +79,19 @@ def test_g711_lut_matches_arithmetic_exhaustively(codec):
     rng = np.random.default_rng(3)
     x = rng.uniform(-1.5, 1.5, 100_000)
     assert codecs.encode(x, codec) == enc_arith(x)
+
+
+@pytest.mark.parametrize("codec", ["ulaw", "alaw"])
+def test_g711_encode_never_raises_on_nonfinite(codec):
+    """The encode hot path must not raise on NaN/inf samples (a corrupt
+    f32 payload decodes to them): the arithmetic kernels emit a garbage
+    byte without raising, and plain LUT fancy-indexing would IndexError on
+    NaN -> INT32_MIN and abort the whole Arrow batch in transcode/resample
+    stages. Output stays one byte per sample; finite samples unaffected."""
+    x = np.array([0.25, np.nan, -0.5, np.inf, -np.inf, 0.0], dtype=np.float32)
+    out = codecs.encode(x, codec)
+    assert len(out) == x.size
+    clean = codecs.encode(np.nan_to_num(x, nan=0.0, posinf=1.0, neginf=-1.0), codec)
+    # finite positions identical to encoding the same finite values alone
+    for i in (0, 2, 5):
+        assert out[i] == clean[i]

@@ -356,6 +356,10 @@ def test_validate_stream_job_summary_and_resume(spark, tmp_path):
 
     s2 = validate_stream.main(["--synth", "200", "--checkpoint", ck])
     assert s2["rows_validated"] == 0
+    # the ref table must be REdetected on the re-run (data dir already
+    # exists, so the synth-creation branch is skipped) — otherwise every
+    # newly-landed file would silently skip the payload/transcript checks
+    assert s1["ref_active"] and s2["ref_active"]
     # cumulative sink is unchanged by the no-op run
     assert (
         s2["violations_by_check_cumulative"] == s1["violations_by_check_cumulative"]

@@ -86,6 +86,37 @@ def test_flags_decoupled_from_decode(spark):
     assert {"codec", "transcript_null"} <= a_checks
 
 
+def test_corrupt_float32_payload_fails_snr_not_nan(spark):
+    """float32 overflow (squares past f32 max -> inf/inf = NaN) and NaN
+    samples must score snr_db = -inf and trip payload_snr — Spark orders
+    NaN above every number, so a NaN snr_db would silently PASS the
+    `< threshold` comparison."""
+    import numpy as np
+
+    ref = (np.sin(np.linspace(0, 20, 160)) * 0.3).astype(np.float32)
+    huge = np.full(160, 1.0e20, dtype=np.float32)        # sig=inf, noise=inf
+    nan_poison = ref.copy(); nan_poison[7] = np.nan      # noise=NaN
+    clips = spark.createDataFrame(
+        [
+            ("overflow", bytearray(huge.tobytes()), 16000, 10, "pcm_f32le", "t"),
+            ("nanpoison", bytearray(nan_poison.tobytes()), 16000, 10, "pcm_f32le", "t"),
+        ],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string",
+    ).withColumn("part", F.lit(0))
+    refs = spark.createDataFrame(
+        [
+            ("overflow", bytearray((-huge).tobytes()), "t"),
+            ("nanpoison", bytearray(ref.tobytes()), "t"),
+        ],
+        "clip_id string, pcm_ref binary, transcript_ref string",
+    )
+    rep = {r["clip_id"]: r for r in payload.payload_report(clips, refs).collect()}
+    assert rep["overflow"]["snr_db"] == float("-inf")
+    assert rep["nanpoison"]["snr_db"] == float("-inf")
+    v = payload.payload_violations(payload.payload_report(clips, refs)).toPandas()
+    assert {"overflow", "nanpoison"} <= set(v[v.check == "payload_snr"].key)
+
+
 def test_severity_ranking(report):
     from pyspark.sql import functions as F
 
