@@ -219,11 +219,27 @@ def cotemporal(args, data_dir: str) -> dict:
     # a missed barrier deadlocks the workers (they poll the go-file forever),
     # so this bound must dominate any plausible warmup time
     deadline = time.time() + 7200
+    go_gate = getattr(args, "go_gate", None)
+    armed = False
     while time.time() < deadline:
         if all(os.path.exists(f"{barrier}.{c}") for c in (args.low, args.high)):
-            with open(barrier, "w") as f:
-                f.write("go")
-            break
+            if go_gate and not armed:
+                # pre-staged mode: workers are warm and parked — publish
+                # readiness so the window hunter starts probing, and hold
+                # the barrier until it sees a clean host window (the whole
+                # point: measurement begins SECONDS after the green probe,
+                # not minutes of synthesis+warmup later). On deadline the
+                # run fires anyway so the workers never deadlock.
+                with open(f"{go_gate}.armed", "w") as f:
+                    f.write("armed")
+                print(f"[cotemporal] workers warm; holding barrier for "
+                      f"{go_gate}", file=sys.stderr, flush=True)
+                armed = True
+            if not go_gate or os.path.exists(go_gate) or \
+                    time.time() > deadline - 900:
+                with open(barrier, "w") as f:
+                    f.write("go")
+                break
         time.sleep(2)
     for p in procs:
         p.wait()
@@ -298,6 +314,10 @@ def main() -> None:
                     help="skip the sequential interleaved trials; implies --cotemporal")
     ap.add_argument("--window", type=float, default=420.0, help="cotemporal measurement window (s)")
     ap.add_argument("--cot-warmups", type=int, default=4)
+    ap.add_argument("--go-gate", dest="go_gate", default=None,
+                    help="pre-stage mode: hold the co-temporal barrier after "
+                    "warmups until this file exists (touch it to fire); "
+                    "<path>.armed is created when the workers are parked")
     ap.add_argument("--out", default=None, help="append a markdown section to this file")
     args = ap.parse_args()
 

@@ -1,17 +1,17 @@
 """Hunt for a clean host window and fire the co-temporal scaling run.
 
-Automates the CLAUDE.md protocol: the co-temporal wall-clock measurement
-is only meaningful in the rare windows where the burstable host actually
-delivers parallel CPU (see BENCH.md "Host-quota signature"), so fire
-`bench_scaling.py --cot-only` ONLY after TWO consecutive 12-process
-no-Spark probes, 60 s apart, both show >= --bar (default 0.8) parallel
-efficiency. Single probes flip within a minute; the double-gate is the
-documented guard.
+Automates the CLAUDE.md protocol (two 12-process no-Spark probes 60 s
+apart, both >= --bar parallel efficiency) with PRE-STAGED workers: the
+co-temporal run is launched immediately in --go-gate mode, so data
+synthesis, Spark startup, and all suite warmups happen up front and both
+workers PARK at the barrier. When the double-green probe lands, touching
+the gate file releases the barrier and measurement begins within ~2 s —
+previous attempts lost the window to the minutes of synthesis+warmup
+between the green probe and the first measured run (BENCH.md attempts
+3-4: the window flipped mid-setup every time).
 
-Runs forever (or --max-hours); on a double-green it launches the
-co-temporal run, captures its JSON to --out-json, appends the markdown
-section to BENCH.md via --out, then exits. Probe results stream to
-stderr so a tail -f shows the window history.
+The hunter keeps probing through the measurement window, so its log IS
+the same-window no-Spark host ceiling the engine-normalized metric needs.
 
 Usage:
     nohup python scripts/hunt_cot_window.py >> /tmp/window_hunt.log 2>&1 &
@@ -39,45 +39,74 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--bar", type=float, default=0.8)
     ap.add_argument("--interval", type=float, default=60.0)
-    ap.add_argument("--max-hours", type=float, default=6.0)
     ap.add_argument("--clips", type=int, default=16000)
+    ap.add_argument("--window", type=float, default=420.0)
+    ap.add_argument("--gate", default="/tmp/cot_go")
     ap.add_argument("--out-json", default="/tmp/cot_attempt.json")
     ap.add_argument("--bench-md", default=None,
                     help="append the run's markdown section here (BENCH.md)")
     args = ap.parse_args()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    deadline = time.time() + args.max_hours * 3600
+    for p in (args.gate, f"{args.gate}.armed"):
+        if os.path.exists(p):
+            os.remove(p)
+
+    cmd = [sys.executable, "scripts/bench_scaling.py", "--cot-only",
+           "--clips", str(args.clips), "--window", str(args.window),
+           "--go-gate", args.gate]
+    if args.bench_md:
+        cmd += ["--out", args.bench_md]
+    with open("/tmp/cot_run_stdout.log", "w") as so, \
+            open("/tmp/cot_run_stderr.log", "w") as se:
+        run = subprocess.Popen(cmd, cwd=repo, stdout=so, stderr=se)
+    print(f"[hunt] pre-staging cot run pid={run.pid} "
+          f"({args.clips} clips); waiting for workers to park", flush=True)
+
+    while not os.path.exists(f"{args.gate}.armed"):
+        if run.poll() is not None:
+            print("[hunt] cot run died during staging — see "
+                  "/tmp/cot_run_stderr.log", flush=True)
+            return
+        time.sleep(5)
+    print("[hunt] workers parked at barrier; probing for a window", flush=True)
+
     prev_green = False
     n = 0
-    while time.time() < deadline:
+    fired = False
+    while run.poll() is None:
         eff = probe_once()
         n += 1
         print(f"[hunt] probe {n}: 12-proc eff {eff:.3f} "
-              f"(prev_green={prev_green})", flush=True)
-        if eff >= args.bar:
+              f"(prev_green={prev_green}, fired={fired})", flush=True)
+        if not fired and eff >= args.bar:
             if prev_green:
-                print("[hunt] double-green — firing --cot-only", flush=True)
-                cmd = [sys.executable, "scripts/bench_scaling.py",
-                       "--cot-only", "--probe", "--clips", str(args.clips)]
-                if args.bench_md:
-                    cmd += ["--out", args.bench_md]
-                r = subprocess.run(cmd, cwd=repo, capture_output=True, text=True)
-                # the run prints ONE json line on stdout (after stderr noise)
-                for line in reversed(r.stdout.strip().splitlines()):
-                    if line.startswith("{"):
-                        with open(args.out_json, "w") as f:
-                            f.write(line + "\n")
-                        break
-                sys.stderr.write(r.stderr[-4000:])
-                print(f"[hunt] cot run rc={r.returncode}; json -> "
-                      f"{args.out_json}", flush=True)
-                return
+                with open(args.gate, "w") as f:
+                    f.write("go")
+                fired = True
+                print("[hunt] double-green — barrier released, "
+                      "measurement window open", flush=True)
             prev_green = True
-        else:
+        elif not fired:
             prev_green = False
-        time.sleep(args.interval)
-    print("[hunt] deadline reached without a double-green window", flush=True)
+        time.sleep(args.interval if not fired else 90.0)
+
+    rc = run.wait()
+    with open("/tmp/cot_run_stdout.log") as f:
+        for line in reversed(f.read().strip().splitlines()):
+            if line.startswith("{"):
+                with open(args.out_json, "w") as g:
+                    g.write(line + "\n")
+                try:
+                    d = json.loads(line)
+                    cot = d.get("cotemporal", {})
+                    print(f"[hunt] rc={rc} eff={cot.get('cotemporal_efficiency')} "
+                          f"paired={cot.get('paired_efficiency')} -> "
+                          f"{args.out_json}", flush=True)
+                except Exception:
+                    pass
+                break
+    print("[hunt] done", flush=True)
 
 
 if __name__ == "__main__":
