@@ -986,3 +986,167 @@ def bandwidth_audit(
             "band_limited"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# interior dropouts (mid-clip digital-silence runs)
+# ---------------------------------------------------------------------------
+
+DROPOUT_AUDIT_SCHEMA = (
+    "clip_id string, part int, decode_ok boolean, n_dropouts int, "
+    "max_dropout_ms double, dropout_ms_total double"
+)
+
+# Digital-silence gate for dropout runs: above A-law's zero-code output
+# (decode(encode(0)) = 1/4096 ~ 2.44e-4 -- A-law has no true zero code) and
+# below the quietest representable non-silent content (a 1e-3 ~ -60 dBFS
+# sample decodes to >= 9.77e-4 in every codec here). A zeroed buffer pushed
+# through ANY of the four codecs lands under this gate; quiet speech does
+# not.
+_DROPOUT_ZERO_EPS = 4e-4
+
+
+def dropout_audit(
+    clips: DataFrame,
+    min_run_ms: float = 30.0,
+    zero_eps: float = _DROPOUT_ZERO_EPS,
+) -> DataFrame:
+    """Interior-dropout detection: contiguous runs of digital silence
+    (``|sample| <= zero_eps``) lasting at least ``min_run_ms`` that start
+    AFTER the clip's first sample and end BEFORE its last — the signature
+    of buffer underruns / network dropouts / bad splices introduced by the
+    ingestion chain, which the global ``silence_ratio`` signal
+    (audio_features) cannot distinguish from legitimate room tone.
+
+    Boundary-touching silence is deliberately NOT counted: leading/trailing
+    silence is a trim-policy question (``trim_silence_bounds``) and an
+    all-zero clip is digital silence (``loudness_audit``'s ``undecodable``
+    verdict owns it). This check owns only the mid-clip gap class.
+
+    Reference analogue: the per-event value-anomaly flags (SURVEY.md A10) —
+    content-level corruption the schema/byte-length tiers cannot see.
+
+    Scale notes: same single ``mapInPandas`` decode pass as
+    ``audio_features`` (per-codec-group concatenated decode, no per-sample
+    Python). Run extraction is vectorized run-length encoding over the
+    concatenated silence mask with clip boundaries forced closed — runs
+    never merge across adjacent clips in a batch — and per-clip aggregation
+    runs over the (few) run records via ``np.add.at`` / ``np.maximum.at``,
+    never over samples.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            raw_col = pdf["bytes"].to_numpy()
+            codec_col = pdf["codec"].to_numpy()
+            sr_col = pdf["sr_hz"].to_numpy(dtype=np.int64)
+            byte_lens = np.array(
+                [len(r) if r is not None else -1 for r in raw_col], dtype=np.int64
+            )
+            decode_ok = np.zeros(n, dtype=bool)
+            n_drop = np.zeros(n, dtype=np.int32)
+            max_ms = np.zeros(n, dtype=np.float64)
+            tot_ms = np.zeros(n, dtype=np.float64)
+            for codec in pd.unique(codec_col):
+                if codec not in codecs.CODECS:
+                    continue
+                bps = codecs.bytes_per_sample(codec)
+                idx = np.flatnonzero(
+                    (codec_col == codec) & (byte_lens > 0) & (byte_lens % bps == 0)
+                )
+                if idx.size == 0:
+                    continue
+                lens = byte_lens[idx] // bps
+                pcm = codecs.decode(b"".join(raw_col[i] for i in idx), codec)
+                seg = np.zeros(idx.size, dtype=np.int64)
+                np.cumsum(lens[:-1], out=seg[1:])
+                decode_ok[idx] = True
+                last = seg + lens - 1
+                # NaN payloads (pcm_f32le corruption) compare False and so
+                # terminate silence runs -- they are the payload check's job
+                m = np.abs(pcm) <= zero_eps
+                if not m.any():
+                    continue
+                prev = np.empty_like(m)
+                prev[0] = False
+                prev[1:] = m[:-1]
+                prev[seg] = False  # a clip start always opens a fresh run
+                starts = np.flatnonzero(m & ~prev)
+                nxt = np.empty_like(m)
+                nxt[-1] = False
+                nxt[:-1] = m[1:]
+                nxt[last] = False  # a clip end always closes its run
+                ends = np.flatnonzero(m & ~nxt)
+                clip_of = np.searchsorted(seg, starts, side="right") - 1
+                srv = sr_col[idx].astype(np.float64)
+                run_ms = (
+                    (ends - starts + 1).astype(np.float64)
+                    / np.maximum(srv[clip_of], 1.0)
+                    * 1000.0
+                )
+                # interior = strictly inside the clip; sr<=0 clips are the
+                # schema check's problem, not reportable in milliseconds
+                sel = (
+                    (starts > seg[clip_of])
+                    & (ends < last[clip_of])
+                    & (run_ms >= min_run_ms)
+                    & (srv[clip_of] > 0)
+                )
+                if not sel.any():
+                    continue
+                tgt = idx[clip_of[sel]]
+                np.add.at(n_drop, tgt, 1)
+                np.add.at(tot_ms, tgt, run_ms[sel])
+                np.maximum.at(max_ms, tgt, run_ms[sel])
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"].to_numpy(),
+                    "part": pdf["part"].to_numpy(),
+                    "decode_ok": decode_ok,
+                    "n_dropouts": n_drop,
+                    "max_dropout_ms": np.where(decode_ok, max_ms, np.nan),
+                    "dropout_ms_total": np.where(decode_ok, tot_ms, np.nan),
+                }
+            )
+
+    pruned = clips.select("clip_id", "part", "bytes", "codec", "sr_hz")
+    return pruned.mapInPandas(batches, schema=DROPOUT_AUDIT_SCHEMA)
+
+
+def dropout_violations(
+    clips: DataFrame,
+    min_run_ms: float = 30.0,
+    key_col: str = "clip_id",
+    part_col: str = "part",
+) -> DataFrame:
+    """Suite adapter for ``dropout_audit``: standard violation rows for
+    clips with at least one interior digital-silence run >= ``min_run_ms``.
+    Undecodable clips are deliberately NOT re-reported (the codec/payload
+    checks own that defect; same no-double-count rule as speaking_rate and
+    loudness). Severity 3.5: content corruption — above loudness
+    feasibility (3.0), below payload SNR failures (4.0).
+
+    Cost note: runs its own audio decode pass; enable it in a suite that
+    SKIPS the payload check, or accept a second decode of the wave (the
+    waves are checkpoint-bounded either way).
+    """
+    src = clips
+    if key_col != "clip_id":
+        src = src.withColumnRenamed(key_col, "clip_id")
+    if part_col != "part":
+        src = src.withColumnRenamed(part_col, "part")
+    audit = dropout_audit(src, min_run_ms=min_run_ms)
+    bad = audit.where(F.col("n_dropouts") > 0)
+    return bad.select(
+        F.col("clip_id").alias("key"),
+        F.lit("dropout").alias("check"),
+        F.concat(
+            F.lit("n_dropouts="),
+            F.col("n_dropouts").cast("string"),
+            F.lit(" max_dropout_ms="),
+            F.round("max_dropout_ms", 1).cast("string"),
+        ).alias("detail"),
+        F.col("part").alias("part"),
+        F.lit(3.5).alias("severity"),
+    )

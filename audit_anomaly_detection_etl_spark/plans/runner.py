@@ -150,6 +150,15 @@ def _wave_violations(
                 part_col=spec.schema_spec.part_col,
             )
         )
+    if "dropout" in checks:
+        parts.append(
+            media.dropout_violations(
+                wave_df,
+                min_run_ms=spec.dropout_min_run_ms,
+                key_col=spec.schema_spec.key_col,
+                part_col=spec.schema_spec.part_col,
+            )
+        )
     if not parts:
         return None
     out = parts[0]

@@ -70,6 +70,11 @@ class SuiteSpec:
     # NOTE: runs its own decode pass; pair with a suite that skips payload
     # or accept the second decode of the wave.
     loudness_bounds: tuple = (-20.0, 1.0)
+    # interior-dropout detection (mid-clip digital-silence runs >= this many
+    # ms — buffer underruns / network dropouts); opt-in via
+    # checks=(..., "dropout") — see media.dropout_violations. Same cost note
+    # as loudness: its own decode pass.
+    dropout_min_run_ms: float = 30.0
     # partitioning contract: when the table is bucket-partitioned by
     # hash(key) (Iceberg bucket(clip_id) / our crc32 synth), uniqueness and
     # referential checks decompose per-partition and resume safely. If False
@@ -123,13 +128,14 @@ class SuiteSpec:
 _SPEC_KEYS = {
     "schema", "drift", "psi_threshold", "checks", "key_partitioned",
     "uniqueness_salts", "speaking_rate_bounds", "loudness_bounds",
-    "encoding_text_col", "max_violation_rows_per_check",
+    "dropout_min_run_ms", "encoding_text_col",
+    "max_violation_rows_per_check",
 }
 
 # every check name the runner understands — the default SuiteSpec.checks
 # tuple is the default-ON subset, not the universe (speaking_rate and
 # loudness stay opt-in: each costs a decode or joins against one)
-ALL_CHECKS = SuiteSpec().checks + ("speaking_rate", "loudness")
+ALL_CHECKS = SuiteSpec().checks + ("speaking_rate", "loudness", "dropout")
 _SCHEMA_KEYS = {"columns", "key_col", "part_col"}
 _COLUMN_KEYS = {"name", "dtype", "nullable", "allowed", "min_value", "max_value"}
 _DRIFT_KEYS = {"col", "lo", "hi", "n_bins"}
@@ -194,6 +200,8 @@ def spec_from_dict(doc: dict) -> SuiteSpec:
         if not (isinstance(b, (list, tuple)) and len(b) == 2):
             raise ValueError("loudness_bounds must be [target_dbfs, tolerance_db]")
         kwargs["loudness_bounds"] = (float(b[0]), float(b[1]))
+    if "dropout_min_run_ms" in doc:
+        kwargs["dropout_min_run_ms"] = float(doc["dropout_min_run_ms"])
     if "encoding_text_col" in doc:
         kwargs["encoding_text_col"] = str(doc["encoding_text_col"])
     if "key_partitioned" in doc:

@@ -4780,6 +4780,48 @@ def q124(spark, sf_dir):
     return u.transcript_reuse(clips.unionByName(rerecorded))
 
 
+@q("q134_dropout_audit")
+def q134(spark, sf_dir):
+    """Interior-dropout detection (operators/media.dropout_audit): runs of
+    digital silence >= 30 ms strictly INSIDE the clip — buffer underruns /
+    network dropouts the global silence_ratio signal cannot separate from
+    room tone. Fixture plants 50 ms mid-clip zero windows into a
+    deterministic subset of synth clips (decode -> zero -> re-encode, so
+    the gap survives the clip's own codec, including A-law's nonzero zero
+    code). Binary decode => rows-only for the driver; exact run-length
+    numpy oracle in tests/test_dropout.py."""
+    import numpy as np
+
+    from .functions import codecs
+    from .operators import media
+    from .sources import synth
+
+    t = synth.generate_clips(n_clips=400, n_parts=8, seed=7)
+    pdf = t.clips.to_pandas()
+    for i in range(0, len(pdf), 9):  # deterministic ~11% subset
+        c, b, sr = pdf.at[i, "codec"], pdf.at[i, "bytes"], int(pdf.at[i, "sr_hz"])
+        if (
+            c in codecs.CODECS
+            and b
+            and sr > 0
+            and len(b) % codecs.bytes_per_sample(c) == 0
+        ):
+            pcm = np.array(codecs.decode(b, c), dtype=np.float64)
+            w = int(sr * 0.05)  # 50 ms gap
+            s = len(pcm) // 4
+            if s > 0 and s + w < len(pcm) - 1:
+                pcm[s : s + w] = 0.0
+                pdf.at[i, "bytes"] = codecs.encode(pcm, c)
+    clips = spark.createDataFrame(pdf)
+    audit = media.dropout_audit(clips, min_run_ms=30.0)
+    return audit.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("n_dropouts") > 0).cast("long")).alias("n_with_dropouts"),
+        F.sum("n_dropouts").alias("total_dropouts"),
+        F.round(F.max("max_dropout_ms"), 3).alias("max_dropout_ms"),
+    )
+
+
 @q(
     "q45_frame_plan",
     """

@@ -109,6 +109,7 @@ def test_every_query_runs(spark, sf001):
         "q124_transcript_reuse",
         "q125_label_conflicts",
         "q127_quarantine",
+        "q134_dropout_audit",
     }
     for name in missing_oracle:
         out = entry_mod.queries()[name](spark, sf001)
