@@ -152,17 +152,69 @@ def _decode_alaw(raw: bytes) -> np.ndarray:
     return _ALAW_DECODE_LUT[np.frombuffer(raw, dtype=np.uint8)]
 
 
+# --- Intel/DVI (IMA) ADPCM — transcode-target only -----------------------
+#
+# 4-bit lossy codec (2 samples/byte) with a per-stream predictor recurrence;
+# the stdlib ``audioop`` C kernels run it (deprecated module, removed in
+# Python 3.13 — gated import, loud error on use when absent). STATEFUL:
+# encoding a concatenation of clips is NOT equal to encoding each clip, so
+# callers must round-trip per clip (media.transcode_qa's stateful path).
+# Median round-trip SNR on this repo's synth corpus is ~26 dB — below the
+# suite's 30 dB payload invariant — so it is deliberately NOT a ``CODECS``
+# member (a clip table declared adpcm could never validate at that
+# envelope); it exists as a transcode-QA target for "can this corpus
+# migrate to 4-bit storage?" audits. Odd-length inputs are padded with one
+# zero sample at encode (audioop TRUNCATES the trailing odd sample
+# otherwise); decode therefore returns 2*ceil(n/2) samples — callers trim.
+
+try:  # pragma: no cover - environment probe
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop as _audioop
+except ImportError:  # pragma: no cover - py3.13+ without audioop-lts
+    _audioop = None
+
+STATEFUL_TRANSCODE_CODECS = ("adpcm_dvi",)
+
+
+def _require_audioop() -> None:
+    if _audioop is None:
+        raise ValueError(
+            "codec 'adpcm_dvi' needs the stdlib audioop module (removed in "
+            "Python 3.13); install the audioop-lts backport or run on <= 3.12"
+        )
+
+
+def _encode_adpcm_dvi(pcm: np.ndarray) -> bytes:
+    _require_audioop()
+    if len(pcm) % 2:  # audioop drops a trailing odd sample: pad, don't lose
+        pcm = np.append(pcm, 0.0)
+    x = np.clip(pcm, -1.0, 1.0 - 1.0 / 32768.0)
+    frag, _state = _audioop.lin2adpcm((x * 32768.0).astype("<i2").tobytes(), 2, None)
+    return frag
+
+
+def _decode_adpcm_dvi(raw: bytes) -> np.ndarray:
+    _require_audioop()
+    s16, _state = _audioop.adpcm2lin(raw, 2, None)
+    return np.frombuffer(s16, dtype="<i2").astype(np.float32) / 32768.0
+
+
 _ENCODERS = {
     "pcm_s16le": _encode_s16le,
     "pcm_f32le": _encode_f32le,
     "ulaw": _encode_ulaw,
     "alaw": _encode_alaw,
+    "adpcm_dvi": _encode_adpcm_dvi,
 }
 _DECODERS = {
     "pcm_s16le": _decode_s16le,
     "pcm_f32le": _decode_f32le,
     "ulaw": _decode_ulaw,
     "alaw": _decode_alaw,
+    "adpcm_dvi": _decode_adpcm_dvi,
 }
 
 _BYTES_PER_SAMPLE = {"pcm_s16le": 2, "pcm_f32le": 4, "ulaw": 1, "alaw": 1}

@@ -869,7 +869,15 @@ def transcode_qa(
     no per-row Python. Verdicts: ``transparent`` (snr >= 40 dB, capped at
     120 for bit-exact trips), ``acceptable`` (>= min_snr_db), ``degraded``,
     ``undecodable``.
+
+    STATEFUL targets (``codecs.STATEFUL_TRANSCODE_CODECS``, e.g. the 4-bit
+    ``adpcm_dvi``): the predictor recurrence makes concatenated encoding
+    wrong at every clip boundary, so the round trip runs per clip — one C
+    kernel call per clip, still never per-sample Python. ADPCM decode
+    returns an even sample count (odd inputs are zero-padded at encode);
+    the trailing pad sample is trimmed before the SNR sums.
     """
+    stateful = target_codec in codecs.STATEFUL_TRANSCODE_CODECS
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -894,11 +902,21 @@ def transcode_qa(
                 ref = codecs.decode(
                     b"".join(raw_col[i] for i in idx), codec
                 ).astype(np.float64)
-                rt = codecs.decode(
-                    codecs.encode(ref, target_codec), target_codec
-                ).astype(np.float64)
                 seg = np.zeros(idx.size, dtype=np.int64)
                 np.cumsum(lens[:-1], out=seg[1:])
+                if stateful:
+                    rt = np.empty_like(ref)
+                    for k in range(idx.size):
+                        a, m = int(seg[k]), int(lens[k])
+                        dec = codecs.decode(
+                            codecs.encode(ref[a : a + m], target_codec),
+                            target_codec,
+                        )
+                        rt[a : a + m] = dec[:m]
+                else:
+                    rt = codecs.decode(
+                        codecs.encode(ref, target_codec), target_codec
+                    ).astype(np.float64)
                 sig = np.add.reduceat(ref * ref, seg)
                 err = np.add.reduceat((ref - rt) * (ref - rt), seg)
                 with np.errstate(divide="ignore", invalid="ignore"):
