@@ -325,3 +325,184 @@ def byte_length_violations(
         F.col("part"),
         F.lit(4.5).alias("severity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# declared-codec plausibility sniff (mislabeled companding law)
+# ---------------------------------------------------------------------------
+
+CODEC_SNIFF_SCHEMA = (
+    "clip_id string, part int, codec string, decode_ok boolean, "
+    "roughness_declared double, best_alt_codec string, "
+    "roughness_best_alt double, roughness_ratio double, suspect_codec boolean"
+)
+
+# a wrong-law decode looks noise-like: white noise has first-difference
+# energy ~2x signal energy, correctly decoded band-limited audio sits far
+# below 1. Measured on the synth corpus: own-law roughness median 0.096
+# (max 1.23 on noise-heavy content), cross-law median 0.93 -- the RATIO
+# separates them by ~10x while absolute thresholds would flag noisy-but-
+# correct clips.
+_SNIFF_MIN_ROUGHNESS = 0.5
+_SNIFF_RATIO = 3.0
+_SNIFF_MIN_RMS = 1e-4
+
+
+def codec_sniff_audit(
+    clips: DataFrame,
+    ratio_threshold: float = _SNIFF_RATIO,
+    min_declared_roughness: float = _SNIFF_MIN_ROUGHNESS,
+) -> DataFrame:
+    """Mislabeled-codec detection from payload CONTENT: decode each clip
+    under its declared codec AND every byte-length-consistent alternative,
+    compare waveform roughness (first-difference energy over signal
+    energy), and flag clips whose declared decode is noise-like while an
+    alternative decodes to plausible audio.
+
+    This is the corruption class the other payload tiers cannot see:
+    ``byte_length_audit`` is blind to ulaw<->alaw swaps (both 1 byte per
+    sample, identical size arithmetic), and the SNR check needs a
+    reference row — a mislabeled clip with no ref row decodes "cleanly"
+    into garbage and passes everything. The flag is deliberately RELATIVE
+    (declared/alternative ratio >= ``ratio_threshold`` and declared
+    roughness >= ``min_declared_roughness``): noise-heavy but correctly
+    labeled content scores ~equal roughness under every law and stays
+    clean, while a swapped label shows ~10x separation.
+
+    Reference analogue: the per-event value-plausibility flags
+    (SURVEY.md A10) applied at the payload-content level.
+
+    Scale notes: one ``mapInPandas`` pass; for each candidate codec the
+    batch's consistent clips decode as ONE concatenation with per-clip
+    roughness from ``np.add.reduceat`` sums (the cross-clip boundary
+    difference is subtracted exactly like audio_features' ZCR
+    correction). Candidate count is a constant (4), so the pass stays
+    O(batch bytes), never per-sample Python.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            raw_col = pdf["bytes"].to_numpy()
+            codec_col = pdf["codec"].to_numpy()
+            byte_lens = np.array(
+                [len(r) if r is not None else -1 for r in raw_col], dtype=np.int64
+            )
+            cands = list(codecs.CODECS)
+            rough = np.full((n, len(cands)), np.nan)
+            rms2 = np.full((n, len(cands)), np.nan)
+            for ci, cand in enumerate(cands):
+                bps = codecs.bytes_per_sample(cand)
+                idx = np.flatnonzero((byte_lens > 0) & (byte_lens % bps == 0))
+                if idx.size == 0:
+                    continue
+                lens = byte_lens[idx] // bps
+                # junk byte patterns reinterpreted as f32 can hold SIGNALING
+                # NaNs; the widening cast quiets them and numpy warns — the
+                # NaN itself is handled (isfinite gate below), so silence it
+                with np.errstate(invalid="ignore"):
+                    x = codecs.decode(
+                        b"".join(raw_col[i] for i in idx), cand
+                    ).astype(np.float64)
+                seg = np.zeros(idx.size, dtype=np.int64)
+                np.cumsum(lens[:-1], out=seg[1:])
+                energy = np.add.reduceat(x * x, seg)
+                d2 = (x[1:] - x[:-1]) ** 2
+                d2 = np.append(d2, 0.0)
+                # zero the cross-clip boundary diffs BEFORE the reduceat:
+                # junk reinterpretations reach ~1e38, so a boundary d2 of
+                # ~1e76 absorbs the real clip sum in float64 and the
+                # subtract-after pattern (audio_features' zcr, safe there
+                # because flips are 0/1) returns exactly 0 here
+                d2[seg + lens - 1] = 0.0
+                diff_sum = np.add.reduceat(d2, seg)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    r = (diff_sum / np.maximum(lens - 1, 1)) / (energy / lens)
+                ok = (lens > 1) & (energy > 0) & np.isfinite(r)
+                rough[idx[ok], ci] = r[ok]
+                rms2[idx[ok], ci] = energy[ok] / lens[ok]
+            cand_index = {c: i for i, c in enumerate(cands)}
+            decl_ci = np.array([cand_index.get(c, -1) for c in codec_col])
+            rows = np.arange(n)
+            has_decl = decl_ci >= 0
+            decl = np.full(n, np.nan)
+            decl_rms2 = np.full(n, np.nan)
+            decl[has_decl] = rough[rows[has_decl], decl_ci[has_decl]]
+            decl_rms2[has_decl] = rms2[rows[has_decl], decl_ci[has_decl]]
+            alt = rough.copy()
+            alt[rows[has_decl], decl_ci[has_decl]] = np.nan
+            alt_filled = np.where(np.isnan(alt), np.inf, alt)
+            best_ci = np.argmin(alt_filled, axis=1)
+            best_r = alt_filled[rows, best_ci]
+            best_ci = np.where(np.isfinite(best_r), best_ci, -1)
+            best_r = np.where(np.isfinite(best_r), best_r, np.nan)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ratio = decl / best_r
+            decode_ok = np.isfinite(decl)
+            suspect = (
+                decode_ok
+                & np.isfinite(ratio)
+                & (decl >= min_declared_roughness)
+                & (ratio >= ratio_threshold)
+                & (decl_rms2 >= _SNIFF_MIN_RMS**2)
+            )
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"].to_numpy(),
+                    "part": pdf["part"].to_numpy(),
+                    "codec": codec_col,
+                    "decode_ok": decode_ok,
+                    "roughness_declared": np.round(decl, 6),
+                    "best_alt_codec": [
+                        cands[c] if c >= 0 else None for c in best_ci
+                    ],
+                    "roughness_best_alt": np.round(best_r, 6),
+                    "roughness_ratio": np.round(ratio, 6),
+                    "suspect_codec": suspect,
+                }
+            )
+
+    pruned = clips.select("clip_id", "part", "bytes", "codec")
+    return pruned.mapInPandas(batches, schema=CODEC_SNIFF_SCHEMA)
+
+
+def codec_sniff_violations(
+    clips: DataFrame,
+    ratio_threshold: float = _SNIFF_RATIO,
+    key_col: str = "clip_id",
+    part_col: str = "part",
+) -> DataFrame:
+    """Suite adapter for ``codec_sniff_audit``: violation rows for clips
+    whose payload content contradicts the declared codec. Severity 4.2:
+    corruption-class (every downstream consumer decodes garbage), just
+    below byte-length mismatches (4.5) which are the cheaper, more certain
+    signal. Undecodable clips are NOT re-reported (codec/payload checks
+    own that class).
+
+    Cost note: runs its own multi-candidate decode pass (~4x one decode of
+    the wave); enable for ingest audits of untrusted producers rather than
+    every run.
+    """
+    src = clips
+    if key_col != "clip_id":
+        src = src.withColumnRenamed(key_col, "clip_id")
+    if part_col != "part":
+        src = src.withColumnRenamed(part_col, "part")
+    audit = codec_sniff_audit(src, ratio_threshold=ratio_threshold)
+    bad = audit.where(F.col("suspect_codec"))
+    return bad.select(
+        F.col("clip_id").alias("key"),
+        F.lit("codec_sniff").alias("check"),
+        F.concat(
+            F.lit("declared="),
+            F.col("codec"),
+            F.lit(" roughness="),
+            F.round("roughness_declared", 3).cast("string"),
+            F.lit(" best_alt="),
+            F.coalesce(F.col("best_alt_codec"), F.lit("?")),
+            F.lit(" ratio="),
+            F.round("roughness_ratio", 2).cast("string"),
+        ).alias("detail"),
+        F.col("part").alias("part"),
+        F.lit(4.2).alias("severity"),
+    )

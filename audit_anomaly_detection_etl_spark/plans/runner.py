@@ -159,6 +159,15 @@ def _wave_violations(
                 part_col=spec.schema_spec.part_col,
             )
         )
+    if "codec_sniff" in checks:
+        parts.append(
+            payload.codec_sniff_violations(
+                wave_df,
+                ratio_threshold=spec.codec_sniff_ratio,
+                key_col=spec.schema_spec.key_col,
+                part_col=spec.schema_spec.part_col,
+            )
+        )
     if not parts:
         return None
     out = parts[0]

@@ -75,6 +75,12 @@ class SuiteSpec:
     # checks=(..., "dropout") — see media.dropout_violations. Same cost note
     # as loudness: its own decode pass.
     dropout_min_run_ms: float = 30.0
+    # mislabeled-codec sniff (declared-law decode noise-like while an
+    # alternative decodes to plausible audio; catches ulaw<->alaw swaps
+    # byte_length cannot see); opt-in via checks=(..., "codec_sniff") —
+    # see payload.codec_sniff_violations. Costs ~4x one decode pass:
+    # ingest-audit tier, not every run.
+    codec_sniff_ratio: float = 3.0
     # partitioning contract: when the table is bucket-partitioned by
     # hash(key) (Iceberg bucket(clip_id) / our crc32 synth), uniqueness and
     # referential checks decompose per-partition and resume safely. If False
@@ -128,14 +134,16 @@ class SuiteSpec:
 _SPEC_KEYS = {
     "schema", "drift", "psi_threshold", "checks", "key_partitioned",
     "uniqueness_salts", "speaking_rate_bounds", "loudness_bounds",
-    "dropout_min_run_ms", "encoding_text_col",
+    "dropout_min_run_ms", "codec_sniff_ratio", "encoding_text_col",
     "max_violation_rows_per_check",
 }
 
 # every check name the runner understands — the default SuiteSpec.checks
 # tuple is the default-ON subset, not the universe (speaking_rate and
 # loudness stay opt-in: each costs a decode or joins against one)
-ALL_CHECKS = SuiteSpec().checks + ("speaking_rate", "loudness", "dropout")
+ALL_CHECKS = SuiteSpec().checks + (
+    "speaking_rate", "loudness", "dropout", "codec_sniff",
+)
 _SCHEMA_KEYS = {"columns", "key_col", "part_col"}
 _COLUMN_KEYS = {"name", "dtype", "nullable", "allowed", "min_value", "max_value"}
 _DRIFT_KEYS = {"col", "lo", "hi", "n_bins"}
@@ -202,6 +210,8 @@ def spec_from_dict(doc: dict) -> SuiteSpec:
         kwargs["loudness_bounds"] = (float(b[0]), float(b[1]))
     if "dropout_min_run_ms" in doc:
         kwargs["dropout_min_run_ms"] = float(doc["dropout_min_run_ms"])
+    if "codec_sniff_ratio" in doc:
+        kwargs["codec_sniff_ratio"] = float(doc["codec_sniff_ratio"])
     if "encoding_text_col" in doc:
         kwargs["encoding_text_col"] = str(doc["encoding_text_col"])
     if "key_partitioned" in doc:

@@ -4822,6 +4822,36 @@ def q134(spark, sf_dir):
     )
 
 
+@q("q135_codec_sniff")
+def q135(spark, sf_dir):
+    """Mislabeled-codec sniff (operators/payload.codec_sniff_audit): decode
+    under the declared codec AND every byte-length-consistent alternative,
+    flag clips whose declared decode is noise-like while an alternative is
+    plausible — the ulaw<->alaw swap byte_length arithmetic cannot see and
+    the SNR check misses without a ref row. Fixture swaps the declared law
+    on a deterministic subset of G.711 clips (bytes untouched). Binary
+    decode => rows-only for the driver; planted-swap exact oracle in
+    tests/test_codec_sniff.py."""
+    from .operators import payload as payload_ops
+    from .sources import synth
+
+    t = synth.generate_clips(n_clips=400, n_parts=8, seed=7)
+    pdf = t.clips.to_pandas()
+    swap = {"ulaw": "alaw", "alaw": "ulaw"}
+    for i in range(0, len(pdf), 7):  # deterministic ~14% subset
+        c = pdf.at[i, "codec"]
+        if c in swap:
+            pdf.at[i, "codec"] = swap[c]
+    audit = payload_ops.codec_sniff_audit(spark.createDataFrame(pdf))
+    return audit.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("suspect_codec").cast("long")).alias("n_suspect"),
+        F.round(F.avg(F.when(F.col("suspect_codec"), F.col("roughness_ratio"))), 4).alias(
+            "mean_suspect_ratio"
+        ),
+    )
+
+
 @q(
     "q45_frame_plan",
     """

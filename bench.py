@@ -59,6 +59,7 @@ HEADLINE = [
     "q97_fk_health_matrix",     # 7 key-grain anti-join edges in one action
     "q130_json_key_profile",    # JVM from_json key-set profile (round-4 rep)
     "q133_unit_mismatch",       # decade-grain magnitude clustering (round-4 rep)
+    "q134_dropout_audit",       # vectorized RLE dropout scan (round-4 audio rep)
 ]
 
 

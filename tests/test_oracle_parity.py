@@ -110,6 +110,7 @@ def test_every_query_runs(spark, sf001):
         "q125_label_conflicts",
         "q127_quarantine",
         "q134_dropout_audit",
+        "q135_codec_sniff",
     }
     for name in missing_oracle:
         out = entry_mod.queries()[name](spark, sf001)
