@@ -163,3 +163,21 @@ def test_sniff_violations_adapter_and_suite(spark, clip_dir, tmp_path):
         == 0
     )
     assert spec.spec_hash() != SuiteSpec(checks=("codec_sniff",)).spec_hash()
+
+
+def test_sniff_never_raises_on_arbitrary_bytes(spark):
+    """Robustness contract (same as the RIFF-walker fuzz): arbitrary byte
+    payloads under every declared codec must produce a row, never an
+    executor exception — junk f32 reinterpretations carry signaling NaNs,
+    inf energies, and ~1e38 magnitudes through the roughness math."""
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(120):
+        nb = int(rng.integers(0, 600))
+        raw = rng.integers(0, 256, nb, dtype=np.uint8).tobytes()
+        codec = ["pcm_s16le", "pcm_f32le", "ulaw", "alaw", "opus", ""][i % 6]
+        rows.append((f"f{i:03d}", i % 4, raw, codec))
+    out = payload.codec_sniff_audit(_rows_df(spark, rows)).toPandas()
+    assert len(out) == 120
+    # the flag column is always a concrete bool, never null
+    assert out["suspect_codec"].isin([True, False]).all()

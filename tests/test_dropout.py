@@ -240,3 +240,32 @@ def test_dropout_in_suite(spark, clip_dir, tmp_path):
     assert sum(v.violations_by_check.get("dropout", 0) for v in res.verdicts.values()) == 0
     # the knob is part of checkpoint lineage
     assert spec.spec_hash() != SuiteSpec(checks=("dropout",)).spec_hash()
+
+
+def test_dropout_randomized_patterns_match_oracle(spark):
+    """200 seeded random zero-patterned clips in ONE batch vs the pure-
+    python RLE oracle — randomized coverage of run/boundary interactions
+    (runs at clip edges, adjacent runs, whole-clip silence, sub-threshold
+    runs) beyond the handbuilt shapes."""
+    rng = np.random.default_rng(42)
+    rows, pcms = [], {}
+    for i in range(200):
+        n = int(rng.integers(2, 4000))
+        pcm = np.where(rng.random(n) < 0.5, 0.3, -0.3)  # zero-free carrier
+        # zero out a random number of random windows (may touch edges/overlap)
+        for _ in range(int(rng.integers(0, 4))):
+            a = int(rng.integers(0, n))
+            b = min(n, a + int(rng.integers(1, 1200)))
+            pcm[a:b] = 0.0
+        codec = ["pcm_s16le", "ulaw", "alaw", "pcm_f32le"][i % 4]
+        cid = f"r{i:03d}"
+        pcms[cid] = (pcm, codec)
+        rows.append(_clip(cid, pcm, codec=codec))
+    got = _audit(spark, rows, min_run_ms=MIN_MS)
+    for cid, (pcm, codec) in pcms.items():
+        dec = codecs.decode(codecs.encode(pcm, codec), codec)
+        want = _oracle(dec, SR, MIN_MS, media._DROPOUT_ZERO_EPS)
+        g = got.loc[cid]
+        assert int(g["n_dropouts"]) == want["n_dropouts"], cid
+        assert g["max_dropout_ms"] == pytest.approx(want["max_dropout_ms"]), cid
+        assert g["dropout_ms_total"] == pytest.approx(want["dropout_ms_total"]), cid
