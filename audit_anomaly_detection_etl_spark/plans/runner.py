@@ -76,9 +76,22 @@ class KilledMidRun(RuntimeError):
     """Raised by the fault injector in tests (kill/resume scenario)."""
 
 
-def _wave_violations(
+# checks that need table-wide or cross-batch state: excluded when composing
+# ROW-LEVEL violations for an arbitrary slice of the table (a streaming
+# micro-batch); the batch suite owns them (uniqueness/referential per wave
+# or globally, drift against the full-table histogram), and the streaming
+# stateful monitors cover their cross-batch analogues
+NON_ROW_LEVEL_CHECKS = ("uniqueness", "referential", "drift")
+
+
+def wave_violations(
     wave_df: DataFrame, ref_df: DataFrame | None, spec: SuiteSpec, checks: tuple
 ) -> DataFrame | None:
+    """Compose every requested check's violation rows over one slice of the
+    clips table into a single lazy plan (ONE scan per slice). Shared by the
+    batch suite's per-wave path and the streaming ingest path
+    (streaming/incremental.py), so batch and ingest-time validation agree
+    check-for-check on the row-level set."""
     parts = []
     if "schema" in checks:
         parts.append(schema_check.constraint_violations(wave_df, spec.schema_spec))
@@ -307,7 +320,7 @@ def run_suite(
             if spec.key_partitioned
             else tuple(c for c in spec.checks if c not in ("uniqueness", "referential"))
         )
-        viols = _wave_violations(wave_df, ref_df, spec, wave_checks)
+        viols = wave_violations(wave_df, ref_df, spec, wave_checks)
         # clear this wave's previous violation partitions FIRST: dynamic
         # overwrite only replaces partitions PRESENT in the new write, so a
         # re-validated partition that is now clean would otherwise keep its

@@ -11,11 +11,17 @@ Structured Streaming checkpoint (file-source offsets), which is the
 Two operators:
 
 - ``incremental_clip_validation``: file-source stream over the clips table
-  root; each micro-batch runs the cheap row-level checks (schema domain +
-  payload decode invariants) via ``foreachBatch`` and lands violation rows
-  in a batch_id-partitioned parquet sink (dynamic overwrite per batch_id —
-  a replayed micro-batch replaces its own rows, never duplicates them). Cross-partition checks (uniqueness, referential, drift)
-  stay in the batch suite — they need table-wide state.
+  root; each micro-batch runs the spec's ROW-LEVEL check set — the same
+  composition the batch suite's waves use (``plans.runner.wave_violations``:
+  schema domain, byte_length, encoding, payload decode invariants when a
+  ref table is present, plus any enabled opt-ins like speaking_rate /
+  loudness / dropout / codec_sniff) — via ``foreachBatch``, landing
+  violation rows in a batch_id-partitioned parquet sink (dynamic overwrite
+  per batch_id — a replayed micro-batch replaces its own rows, never
+  duplicates them). Cross-partition checks (uniqueness, referential, drift)
+  stay in the batch suite — they need table-wide state
+  (``runner.NON_ROW_LEVEL_CHECKS``); their cross-batch streaming analogues
+  live in streaming/stateful.py and streaming/drift_stream.py.
 - ``windowed_event_stats``: event-time tumbling-window aggregation with a
   watermark over a timestamped event stream (late data dropped past the
   watermark) — the engine's streaming-aggregate surface, exercised by tests
@@ -27,7 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import VIOLATION_COLS, payload, schema_check
+from ..operators import VIOLATION_COLS
+from ..plans.runner import NON_ROW_LEVEL_CHECKS, wave_violations
 from ..plans.spec import SuiteSpec
 
 CLIPS_DDL = (
@@ -66,20 +73,22 @@ def incremental_clip_validation(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(clips_root + "/part=*")
 
+    # the spec's row-level subset: identical composition to a batch wave,
+    # minus the table-wide checks the stream cannot decide per micro-batch
+    row_checks = tuple(c for c in spec.checks if c not in NON_ROW_LEVEL_CHECKS)
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        # The schema and payload branches both consume the micro-batch; as
-        # plain lineage each union branch re-scans the source files —
-        # doubling the IO on the binary-heavy clips table. Pin the batch
+        # Every enabled check is a union branch consuming the micro-batch;
+        # as plain lineage each branch re-scans the source files —
+        # multiplying the IO on the binary-heavy clips table. Pin the batch
         # once (memory-and-disk, bounded by the 64-file default micro-batch
         # above) so the scan runs once per batch, and release it after the
         # sink write.
-        if ref_df is not None:
-            batch_df = batch_df.persist()
+        batch_df = batch_df.persist()
         try:
-            viols = schema_check.constraint_violations(batch_df, spec.schema_spec)
-            if ref_df is not None:
-                rep = payload.payload_report(batch_df, ref_df)
-                viols = viols.unionByName(payload.payload_violations(rep))
+            viols = wave_violations(batch_df, ref_df, spec, row_checks)
+            if viols is None:  # empty check subset: nothing to land
+                return
             # Exactly-once sink: foreachBatch can REPLAY a batch whose sink
             # write completed but whose offset commit didn't (kill between
             # the two). A plain append would duplicate that batch's
@@ -95,8 +104,7 @@ def incremental_clip_validation(
                 .parquet(sink_dir)
             )
         finally:
-            if ref_df is not None:
-                batch_df.unpersist()
+            batch_df.unpersist()
 
     return (
         stream.writeStream.foreachBatch(process)

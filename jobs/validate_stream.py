@@ -54,6 +54,12 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--synth", type=int, default=0,
                     help="synthesize N clips under --checkpoint/data")
     ap.add_argument("--synth-seed", type=int, default=42)
+    ap.add_argument(
+        "--spec",
+        help="YAML/JSON suite-spec file (same format as jobs/validate.py); "
+        "the stream runs the spec's ROW-LEVEL check subset per micro-batch "
+        "(uniqueness/referential/drift stay in the batch suite)",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name="audit-anomaly-validation-stream", master=args.master)
@@ -115,6 +121,10 @@ def main(argv: list[str] | None = None) -> dict:
     if args.mfpt is not None:
         # 0 = explicitly unbounded (engine None); else the given bound
         kwargs["max_files_per_trigger"] = args.mfpt or None
+    if args.spec:
+        from audit_anomaly_detection_etl_spark.plans.spec import spec_from_file
+
+        kwargs["spec"] = spec_from_file(args.spec)
     t0 = time.time()
     q = incremental_clip_validation(
         spark,

@@ -153,14 +153,25 @@ def test_incremental_validation_exactly_once(spark, tmp_path):
     n_first = first.count()
     batches_first = first.select("batch_id").distinct().count()
 
-    # batch-parity: same schema-constraint violations as the batch operator
-    from audit_anomaly_detection_etl_spark.operators import schema_check
+    # batch-parity: the stream must land exactly the batch suite's
+    # ROW-LEVEL composition (schema + byte_length + encoding by default;
+    # no ref table here so payload auto-skips on both sides)
+    from audit_anomaly_detection_etl_spark.plans.runner import (
+        NON_ROW_LEVEL_CHECKS,
+        wave_violations,
+    )
     from audit_anomaly_detection_etl_spark.plans.spec import SuiteSpec
 
-    batch_viols = schema_check.constraint_violations(
-        spark.read.parquet(os.path.join(data, "clips")), SuiteSpec().schema_spec
+    spec = SuiteSpec()
+    row_checks = tuple(c for c in spec.checks if c not in NON_ROW_LEVEL_CHECKS)
+    batch_viols = wave_violations(
+        spark.read.parquet(os.path.join(data, "clips")), None, spec, row_checks
     )
     assert n_first == batch_viols.count()
+    # the default-ON cheap checks really run at ingest time now
+    stream_checks = {r["check"] for r in first.select("check").distinct().collect()}
+    batch_checks = {r["check"] for r in batch_viols.select("check").distinct().collect()}
+    assert stream_checks == batch_checks
 
     # re-run with no new files: stream checkpoint skips everything
     q2 = incremental.incremental_clip_validation(
@@ -184,8 +195,8 @@ def test_incremental_validation_exactly_once(spark, tmp_path):
     q3.awaitTermination()
     after = spark.read.parquet(sink)
     new_rows = after.where(~after.batch_id.isin([r.batch_id for r in first.select("batch_id").distinct().collect()]))
-    expected_new = schema_check.constraint_violations(
-        spark.createDataFrame(pdf2[pdf2.part == 0]), SuiteSpec().schema_spec
+    expected_new = wave_violations(
+        spark.createDataFrame(pdf2[pdf2.part == 0]), None, spec, row_checks
     ).count()
     assert batches_first >= 1
     assert new_rows.count() == expected_new
