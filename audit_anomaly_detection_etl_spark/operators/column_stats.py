@@ -306,3 +306,73 @@ def mixed_unit_audit(
         F.coalesce(F.max("gap"), F.lit(0)).cast("long").alias("max_gap"),
         (F.coalesce(F.max("gap"), F.lit(0)) >= F.lit(gap_decades)).alias("mixed_units"),
     )
+
+
+def granularity_audit(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    quantized_share_ppm: int = 990_000,
+) -> DataFrame:
+    """Producer-quantization (granularity) audit over an integer-typed
+    column: per group, the share of values that are exact multiples of
+    10 / 100 / 1000 plus the count of distinct residues mod 100, with a
+    verdict naming the coarsest grain whose multiple-share reaches
+    ``quantized_share_ppm`` (parts-per-million). Catches one producer
+    rounding ``dur_ms`` to whole deciseconds/seconds while others log at
+    millisecond grain — a precision LOSS that stays in range, keeps the
+    same magnitude decade (invisible to mixed_unit_audit), and drifts no
+    histogram whose bins are coarser than the quantum.
+
+    A uniform-grain column sits near 100_000 ppm at each decade step
+    (1-in-10 chance per factor of 10); a quantized producer sits at
+    1_000_000. The default threshold 990_000 tolerates a ~1% mix-in of
+    fine-grained stragglers. A constant column IS reported as quantized at
+    every grain dividing it — a single repeated duration is exactly the
+    degenerate precision loss this audit exists to surface.
+
+    Cross-engine parity: multiples/residues are integer arithmetic on
+    ``abs(value)`` (both engines keep the dividend's sign on ``%``; abs
+    removes the difference from the report), and the ppm shares are
+    ``FLOOR(m * 1e6 / n)`` — int64 products are exact in the double domain
+    well past any group size, so Spark and DuckDB agree bit-for-bit
+    (queries.py header rules; no float rounding anywhere).
+
+    Scale shape: one scan -> one per-group hash aggregate with map-side
+    combine; the single distinct aggregate runs over a DOMAIN-BOUNDED
+    expression (abs(x) % 100 has <= 100 values), so its expand phase
+    carries at most 100 rows per group at any input size. No windows, no
+    joins. Reference analogue: the discrete/continuous variable-type
+    classification (SURVEY.md A21) applied at value-grain.
+    """
+    x = F.abs(F.col(value_col))
+    ppm = lambda m: F.floor(  # noqa: E731
+        F.col(m).cast("double") * F.lit(1000000.0) / F.col("n").cast("double")
+    ).cast("bigint")
+    g = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((x % 10 == 0).cast("long")).alias("m10"),
+            F.sum((x % 100 == 0).cast("long")).alias("m100"),
+            F.sum((x % 1000 == 0).cast("long")).alias("m1000"),
+            F.countDistinct(x % 100).cast("long").alias("n_res_100"),
+        )
+    )
+    thr = F.lit(int(quantized_share_ppm))
+    out = g.select(
+        F.col(group_col),
+        F.col("n"),
+        ppm("m10").alias("ppm_mult_10"),
+        ppm("m100").alias("ppm_mult_100"),
+        ppm("m1000").alias("ppm_mult_1000"),
+        F.col("n_res_100"),
+    )
+    return out.withColumn(
+        "granularity",
+        F.when(F.col("ppm_mult_1000") >= thr, F.lit("quantized_1000"))
+        .when(F.col("ppm_mult_100") >= thr, F.lit("quantized_100"))
+        .when(F.col("ppm_mult_10") >= thr, F.lit("quantized_10"))
+        .otherwise(F.lit("unit")),
+    )

@@ -1168,3 +1168,171 @@ def dropout_violations(
         F.col("part").alias("part"),
         F.lit(3.5).alias("severity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# synthetic narrowband tones (test signals / IVR beeps / placeholder audio)
+# ---------------------------------------------------------------------------
+
+TONAL_AUDIT_SCHEMA = (
+    "clip_id string, part int, decode_ok boolean, n_used int, "
+    "spectral_flatness double, dominant_hz double, dominant_share double, "
+    "tonal boolean"
+)
+
+# Hann-windowed spectral flatness (geometric mean / arithmetic mean of the
+# non-DC power bins). Measured on this corpus's codecs: a digitally pure
+# sine lands at <= ~1e-4 (G.711 quantization noise is the floor; PCM floats
+# reach 1e-9), while recorded-style signal+noise content sits at >= ~2e-2 —
+# a 200x separation. 2e-3 is the geometric middle. The Hann window matters:
+# without it, rectangular-window leakage from off-bin tones raises pure-sine
+# flatness to ~4e-3 and the margin collapses to ~5x.
+_TONAL_FLATNESS_THRESHOLD = 2e-3
+# below this many decoded samples the spectrum is too coarse for a stable
+# flatness estimate -> NaN, never flagged (40 ms at 8 kHz = 320 samples)
+_TONAL_MIN_SAMPLES = 256
+
+
+def tonal_audit(
+    clips: DataFrame,
+    flatness_threshold: float = _TONAL_FLATNESS_THRESHOLD,
+    max_samples: int = 8192,
+    min_samples: int = _TONAL_MIN_SAMPLES,
+) -> DataFrame:
+    """Synthetic-tone detection: flag clips whose content is a narrowband
+    machine-generated signal (test tones, IVR beeps, DTMF, hold music,
+    placeholder sines) rather than recorded audio. Real recordings always
+    carry a broadband noise floor (room tone, mic/ADC noise); a digitally
+    synthesized tone has none, and its Hann-windowed spectral flatness
+    (geometric mean over arithmetic mean of power bins) collapses to ~1e-4
+    or below, two orders of magnitude under recorded content.
+
+    This is a content-class check, not corruption: the clip decodes fine,
+    matches its reference, and passes every byte/SNR tier — only its
+    *provenance* is wrong for a speech corpus. Reference analogue: the
+    discrete/continuous variable-type classification (SURVEY.md A21) — a
+    content-level "what kind of data is this" screen.
+
+    Emits per clip: ``spectral_flatness``, ``dominant_hz`` (the loudest
+    non-DC spectral line — the tone's frequency when tonal),
+    ``dominant_share`` (that bin's power share), and the ``tonal`` verdict
+    ``flatness < flatness_threshold``.
+
+    Scale notes: one ``mapInPandas`` pass, per-codec-group concatenated
+    decode like audio_features. The FFT is per clip but bounded: only the
+    first ``max_samples`` decoded samples are analyzed, so cost is
+    O(max_samples log max_samples) per clip regardless of duration — the
+    loop iterates per clip (one vectorized rfft each), never per sample.
+    Cost tier: its own decode pass, like codec_sniff — opt-in ingest-audit
+    check, not an every-run default.
+
+    Exact oracle: tests/test_tonal.py (planted pure tones vs sine+noise
+    corpus clips, per-codec, plus the q136 synth-fixture parity test).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            raw_col = pdf["bytes"].to_numpy()
+            codec_col = pdf["codec"].to_numpy()
+            sr_col = pdf["sr_hz"].to_numpy(dtype=np.int64)
+            byte_lens = np.array(
+                [len(r) if r is not None else -1 for r in raw_col], dtype=np.int64
+            )
+            decode_ok = np.zeros(n, dtype=bool)
+            n_used = np.zeros(n, dtype=np.int32)
+            flat = np.full(n, np.nan)
+            dom_hz = np.full(n, np.nan)
+            dom_share = np.full(n, np.nan)
+            for codec in pd.unique(codec_col):
+                if codec not in codecs.CODECS:
+                    continue
+                bps = codecs.bytes_per_sample(codec)
+                idx = np.flatnonzero(
+                    (codec_col == codec) & (byte_lens > 0) & (byte_lens % bps == 0)
+                )
+                if idx.size == 0:
+                    continue
+                lens = byte_lens[idx] // bps
+                pcm = codecs.decode(
+                    b"".join(raw_col[i] for i in idx), codec
+                ).astype(np.float64)
+                seg = np.zeros(idx.size, dtype=np.int64)
+                np.cumsum(lens[:-1], out=seg[1:])
+                decode_ok[idx] = True
+                for j in range(idx.size):
+                    i = idx[j]
+                    m = int(min(lens[j], max_samples))
+                    n_used[i] = m
+                    if m < min_samples:
+                        continue  # too short for a stable spectrum: NaN, never tonal
+                    x = pcm[seg[j] : seg[j] + m]
+                    if not np.isfinite(x).all():
+                        continue  # NaN payloads are the payload check's defect
+                    p = np.abs(np.fft.rfft(x * np.hanning(m))) ** 2
+                    p1 = p[1:]  # DC offset is audio_features' signal, not a tone
+                    tot = float(p1.sum())
+                    if tot <= 0.0:
+                        continue  # digital silence: loudness_audit owns it
+                    nb = p1.size
+                    mean_p = tot / nb
+                    # +mean*1e-12 floors exact-zero bins without moving the
+                    # estimate (flatness floor 1e-12, far under threshold)
+                    flat[i] = float(
+                        np.exp(np.log(p1 + mean_p * 1e-12).mean()) / mean_p
+                    )
+                    b = int(np.argmax(p1)) + 1
+                    dom_hz[i] = b * float(sr_col[i]) / m if sr_col[i] > 0 else np.nan
+                    dom_share[i] = float(p1[b - 1]) / tot
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"].to_numpy(),
+                    "part": pdf["part"].to_numpy(),
+                    "decode_ok": decode_ok,
+                    "n_used": n_used,
+                    "spectral_flatness": flat,
+                    "dominant_hz": dom_hz,
+                    "dominant_share": dom_share,
+                    "tonal": np.where(np.isnan(flat), False, flat < flatness_threshold),
+                }
+            )
+
+    pruned = clips.select("clip_id", "part", "bytes", "codec", "sr_hz")
+    return pruned.mapInPandas(batches, schema=TONAL_AUDIT_SCHEMA)
+
+
+def tonal_violations(
+    clips: DataFrame,
+    flatness_threshold: float = _TONAL_FLATNESS_THRESHOLD,
+    key_col: str = "clip_id",
+    part_col: str = "part",
+) -> DataFrame:
+    """Suite adapter for ``tonal_audit``: standard violation rows for clips
+    flagged as synthetic narrowband tones. Undecodable / too-short / silent
+    clips are NOT re-reported (codec, payload and loudness checks own those
+    defects — same no-double-count rule as dropout). Severity 2.5:
+    content-provenance suspicion — below content corruption (dropout 3.5)
+    and loudness feasibility (3.0); the clip itself is technically sound.
+
+    Cost note: runs its own audio decode pass (bounded at ``max_samples``
+    per clip); ingest-audit tier like codec_sniff, not an every-run check.
+    """
+    src = clips
+    if key_col != "clip_id":
+        src = src.withColumnRenamed(key_col, "clip_id")
+    if part_col != "part":
+        src = src.withColumnRenamed(part_col, "part")
+    audit = tonal_audit(src, flatness_threshold=flatness_threshold)
+    bad = audit.where(F.col("tonal"))
+    return bad.select(
+        F.col("clip_id").alias("key"),
+        F.lit("tonal").alias("check"),
+        F.concat(
+            F.lit("flatness="),
+            F.format_number(F.col("spectral_flatness"), 6),
+            F.lit(" dominant_hz="),
+            F.round("dominant_hz", 1).cast("string"),
+        ).alias("detail"),
+        F.col("part").alias("part"),
+        F.lit(2.5).alias("severity"),
+    )

@@ -181,6 +181,15 @@ def wave_violations(
                 part_col=spec.schema_spec.part_col,
             )
         )
+    if "tonal" in checks:
+        parts.append(
+            media.tonal_violations(
+                wave_df,
+                flatness_threshold=spec.tonal_flatness_threshold,
+                key_col=spec.schema_spec.key_col,
+                part_col=spec.schema_spec.part_col,
+            )
+        )
     if not parts:
         return None
     out = parts[0]

@@ -81,6 +81,11 @@ class SuiteSpec:
     # see payload.codec_sniff_violations. Costs ~4x one decode pass:
     # ingest-audit tier, not every run.
     codec_sniff_ratio: float = 3.0
+    # synthetic narrowband-tone detection (Hann-windowed spectral flatness
+    # under this threshold => machine-generated tone, not recorded audio);
+    # opt-in via checks=(..., "tonal") — see media.tonal_violations. Own
+    # decode pass (FFT bounded at 8192 samples/clip): ingest-audit tier.
+    tonal_flatness_threshold: float = 2e-3
     # partitioning contract: when the table is bucket-partitioned by
     # hash(key) (Iceberg bucket(clip_id) / our crc32 synth), uniqueness and
     # referential checks decompose per-partition and resume safely. If False
@@ -134,15 +139,15 @@ class SuiteSpec:
 _SPEC_KEYS = {
     "schema", "drift", "psi_threshold", "checks", "key_partitioned",
     "uniqueness_salts", "speaking_rate_bounds", "loudness_bounds",
-    "dropout_min_run_ms", "codec_sniff_ratio", "encoding_text_col",
-    "max_violation_rows_per_check",
+    "dropout_min_run_ms", "codec_sniff_ratio", "tonal_flatness_threshold",
+    "encoding_text_col", "max_violation_rows_per_check",
 }
 
 # every check name the runner understands — the default SuiteSpec.checks
 # tuple is the default-ON subset, not the universe (speaking_rate and
 # loudness stay opt-in: each costs a decode or joins against one)
 ALL_CHECKS = SuiteSpec().checks + (
-    "speaking_rate", "loudness", "dropout", "codec_sniff",
+    "speaking_rate", "loudness", "dropout", "codec_sniff", "tonal",
 )
 _SCHEMA_KEYS = {"columns", "key_col", "part_col"}
 _COLUMN_KEYS = {"name", "dtype", "nullable", "allowed", "min_value", "max_value"}
@@ -212,6 +217,8 @@ def spec_from_dict(doc: dict) -> SuiteSpec:
         kwargs["dropout_min_run_ms"] = float(doc["dropout_min_run_ms"])
     if "codec_sniff_ratio" in doc:
         kwargs["codec_sniff_ratio"] = float(doc["codec_sniff_ratio"])
+    if "tonal_flatness_threshold" in doc:
+        kwargs["tonal_flatness_threshold"] = float(doc["tonal_flatness_threshold"])
     if "encoding_text_col" in doc:
         kwargs["encoding_text_col"] = str(doc["encoding_text_col"])
     if "key_partitioned" in doc:

@@ -4852,6 +4852,92 @@ def q135(spark, sf_dir):
     )
 
 
+@q("q136_tonal_audit")
+def q136(spark, sf_dir):
+    """Synthetic-tone detection (operators/media.tonal_audit): Hann-windowed
+    spectral flatness separates machine-generated narrowband tones (test
+    signals, IVR beeps, placeholder sines — no broadband noise floor,
+    flatness <= ~1e-4) from recorded-style content (>= ~2e-2), a content-
+    provenance class every byte/SNR tier passes. Fixture plants pure-tone
+    swaps via the synth injector's independent tone stream (tone_rate).
+    Binary decode + FFT => rows-only for the driver; per-codec planted-tone
+    exact oracle in tests/test_tonal.py."""
+    from .operators import media
+    from .sources import synth
+
+    t = synth.generate_clips(n_clips=400, n_parts=8, seed=7, tone_rate=0.03)
+    clips = spark.createDataFrame(t.clips.to_pandas())
+    audit = media.tonal_audit(clips)
+    return audit.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("tonal").cast("long")).alias("n_tonal"),
+        F.round(F.min(F.when(F.col("tonal"), F.col("dominant_hz"))), 1).alias(
+            "min_tonal_hz"
+        ),
+        F.round(F.max(F.when(F.col("tonal"), F.col("dominant_hz"))), 1).alias(
+            "max_tonal_hz"
+        ),
+    )
+
+
+@q(
+    "q137_granularity_audit",
+    """
+    WITH b AS (SELECT event_type,
+                      CAST(FLOOR(value * 100) AS BIGINT) + 1 AS v0
+               FROM events WHERE value IS NOT NULL),
+    p AS (SELECT event_type,
+                 CASE WHEN event_type = 'view' THEN v0 * 100
+                      WHEN event_type = 'click' THEN v0 * 10
+                      ELSE v0 END AS v
+          FROM b),
+    g AS (SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CASE WHEN abs(v) % 10 = 0 THEN 1 ELSE 0 END) AS m10,
+                 SUM(CASE WHEN abs(v) % 100 = 0 THEN 1 ELSE 0 END) AS m100,
+                 SUM(CASE WHEN abs(v) % 1000 = 0 THEN 1 ELSE 0 END) AS m1000,
+                 CAST(COUNT(DISTINCT abs(v) % 100) AS BIGINT) AS n_res_100
+          FROM p GROUP BY event_type)
+    SELECT event_type, n,
+           CAST(FLOOR(CAST(m10 AS DOUBLE) * 1000000.0 / CAST(n AS DOUBLE)) AS BIGINT) AS ppm_mult_10,
+           CAST(FLOOR(CAST(m100 AS DOUBLE) * 1000000.0 / CAST(n AS DOUBLE)) AS BIGINT) AS ppm_mult_100,
+           CAST(FLOOR(CAST(m1000 AS DOUBLE) * 1000000.0 / CAST(n AS DOUBLE)) AS BIGINT) AS ppm_mult_1000,
+           n_res_100,
+           CASE WHEN FLOOR(CAST(m1000 AS DOUBLE) * 1000000.0 / CAST(n AS DOUBLE)) >= 990000 THEN 'quantized_1000'
+                WHEN FLOOR(CAST(m100 AS DOUBLE) * 1000000.0 / CAST(n AS DOUBLE)) >= 990000 THEN 'quantized_100'
+                WHEN FLOOR(CAST(m10 AS DOUBLE) * 1000000.0 / CAST(n AS DOUBLE)) >= 990000 THEN 'quantized_10'
+                ELSE 'unit' END AS granularity
+    FROM g
+    """,
+)
+def q137(spark, sf_dir):
+    """Producer-quantization audit (operators/column_stats.py:
+    granularity_audit): per-group share of values that are exact multiples
+    of 10/100/1000 plus distinct residues mod 100 — one producer rounding
+    dur_ms to deciseconds/seconds while others log millisecond grain. The
+    precision loss stays in range, keeps its magnitude decade (q133's
+    mixed-unit audit is blind to it) and drifts no histogram coarser than
+    the quantum. Fixture plants x100 quantization on 'view' and x10 on
+    'click' (the q133 planting pattern); the audit must name each grain
+    and report the rest as 'unit'.
+
+    Plan: one scan -> one per-group hash agg with map-side combine; the
+    distinct aggregate runs over abs(v) % 100 (domain <= 100), so its
+    expand carries <= 100 rows per group at any input size. ppm shares are
+    FLOOR(m*1e6/n) integer-domain arithmetic — bit-identical across
+    engines."""
+    ev = _t(spark, sf_dir, "events")
+    v0 = F.floor(F.col("value") * 100).cast("bigint") + F.lit(1)
+    planted = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.when(F.col("event_type") == "view", v0 * 100)
+        .when(F.col("event_type") == "click", v0 * 10)
+        .otherwise(v0)
+        .alias("v"),
+    )
+    return CS.granularity_audit(planted, "v", "event_type")
+
+
 @q(
     "q45_frame_plan",
     """

@@ -71,6 +71,7 @@ def generate_clips(
     mean_dur_ms: float = 400.0,
     drift: bool = False,
     inject_violations: bool = True,
+    tone_rate: float = 0.0,
 ) -> ClipTables:
     rng = np.random.default_rng(seed)
     srs = np.array([8000, 16000, 22050, 44100])
@@ -99,6 +100,16 @@ def generate_clips(
     # checks' planted counts comparable across rounds)
     rng_enc = np.random.default_rng(seed ^ 0xE2C0D1)
     u_enc = rng_enc.uniform(size=n_clips) if inject_violations else np.ones(n_clips)
+    # synthetic pure tones (opt-in via tone_rate > 0) draw from their OWN
+    # independent stream and are swapped in only on otherwise-clean rows
+    # AFTER the injection chain, so every pre-existing check's planted
+    # counts stay byte-identical and tone_rate=0 fixtures are unchanged
+    rng_tone = np.random.default_rng(seed ^ 0x70A0A1)
+    u_tone = (
+        rng_tone.uniform(size=n_clips)
+        if inject_violations and tone_rate > 0
+        else np.ones(n_clips)
+    )
 
     for i in range(n_clips):
         # duplicate-ingest violation: replay the last clean row verbatim
@@ -164,6 +175,18 @@ def generate_clips(
             viol.append((cid, "encoding", detail))
         else:
             dirty = False
+
+        if not dirty and u_tone[i] < tone_rate:
+            # machine-generated tone: the same sine carrier WITHOUT the
+            # noise floor (the noise draw above still consumed its stream
+            # slot, so all later main-stream draws are unchanged). The ref
+            # row carries the same pure PCM: every byte/SNR tier passes,
+            # only the content-level tonal check can catch it.
+            pure = np.clip(0.55 * np.sin(2 * np.pi * f0 * t), -0.999, 0.999)
+            payload = codecs.encode(pure, codec)
+            ref_pcm = pure.astype(np.float32)
+            viol.append((cid, "tonal", "synthetic pure tone"))
+            dirty = True
 
         clip_ids.append(cid)
         payloads.append(payload)

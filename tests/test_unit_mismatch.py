@@ -81,3 +81,46 @@ def test_overflow_decade_is_safe_and_flags(spark):
     out = CS.mixed_unit_audit(df, "v", "grp").collect()[0]
     assert out["heavy_decades"] == "1,15"
     assert out["mixed_units"] is True and out["max_gap"] == 14
+
+
+# ---------------------------------------------------------------------------
+# granularity_audit (q137): producer-quantization semantics
+# ---------------------------------------------------------------------------
+
+
+def test_granularity_verdicts_exact(spark):
+    rows = []
+    # unit grain: 1..200 -> 10% mult10, 2% mult100
+    rows += [("unit", i) for i in range(1, 201)]
+    # quantized to 100s: 100..9900
+    rows += [("q100", 100 * i) for i in range(1, 100)]
+    # quantized to 10s with 1% stragglers allowed under the 990000 ppm bar:
+    # 199 multiples of 10 + 1 odd value = 99.5% >= 99.0%
+    rows += [("q10", 10 * i) for i in range(1, 200)] + [("q10", 7)]
+    # constant column: multiple of its own divisors at every matching grain
+    rows += [("const", 5000)] * 50
+    # negatives quantize by |x|
+    rows += [("neg", -1000 * i) for i in range(1, 40)]
+    rows += [("unit", None)]  # nulls excluded
+    df = spark.createDataFrame(rows, "grp string, v long")
+    out = {r["grp"]: r for r in CS.granularity_audit(df, "v", "grp").collect()}
+
+    assert out["unit"]["granularity"] == "unit"
+    assert out["unit"]["n"] == 200
+    assert out["unit"]["ppm_mult_10"] == 100_000  # exactly 20/200
+    assert out["q100"]["granularity"] == "quantized_100"
+    assert out["q100"]["n_res_100"] == 1
+    assert out["q10"]["granularity"] == "quantized_10"
+    assert out["q10"]["ppm_mult_10"] == 995_000
+    assert out["const"]["granularity"] == "quantized_1000"
+    assert out["neg"]["granularity"] == "quantized_1000"
+
+
+def test_granularity_threshold_knob(spark):
+    # 9 of 10 values are multiples of 10: flagged at 900000 ppm, not at default
+    rows = [("g", 10 * i) for i in range(1, 10)] + [("g", 3)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    strict = CS.granularity_audit(df, "v", "grp").collect()[0]
+    loose = CS.granularity_audit(df, "v", "grp", quantized_share_ppm=900_000).collect()[0]
+    assert strict["granularity"] == "unit"
+    assert loose["granularity"] == "quantized_10"
