@@ -1336,3 +1336,155 @@ def tonal_violations(
         F.col("part").alias("part"),
         F.lit(2.5).alias("severity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stutter: stuck-buffer / looped-frame repeats (non-silent dropout analogue)
+# ---------------------------------------------------------------------------
+
+STUTTER_AUDIT_SCHEMA = (
+    "clip_id string, part int, decode_ok boolean, n_stutters int, "
+    "max_repeat_frames int, stutter_ms_total double"
+)
+
+
+def stutter_audit(
+    clips: DataFrame,
+    frame_ms: float = 20.0,
+    min_repeats: int = 3,
+    zero_eps: float = _DROPOUT_ZERO_EPS,
+) -> DataFrame:
+    """Stuck-buffer detection: runs of >= ``min_repeats`` consecutive
+    bit-identical NON-SILENT frames (``frame_ms`` each) — the signature of
+    a looping DMA/jitter buffer or a concatenation bug that repeats a chunk
+    of real audio. Real recordings never produce bit-identical consecutive
+    frames (the noise floor differs every frame); the codecs here are
+    stateless per sample, so a repeated source frame stays byte-identical
+    through encode/decode and exact float equality is the right test.
+
+    Complements ``dropout_audit``: that check owns repeated/inserted
+    SILENCE (runs under the digital-silence gate); this one owns repeated
+    CONTENT — identical frames at or under ``zero_eps`` everywhere are
+    excluded here so the two checks never double-report one defect.
+
+    Reference analogue: the order-dependent per-group repeat scans
+    (SURVEY.md W3/A11) — content-level corruption at frame grain.
+
+    Scale notes: one ``mapInPandas`` decode pass (per-codec-group
+    concatenated decode); per clip the work is one reshape to
+    (n_frames, frame_len) + one vectorized row-equality + run-length scan
+    over the (few) frame booleans — O(samples) total, never per-sample
+    Python. NaN samples (float-payload corruption) compare unequal and so
+    terminate runs — that defect belongs to the payload check.
+
+    Exact oracle: tests/test_stutter.py (planted frame repeats per codec,
+    silence exclusion, boundary/run-length semantics).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            raw_col = pdf["bytes"].to_numpy()
+            codec_col = pdf["codec"].to_numpy()
+            sr_col = pdf["sr_hz"].to_numpy(dtype=np.int64)
+            byte_lens = np.array(
+                [len(r) if r is not None else -1 for r in raw_col], dtype=np.int64
+            )
+            decode_ok = np.zeros(n, dtype=bool)
+            n_runs = np.zeros(n, dtype=np.int32)
+            max_rep = np.zeros(n, dtype=np.int32)
+            tot_ms = np.zeros(n, dtype=np.float64)
+            for codec in pd.unique(codec_col):
+                if codec not in codecs.CODECS:
+                    continue
+                bps = codecs.bytes_per_sample(codec)
+                idx = np.flatnonzero(
+                    (codec_col == codec) & (byte_lens > 0) & (byte_lens % bps == 0)
+                )
+                if idx.size == 0:
+                    continue
+                lens = byte_lens[idx] // bps
+                pcm = codecs.decode(b"".join(raw_col[i] for i in idx), codec)
+                seg = np.zeros(idx.size, dtype=np.int64)
+                np.cumsum(lens[:-1], out=seg[1:])
+                decode_ok[idx] = True
+                for j in range(idx.size):
+                    i = idx[j]
+                    sr = int(sr_col[i])
+                    if sr <= 0:
+                        continue  # schema's defect; ms math undefined
+                    flen = max(1, int(round(sr * frame_ms / 1000.0)))
+                    k = int(lens[j] // flen)
+                    if k < min_repeats:
+                        continue
+                    fr = pcm[seg[j] : seg[j] + k * flen].reshape(k, flen)
+                    # identical-to-previous, and not digital silence
+                    eq = (fr[1:] == fr[:-1]).all(axis=1) & (
+                        np.abs(fr[1:]).max(axis=1) > zero_eps
+                    )
+                    if not eq.any():
+                        continue
+                    # run-length over the eq booleans: a run of L Trues is
+                    # L+1 identical frames
+                    e = np.empty(eq.size + 2, dtype=bool)
+                    e[0] = e[-1] = False
+                    e[1:-1] = eq
+                    d = np.diff(e.astype(np.int8))
+                    starts = np.flatnonzero(d == 1)
+                    ends = np.flatnonzero(d == -1)
+                    reps = (ends - starts) + 1  # frames per run
+                    sel = reps >= min_repeats
+                    if not sel.any():
+                        continue
+                    n_runs[i] = int(sel.sum())
+                    max_rep[i] = int(reps[sel].max())
+                    tot_ms[i] = float(reps[sel].sum()) * flen / sr * 1000.0
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"].to_numpy(),
+                    "part": pdf["part"].to_numpy(),
+                    "decode_ok": decode_ok,
+                    "n_stutters": n_runs,
+                    "max_repeat_frames": max_rep,
+                    "stutter_ms_total": np.where(decode_ok, tot_ms, np.nan),
+                }
+            )
+
+    pruned = clips.select("clip_id", "part", "bytes", "codec", "sr_hz")
+    return pruned.mapInPandas(batches, schema=STUTTER_AUDIT_SCHEMA)
+
+
+def stutter_violations(
+    clips: DataFrame,
+    frame_ms: float = 20.0,
+    min_repeats: int = 3,
+    key_col: str = "clip_id",
+    part_col: str = "part",
+) -> DataFrame:
+    """Suite adapter for ``stutter_audit``: violation rows for clips with
+    at least one stuck-buffer frame-repeat run. Undecodable clips are NOT
+    re-reported (codec/payload checks own that). Severity 3.5: content
+    corruption, same tier as dropout (the silent sibling).
+
+    Cost note: own decode pass — pair with a suite that skips payload, or
+    accept the second decode of the wave.
+    """
+    src = clips
+    if key_col != "clip_id":
+        src = src.withColumnRenamed(key_col, "clip_id")
+    if part_col != "part":
+        src = src.withColumnRenamed(part_col, "part")
+    audit = stutter_audit(src, frame_ms=frame_ms, min_repeats=min_repeats)
+    bad = audit.where(F.col("n_stutters") > 0)
+    return bad.select(
+        F.col("clip_id").alias("key"),
+        F.lit("stutter").alias("check"),
+        F.concat(
+            F.lit("n_stutters="),
+            F.col("n_stutters").cast("string"),
+            F.lit(" max_repeat_frames="),
+            F.col("max_repeat_frames").cast("string"),
+        ).alias("detail"),
+        F.col("part").alias("part"),
+        F.lit(3.5).alias("severity"),
+    )

@@ -190,6 +190,17 @@ def wave_violations(
                 part_col=spec.schema_spec.part_col,
             )
         )
+    if "stutter" in checks:
+        frame_ms, min_repeats = spec.stutter_params
+        parts.append(
+            media.stutter_violations(
+                wave_df,
+                frame_ms=frame_ms,
+                min_repeats=min_repeats,
+                key_col=spec.schema_spec.key_col,
+                part_col=spec.schema_spec.part_col,
+            )
+        )
     if not parts:
         return None
     out = parts[0]

@@ -86,6 +86,10 @@ class SuiteSpec:
     # opt-in via checks=(..., "tonal") — see media.tonal_violations. Own
     # decode pass (FFT bounded at 8192 samples/clip): ingest-audit tier.
     tonal_flatness_threshold: float = 2e-3
+    # stuck-buffer detection (>= min_repeats bit-identical non-silent
+    # frames of frame_ms each); opt-in via checks=(..., "stutter") — see
+    # media.stutter_violations. Own decode pass, same cost note as dropout.
+    stutter_params: tuple = (20.0, 3)
     # partitioning contract: when the table is bucket-partitioned by
     # hash(key) (Iceberg bucket(clip_id) / our crc32 synth), uniqueness and
     # referential checks decompose per-partition and resume safely. If False
@@ -140,14 +144,14 @@ _SPEC_KEYS = {
     "schema", "drift", "psi_threshold", "checks", "key_partitioned",
     "uniqueness_salts", "speaking_rate_bounds", "loudness_bounds",
     "dropout_min_run_ms", "codec_sniff_ratio", "tonal_flatness_threshold",
-    "encoding_text_col", "max_violation_rows_per_check",
+    "stutter_params", "encoding_text_col", "max_violation_rows_per_check",
 }
 
 # every check name the runner understands — the default SuiteSpec.checks
 # tuple is the default-ON subset, not the universe (speaking_rate and
 # loudness stay opt-in: each costs a decode or joins against one)
 ALL_CHECKS = SuiteSpec().checks + (
-    "speaking_rate", "loudness", "dropout", "codec_sniff", "tonal",
+    "speaking_rate", "loudness", "dropout", "codec_sniff", "tonal", "stutter",
 )
 _SCHEMA_KEYS = {"columns", "key_col", "part_col"}
 _COLUMN_KEYS = {"name", "dtype", "nullable", "allowed", "min_value", "max_value"}
@@ -219,6 +223,11 @@ def spec_from_dict(doc: dict) -> SuiteSpec:
         kwargs["codec_sniff_ratio"] = float(doc["codec_sniff_ratio"])
     if "tonal_flatness_threshold" in doc:
         kwargs["tonal_flatness_threshold"] = float(doc["tonal_flatness_threshold"])
+    if "stutter_params" in doc:
+        b = doc["stutter_params"]
+        if not (isinstance(b, (list, tuple)) and len(b) == 2):
+            raise ValueError("stutter_params must be [frame_ms, min_repeats]")
+        kwargs["stutter_params"] = (float(b[0]), int(b[1]))
     if "encoding_text_col" in doc:
         kwargs["encoding_text_col"] = str(doc["encoding_text_col"])
     if "key_partitioned" in doc:

@@ -4938,6 +4938,49 @@ def q137(spark, sf_dir):
     return CS.granularity_audit(planted, "v", "event_type")
 
 
+@q("q138_stutter_audit")
+def q138(spark, sf_dir):
+    """Stuck-buffer detection (operators/media.stutter_audit): runs of >= 3
+    bit-identical non-silent 20 ms frames — a looping DMA/jitter buffer
+    repeating real audio, the CONTENT sibling of q134's silence dropouts
+    (identical silent frames are excluded here; dropout owns them). Real
+    recordings never repeat a frame bit-exactly, and the stateless codecs
+    preserve source-frame identity through encode/decode. Fixture tiles one
+    20 ms frame 5x into a deterministic subset of synth clips (decode ->
+    tile -> re-encode). Binary decode => rows-only for the driver; exact
+    frame-repeat oracle in tests/test_stutter.py."""
+    import numpy as np
+
+    from .functions import codecs
+    from .operators import media
+    from .sources import synth
+
+    t = synth.generate_clips(n_clips=400, n_parts=8, seed=7)
+    pdf = t.clips.to_pandas()
+    for i in range(0, len(pdf), 9):  # deterministic ~11% subset
+        c, b, sr = pdf.at[i, "codec"], pdf.at[i, "bytes"], int(pdf.at[i, "sr_hz"])
+        if (
+            c in codecs.CODECS
+            and b
+            and sr > 0
+            and len(b) % codecs.bytes_per_sample(c) == 0
+        ):
+            pcm = np.array(codecs.decode(b, c), dtype=np.float64)
+            flen = int(round(sr * 0.020))
+            s = len(pcm) // 4
+            if s > 0 and s + 5 * flen < len(pcm) - 1:
+                pcm[s : s + 5 * flen] = np.tile(pcm[s : s + flen], 5)
+                pdf.at[i, "bytes"] = codecs.encode(pcm, c)
+    clips = spark.createDataFrame(pdf)
+    audit = media.stutter_audit(clips, frame_ms=20.0, min_repeats=3)
+    return audit.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("n_stutters") > 0).cast("long")).alias("n_with_stutters"),
+        F.max("max_repeat_frames").alias("max_repeat_frames"),
+        F.round(F.max("stutter_ms_total"), 3).alias("max_stutter_ms"),
+    )
+
+
 @q(
     "q45_frame_plan",
     """
