@@ -60,6 +60,8 @@ HEADLINE = [
     "q130_json_key_profile",    # JVM from_json key-set profile (round-4 rep)
     "q133_unit_mismatch",       # decade-grain magnitude clustering (round-4 rep)
     "q134_dropout_audit",       # vectorized RLE dropout scan (round-4 audio rep)
+    "q136_tonal_audit",         # bounded per-clip FFT flatness (round-4 audio rep)
+    "q137_granularity_audit",   # integer-domain quantization profile (round-4 rep)
 ]
 
 
