@@ -178,3 +178,32 @@ def test_tonal_in_suite(spark, clip_dir, tmp_path):
     assert all(set(v.violations_by_check) <= {"tonal"} for v in res.verdicts.values())
     assert sum(v.violations_by_check.get("tonal", 0) for v in res.verdicts.values()) == 0
     assert spec.spec_hash() != SuiteSpec(checks=("tonal",)).spec_hash()
+
+
+def test_tonal_flows_through_stream_ingest(spark, tmp_path):
+    """The landing-zone stream shares wave_violations with the batch suite,
+    so the opt-in content checks run per micro-batch too: planted pure
+    tones land in the sink exactly once (and nothing else, with only the
+    tonal+stutter checks enabled)."""
+    import os
+
+    from audit_anomaly_detection_etl_spark.plans.spec import SuiteSpec
+    from audit_anomaly_detection_etl_spark.streaming import incremental
+
+    t = synth.generate_clips(n_clips=300, n_parts=4, seed=19, tone_rate=0.02)
+    exp = t.violations_expected.to_pandas()
+    planted = set(exp[exp["check"] == "tonal"]["clip_id"])
+    assert planted
+    data = str(tmp_path / "data")
+    synth.write_clip_tables(t, data)
+    sink = str(tmp_path / "sink")
+
+    spec = SuiteSpec(checks=("tonal", "stutter"))
+    q = incremental.incremental_clip_validation(
+        spark, os.path.join(data, "clips"), sink, str(tmp_path / "ck"), spec=spec
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(sink).toPandas()
+    assert set(got["check"]) == {"tonal"}
+    assert set(got["key"]) == planted
+    assert len(got) == len(planted)  # exactly once
