@@ -211,3 +211,84 @@ def test_stutter_in_suite(spark, clip_dir, tmp_path):
     assert all(set(v.violations_by_check) <= {"stutter"} for v in res.verdicts.values())
     assert sum(v.violations_by_check.get("stutter", 0) for v in res.verdicts.values()) == 0
     assert spec.spec_hash() != SuiteSpec(checks=("stutter",)).spec_hash()
+
+
+def test_stutter_randomized_patterns_match_oracle(spark):
+    """120 seeded random clips with random tiled windows (frame-aligned
+    and off-grid, overlapping, edge-touching) in ONE batch vs a pure-python
+    frame-repeat oracle — randomized coverage of alignment and run-merge
+    interactions beyond the handbuilt shapes."""
+
+    def oracle(pcm, sr, frame_ms, min_repeats, eps):
+        flen = max(1, int(round(sr * frame_ms / 1000.0)))
+        k = len(pcm) // flen
+        runs, cur = [], 1
+        for f in range(1, k):
+            a = pcm[(f - 1) * flen : f * flen]
+            b = pcm[f * flen : (f + 1) * flen]
+            same = bool((a == b).all()) and float(np.abs(b).max()) > eps
+            if same:
+                cur += 1
+            else:
+                if cur >= min_repeats:
+                    runs.append(cur)
+                cur = 1
+        if cur >= min_repeats:
+            runs.append(cur)
+        return runs
+
+    rng = np.random.default_rng(99)
+    rows, pcms = [], {}
+    for i in range(120):
+        n = int(rng.integers(2, 30 * FLEN))
+        pcm = np.where(rng.random(n) < 0.5, 0.3, -0.3)
+        for _ in range(int(rng.integers(0, 3))):
+            w = int(rng.integers(FLEN // 2, 4 * FLEN))
+            a = int(rng.integers(0, n))
+            reps = int(rng.integers(2, 6))
+            chunk = pcm[a : a + w]
+            if len(chunk) == 0:
+                continue
+            tiled = np.tile(chunk, reps)[: max(0, n - a)]
+            pcm[a : a + len(tiled)] = tiled
+        if rng.random() < 0.2:  # some silent windows (dropout's domain)
+            a = int(rng.integers(0, n))
+            pcm[a : a + int(rng.integers(1, 5 * FLEN))] = 0.0
+        codec = ["pcm_s16le", "ulaw", "alaw", "pcm_f32le"][i % 4]
+        cid = f"r{i:03d}"
+        pcms[cid] = (pcm, codec)
+        rows.append(_clip(cid, pcm, codec=codec))
+    got = _audit(spark, rows, min_repeats=3)
+    eps = media._DROPOUT_ZERO_EPS
+    for cid, (pcm, codec) in pcms.items():
+        dec = codecs.decode(codecs.encode(pcm, codec), codec)
+        runs = oracle(np.asarray(dec), SR, 20.0, 3, eps)
+        g = got.loc[cid]
+        assert int(g["n_stutters"]) == len(runs), cid
+        assert int(g["max_repeat_frames"]) == (max(runs) if runs else 0), cid
+        assert g["stutter_ms_total"] == pytest.approx(
+            sum(runs) * (FLEN / SR * 1000.0)
+        ), cid
+
+
+def test_stutter_and_tonal_never_raise_on_arbitrary_bytes(spark):
+    """Robustness contract (RIFF-walker fuzz sibling): arbitrary byte
+    payloads under every declared codec must produce a row, never an
+    executor exception — junk f32 reinterpretations carry NaN/inf through
+    the frame-equality and FFT paths."""
+    rng = np.random.default_rng(17)
+    rows = []
+    for i in range(120):
+        nb = int(rng.integers(0, 6000))
+        raw = rng.integers(0, 256, nb, dtype=np.uint8).tobytes()
+        codec = ["pcm_s16le", "pcm_f32le", "ulaw", "alaw", "opus", ""][i % 6]
+        rows.append(
+            {"clip_id": f"f{i:03d}", "part": i % 4, "bytes": raw,
+             "codec": codec, "sr_hz": SR}
+        )
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    st = media.stutter_audit(df).toPandas()
+    to = media.tonal_audit(df).toPandas()
+    assert len(st) == 120 and len(to) == 120
+    assert st["n_stutters"].notna().all()
+    assert to["tonal"].isin([True, False]).all()
