@@ -14,9 +14,16 @@ import os
 
 
 def proc_tree_cpu_seconds() -> float:
-    """CPU seconds (utime+stime) consumed by this process and every live
-    descendant — the JVM and all pyspark worker daemons. Reaped children's
-    cutime is excluded to avoid double counting live workers."""
+    """CPU seconds consumed by this process and every descendant — the JVM
+    and all pyspark worker daemons — including descendants that have since
+    EXITED. Each live process contributes its own utime+stime plus its
+    cutime+cstime: the kernel folds a child's total CPU into the parent's
+    cutime/cstime only at reap time, and a live child is never in any
+    ancestor's cutime, so the sum counts every tick exactly once and is
+    monotone non-decreasing. (Summing live utime+stime alone made deltas go
+    NEGATIVE whenever a pyspark worker with accumulated CPU was reaped
+    between the two samples — the q36/q50 catalog-scaling artifact — and
+    silently under-charged any run whose workers exited mid-measurement.)"""
     hz = os.sysconf("SC_CLK_TCK")
     info: dict[int, tuple[int, int]] = {}
     for d in os.listdir("/proc"):
@@ -25,7 +32,8 @@ def proc_tree_cpu_seconds() -> float:
         try:
             with open(f"/proc/{d}/stat") as f:
                 parts = f.read().rsplit(")", 1)[1].split()
-            info[int(d)] = (int(parts[1]), int(parts[11]) + int(parts[12]))
+            cpu = int(parts[11]) + int(parts[12]) + int(parts[13]) + int(parts[14])
+            info[int(d)] = (int(parts[1]), cpu)
         except (OSError, IndexError, ValueError):
             continue
     children: dict[int, list[int]] = {}

@@ -207,3 +207,34 @@ def test_tonal_flows_through_stream_ingest(spark, tmp_path):
     assert set(got["check"]) == {"tonal"}
     assert set(got["key"]) == planted
     assert len(got) == len(planted)  # exactly once
+
+
+def test_batched_fft_path_matches_reference_kernel(spark):
+    """Clips at >= max_samples take the batched 2-D rfft path; their
+    flatness/dominant values must match an independent per-clip numpy
+    reference (and a clip 1 sample short of the cap — the loop path — must
+    agree with the same reference too)."""
+    rng = np.random.default_rng(31)
+    rows, ref_pcm = [], {}
+    for i in range(6):
+        n = 8192 if i < 4 else 8191  # 4 batched, 2 loop-path
+        f0 = 100.0 + 70.0 * i
+        noise = 0.08 if i % 2 else 0.0
+        x = _sine(n, f0, noise=noise, seed=i)
+        cid = f"b{i}"
+        codec = ["pcm_s16le", "ulaw", "alaw", "pcm_f32le"][i % 4]
+        rows.append(_clip(cid, x, codec=codec))
+        ref_pcm[cid] = (codecs.decode(codecs.encode(x, codec), codec), n)
+    got = _audit(spark, rows)
+    for cid, (dec, n) in ref_pcm.items():
+        m = min(n, 8192)
+        x = np.asarray(dec, dtype=np.float64)[:m]
+        p1 = np.abs(np.fft.rfft(x * np.hanning(m))[1:]) ** 2
+        tot = p1.sum()
+        want_flat = np.exp(np.log(p1 + (tot / p1.size) * 1e-12).mean()) / (tot / p1.size)
+        b = int(np.argmax(p1)) + 1
+        g = got.loc[cid]
+        assert int(g["n_used"]) == m, cid
+        assert g["spectral_flatness"] == pytest.approx(want_flat, rel=1e-9), cid
+        assert g["dominant_hz"] == pytest.approx(b * SR / m, rel=1e-12), cid
+        assert g["dominant_share"] == pytest.approx(p1[b - 1] / tot, rel=1e-9), cid
