@@ -12,37 +12,91 @@ from __future__ import annotations
 
 import os
 
+# Census of every process identity (pid, starttime) ever observed inside
+# this process's tree, mapping to (last-seen own cpu seconds, was it inside
+# the tree at the last sighting). A pyspark worker that gets REPARENTED
+# outside the tree (its daemon died first) keeps being charged via this
+# census while it lives, and its last-seen CPU is retained when it exits —
+# init reaps orphans, so that CPU never folds into any cutime we can read.
+# Identity includes starttime so PID reuse cannot resurrect an old entry.
+_tracked: dict[tuple[int, int], tuple[float, bool]] = {}
+_retained_s: float = 0.0
+_floor_s: float = 0.0
+
 
 def proc_tree_cpu_seconds() -> float:
     """CPU seconds consumed by this process and every descendant — the JVM
     and all pyspark worker daemons — including descendants that have since
-    EXITED. Each live process contributes its own utime+stime plus its
-    cutime+cstime: the kernel folds a child's total CPU into the parent's
-    cutime/cstime only at reap time, and a live child is never in any
-    ancestor's cutime, so the sum counts every tick exactly once and is
-    monotone non-decreasing. (Summing live utime+stime alone made deltas go
-    NEGATIVE whenever a pyspark worker with accumulated CPU was reaped
-    between the two samples — the q36/q50 catalog-scaling artifact — and
-    silently under-charged any run whose workers exited mid-measurement.)"""
+    EXITED or been reparented away. Guaranteed monotone non-decreasing.
+
+    Three mechanisms, each closing a hole the previous one leaves:
+
+    1. Live in-tree processes contribute their own utime+stime PLUS their
+       cutime+cstime: the kernel folds a child's total CPU into the parent
+       only at reap time, and a live child is never in any ancestor's
+       cutime, so each tick is counted exactly once. (Summing live
+       utime+stime alone made deltas go NEGATIVE whenever a pyspark worker
+       with accumulated CPU was reaped between samples — the q36/q50
+       catalog-scaling artifact.)
+    2. A census (module state) keeps charging processes that LEFT the tree
+       while alive — e.g. workers orphaned to init when their daemon died —
+       and retains their last-seen CPU once they exit, since init's reap
+       folds their ticks where no caller can see them. (Losing a reused
+       Arrow-worker pool this way produced the q44 NEGATIVE-CPU artifact:
+       ~29 accumulated cpu-s vanished mid-leg.)
+    3. A monotone floor absorbs the residual sampling races (a process
+       reaped between reading its stat and its parent's stat within one
+       scan, or orphaned AND exited between two samples): a transient dip
+       becomes a zero delta instead of a negative one.
+    """
+    global _retained_s, _floor_s
     hz = os.sysconf("SC_CLK_TCK")
-    info: dict[int, tuple[int, int]] = {}
+    # pid -> (ppid, own_ticks, child_reaped_ticks, starttime)
+    info: dict[int, tuple[int, int, int, int]] = {}
     for d in os.listdir("/proc"):
         if not d.isdigit():
             continue
         try:
             with open(f"/proc/{d}/stat") as f:
                 parts = f.read().rsplit(")", 1)[1].split()
-            cpu = int(parts[11]) + int(parts[12]) + int(parts[13]) + int(parts[14])
-            info[int(d)] = (int(parts[1]), cpu)
+            own = int(parts[11]) + int(parts[12])
+            cut = int(parts[13]) + int(parts[14])
+            info[int(d)] = (int(parts[1]), own, cut, int(parts[19]))
         except (OSError, IndexError, ValueError):
             continue
     children: dict[int, list[int]] = {}
-    for pid, (ppid, _t) in info.items():
+    for pid, (ppid, _o, _c, _s) in info.items():
         children.setdefault(ppid, []).append(pid)
-    total, stack = 0, [os.getpid()]
+
+    tree_ticks, tree_ids = 0, set()
+    stack = [os.getpid()]
     while stack:
         p = stack.pop()
-        if p in info:
-            total += info[p][1]
+        rec = info.get(p)
+        if rec is not None:
+            tree_ticks += rec[1] + rec[2]
+            tree_ids.add((p, rec[3]))
         stack.extend(children.get(p, []))
-    return total / hz
+
+    alive = {(pid, rec[3]): rec[1] for pid, rec in info.items()}
+    for ident in tree_ids:
+        _tracked[ident] = (alive[ident] / hz, True)
+    stray_s = 0.0
+    for ident in list(_tracked):
+        if ident in tree_ids:
+            continue
+        if ident in alive:  # reparented out of the tree but still running
+            own_s = alive[ident] / hz
+            _tracked[ident] = (own_s, False)
+            stray_s += own_s
+        else:
+            own_s, was_in_tree = _tracked.pop(ident)
+            if not was_in_tree:
+                # exited outside the tree: init reaped it; keep its CPU
+                _retained_s += own_s
+            # else: reaped by an in-tree parent — already folded into a
+            # cutime we count; retaining it here would double-charge
+
+    total = tree_ticks / hz + stray_s + _retained_s
+    _floor_s = max(_floor_s, total)
+    return _floor_s

@@ -34,3 +34,60 @@ def test_monotone_across_child_lifecycle():
     p.wait()  # reap
     samples.append(proc_tree_cpu_seconds())
     assert all(b >= a - 1e-9 for a, b in zip(samples, samples[1:])), samples
+
+
+# A grandchild that burns ~0.5 cpu-s then lingers so the census can observe
+# it both before and after its parent dies.
+_ORPHAN_GRANDCHILD = (
+    "import time\n"
+    "t0 = time.process_time()\n"
+    "while time.process_time() - t0 < 0.5:\n"
+    "    sum(i * i for i in range(10000))\n"
+    "time.sleep(4)\n"
+)
+
+_ORPHAN_PARENT = (
+    "import subprocess, sys, time\n"
+    f"p = subprocess.Popen([sys.executable, '-c', {_ORPHAN_GRANDCHILD!r}])\n"
+    "print(p.pid, flush=True)\n"
+    "time.sleep(120)\n"
+)
+
+
+def test_orphaned_grandchild_cpu_is_retained():
+    """SIGKILLing the middle process reparents the CPU-burning grandchild
+    to init: its ticks never fold into any cutime this tree can read. The
+    census must keep charging it while it lives and retain its last-seen
+    CPU after it exits (the q44 catalog-scaling negative-delta artifact)."""
+    import os
+    import signal
+    import time
+
+    c0 = proc_tree_cpu_seconds()
+    parent = subprocess.Popen(
+        [sys.executable, "-c", _ORPHAN_PARENT], stdout=subprocess.PIPE
+    )
+    gc_pid = int(parent.stdout.readline())
+    # sample while the grandchild burns, so the census tracks its identity
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        proc_tree_cpu_seconds()
+        try:
+            with open(f"/proc/{gc_pid}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            if (int(parts[11]) + int(parts[12])) / os.sysconf("SC_CLK_TCK") >= 0.4:
+                break
+        except OSError:
+            break
+        time.sleep(0.05)
+    parent.send_signal(signal.SIGKILL)
+    parent.wait()  # reap the parent; grandchild is now init's
+    mid = proc_tree_cpu_seconds()
+    assert mid >= c0 + 0.4, f"orphaned-but-alive CPU lost: {mid - c0:.3f}"
+    # wait for the orphan to exit, then the retained total must still hold
+    deadline = time.time() + 30
+    while os.path.exists(f"/proc/{gc_pid}") and time.time() < deadline:
+        time.sleep(0.1)
+    final = proc_tree_cpu_seconds()
+    assert final >= mid - 1e-9, (c0, mid, final)
+    assert final >= c0 + 0.4, f"orphan-exit CPU lost: {final - c0:.3f}"
