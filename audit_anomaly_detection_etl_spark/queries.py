@@ -5562,3 +5562,81 @@ def entry_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("lineitem_quantity_nulls").alias("check"), F.col("n"))
     )
     return dups.unionByName(orphans).unionByName(low).unionByName(nulls)
+
+
+# ---------------------------------------------------------------------------
+# constraint suggestion (operators/profiler.py)
+# ---------------------------------------------------------------------------
+
+def _suggest_sql(col: str, dtype: str, kind: str, with_vals: bool = False) -> str:
+    """One column's constraint-suggestion profile in DuckDB SQL, mirroring
+    operators/profiler.py:suggest_constraints. ``kind``: num | ts | str."""
+    is_cat = f"COUNT(DISTINCT {col}) BETWEEN 1 AND 20" if kind == "str" else "FALSE"
+    min_num = f"CAST(MIN({col}) AS DOUBLE)" if kind == "num" else "CAST(NULL AS DOUBLE)"
+    max_num = f"CAST(MAX({col}) AS DOUBLE)" if kind == "num" else "CAST(NULL AS DOUBLE)"
+    min_ts = (
+        f"STRFTIME(MIN({col}), '%Y-%m-%d %H:%M:%S')"
+        if kind == "ts" else "CAST(NULL AS VARCHAR)"
+    )
+    max_ts = (
+        f"STRFTIME(MAX({col}), '%Y-%m-%d %H:%M:%S')"
+        if kind == "ts" else "CAST(NULL AS VARCHAR)"
+    )
+    min_len = f"CAST(MIN(LENGTH({col})) AS BIGINT)" if kind == "str" else "CAST(NULL AS BIGINT)"
+    max_len = f"CAST(MAX(LENGTH({col})) AS BIGINT)" if kind == "str" else "CAST(NULL AS BIGINT)"
+    vals = (
+        f"""CASE WHEN {is_cat} THEN
+              (SELECT string_agg(v, ',' ORDER BY v)
+               FROM (SELECT DISTINCT {col} AS v FROM orders
+                     WHERE {col} IS NOT NULL) sub)
+            END"""
+        if with_vals else "CAST(NULL AS VARCHAR)"
+    )
+    return f"""
+    SELECT '{col}' AS col, '{dtype}' AS dtype,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           COUNT(*) > 0 AND COUNT({col}) = COUNT(*) AS suggest_not_null,
+           COUNT(*) > 0 AND COUNT({col}) = COUNT(*)
+               AND COUNT(DISTINCT {col}) = COUNT(*) AS suggest_unique_key,
+           {is_cat} AS is_categorical,
+           {min_num} AS min_num, {max_num} AS max_num,
+           {min_ts} AS min_ts, {max_ts} AS max_ts,
+           {min_len} AS min_len, {max_len} AS max_len,
+           {vals} AS allowed_csv
+    FROM orders"""
+
+
+@q(
+    "q139_constraint_suggestion",
+    " UNION ALL ".join(
+        [
+            _suggest_sql("o_orderkey", "bigint", "num"),
+            _suggest_sql("o_custkey", "bigint", "num"),
+            _suggest_sql("o_orderstatus", "string", "str", with_vals=True),
+            _suggest_sql("o_totalprice", "double", "num"),
+            _suggest_sql("o_orderdate", "timestamp_ntz", "ts"),
+            _suggest_sql("o_orderpriority", "string", "str", with_vals=True),
+        ]
+    ),
+)
+def q139(spark, sf_dir):
+    """Constraint suggestion (the Deequ ConstraintSuggestion idea; the
+    reference's hand-authored YAML column map automated — SURVEY.md §1.3):
+    ONE profiling aggregate over the table proposes NOT NULL / unique-key /
+    numeric-range / categorical-domain constraints per column, with the
+    sorted value list materialized only for the explicitly named
+    categorical candidates. spec_from_suggestions turns these rows into a
+    runnable TableSchemaSpec (closure pytest: the suggested spec re-applied
+    to the profiled data yields zero violations)."""
+    from .operators import profiler
+
+    return profiler.suggest_constraints(
+        _t(spark, sf_dir, "orders"),
+        [
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority",
+        ],
+        value_cols=("o_orderstatus", "o_orderpriority"),
+    )
