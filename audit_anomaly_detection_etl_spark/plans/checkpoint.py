@@ -212,3 +212,86 @@ def verdict_diff(store_a: "CheckpointStore", store_b: "CheckpointStore") -> list
             }
         )
     return diffs
+
+
+# ---------------------------------------------------------------------------
+# run-over-run metrics log (input to operators/metric_history.py)
+# ---------------------------------------------------------------------------
+
+def metric_rows(v: PartitionVerdict) -> list[tuple[str, float]]:
+    """Flatten one partition verdict into (metric, value) pairs: row and
+    violation totals, per-check violation counts, and every numeric
+    column-stat the runner recorded. Names are dotted paths
+    (``violations.uniqueness``, ``colstat.dur_ms.mean``) so a history screen
+    can group on them directly."""
+    rows: list[tuple[str, float]] = [
+        ("n_rows", float(v.n_rows)),
+        ("n_violations", float(v.n_violations)),
+    ]
+    for check in sorted(v.violations_by_check):
+        rows.append((f"violations.{check}", float(v.violations_by_check[check])))
+    for st in (v.metrics or {}).get("column_stats", []):
+        col = st.get("column")
+        if not col:
+            continue
+        for key in sorted(st):
+            val = st[key]
+            if key != "column" and isinstance(val, (int, float)) and val == val:
+                rows.append((f"colstat.{col}.{key}", float(val)))
+    return rows
+
+
+def append_metrics_log(store: "CheckpointStore", run_id: str) -> str:
+    """Snapshot the store's CURRENT marker set as one metrics-log file,
+    ``<root>/metrics_log/run-<run_id>.jsonl`` (atomic tmp+rename; re-running
+    the same run_id overwrites its own file — idempotent). One line per
+    (part, metric): the long-format history row. Resumed partitions
+    contribute their (still valid) marker metrics, so every run logs a FULL
+    table snapshot and run-over-run series stay aligned."""
+    d = os.path.join(store.root, "metrics_log")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"run-{run_id}.jsonl")
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        for part, v in sorted(store.all_markers().items()):
+            for metric, value in metric_rows(v):
+                f.write(
+                    json.dumps(
+                        {"run": run_id, "part": part, "metric": metric, "value": value},
+                        sort_keys=True,
+                    )
+                    + "\n"
+                )
+    os.replace(tmp, path)
+    return path
+
+
+def metrics_history(spark, store: "CheckpointStore"):
+    """The accumulated metrics log as a long-format DataFrame
+    (run, part, metric, value) — the input shape
+    ``operators/metric_history.metric_anomalies`` screens. Explicit schema:
+    no inference pass over the log files."""
+    d = os.path.join(store.root, "metrics_log")
+    return spark.read.schema("run string, part int, metric string, value double").json(
+        os.path.join(d, "*.jsonl")
+    )
+
+
+def run_metric_anomaly_report(
+    spark, store: "CheckpointStore", *, k: float = 4.0, min_history: int = 3
+):
+    """Screen the latest logged run against the history: one row per
+    (part, metric) series with >= min_history priors, ``anomalous`` where
+    the latest value escapes the robust median +- k*MAD envelope. Empty
+    until enough runs are logged — by design (two points are not a trend)."""
+    from ..operators.metric_history import metric_anomalies
+
+    return metric_anomalies(
+        metrics_history(spark, store),
+        run_col="run",
+        key_cols=("part",),
+        metric_col="metric",
+        value_col="value",
+        k=k,
+        min_history=min_history,
+    )

@@ -5640,3 +5640,70 @@ def q139(spark, sf_dir):
         ],
         value_cols=("o_orderstatus", "o_orderpriority"),
     )
+
+
+@q(
+    "q140_metric_regression",
+    """
+    WITH g AS (SELECT STRFTIME(ts, '%Y-%m-%d') AS run, event_type AS series,
+                      CAST(COUNT(*) AS DOUBLE) AS n_events,
+                      CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users
+               FROM events GROUP BY 1, 2),
+    h AS (SELECT run, series, 'n_events' AS metric, n_events AS value FROM g
+          UNION ALL
+          SELECT run, series, 'n_users' AS metric, n_users AS value FROM g),
+    mx AS (SELECT MAX(run) AS latest FROM h),
+    p AS (SELECT h.* FROM h, mx WHERE h.run < mx.latest),
+    med AS (SELECT series, metric, CAST(COUNT(*) AS BIGINT) AS n_prior,
+                   median(value) AS med
+            FROM p GROUP BY 1, 2),
+    mad AS (SELECT p.series, p.metric, median(ABS(p.value - med.med)) AS mad
+            FROM p JOIN med ON p.series = med.series AND p.metric = med.metric
+            GROUP BY 1, 2),
+    l AS (SELECT h.* FROM h, mx WHERE h.run = mx.latest)
+    SELECT l.series, l.metric,
+           ROUND(l.value, 6) AS latest_value,
+           med.n_prior,
+           ROUND(med.med, 6) AS med_prior,
+           ROUND(mad.mad, 6) AS mad_prior,
+           ROUND(ABS(l.value - med.med), 6) AS abs_dev,
+           ABS(l.value - med.med) > 4.0 * mad.mad + 1e-9 AS anomalous
+    FROM l
+    JOIN med ON l.series = med.series AND l.metric = med.metric
+    JOIN mad ON l.series = mad.series AND l.metric = mad.metric
+    WHERE med.n_prior >= 3
+    """,
+)
+def q140(spark, sf_dir):
+    """Run-over-run metric anomaly screen (operators/metric_history.py —
+    the Deequ anomaly-detection idea over the engine's own metrics log):
+    per (series, metric) the LATEST run's value is screened against the
+    robust median +- k*MAD envelope of all prior runs. Here the history is
+    derived deterministically from the events table (run = calendar day,
+    series = event_type, metrics = row count + distinct users); in the
+    validation job the same operator runs over
+    <checkpoint>/metrics_log/*.jsonl (jobs/validate.py). Metric-grain data
+    throughout: one agg + two grouped medians + one equi-join back."""
+    from .operators.metric_history import metric_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("run"),
+        F.col("event_type").alias("series"),
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.countDistinct("user_id").cast("double").alias("n_users"),
+    )
+    hist = g.select(
+        "run",
+        "series",
+        F.stack(
+            F.lit(2),
+            F.lit("n_events"), F.col("n_events"),
+            F.lit("n_users"), F.col("n_users"),
+        ).alias("metric", "value"),
+    )
+    return metric_anomalies(
+        hist, run_col="run", key_cols=("series",), metric_col="metric",
+        value_col="value", k=4.0,
+    )

@@ -26,6 +26,7 @@ from pyspark.errors import AnalysisException
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from audit_anomaly_detection_etl_spark.plans import checkpoint as ckpt
 from audit_anomaly_detection_etl_spark.plans.runner import (
     quarantine_rows,
     ranked_violations,
@@ -76,6 +77,23 @@ def main(argv: list[str] | None = None) -> dict:
         "instead of per-wave — catches cross-wave duplicates on tables "
         "partitioned by e.g. ingest date",
     )
+    ap.add_argument(
+        "--run-id",
+        default=None,
+        help="metrics-log run id (default: wall-clock timestamp + pid); "
+        "re-using an id overwrites that run's log file (idempotent re-run)",
+    )
+    ap.add_argument(
+        "--no-metrics-log",
+        dest="metrics_log",
+        action="store_false",
+        help="skip appending this run to <checkpoint>/metrics_log and the "
+        "run-over-run anomaly screen",
+    )
+    ap.add_argument("--anomaly-k", type=float, default=4.0,
+                    help="robust-envelope width (median +- k*MAD)")
+    ap.add_argument("--anomaly-min-history", type=int, default=3,
+                    help="prior runs required before a series is screened")
     args = ap.parse_args(argv)
 
     if args.synth:
@@ -168,7 +186,38 @@ def main(argv: list[str] | None = None) -> dict:
             quarantined = spark.read.parquet(args.quarantine).count()
         except AnalysisException:
             quarantined = 0
+    # run-over-run metrics log + anomaly screen: every run appends a full
+    # metric snapshot (resumed partitions included, from their markers);
+    # once >= min_history prior runs exist, the latest run's metrics are
+    # screened against the robust median+-k*MAD envelope of the history —
+    # the row-count-collapse / null-spike monitor that fires even when all
+    # row-level checks pass (operators/metric_history.py)
+    metric_anoms, n_log_runs = None, 0
+    if args.metrics_log:
+        store = ckpt.CheckpointStore(args.checkpoint)
+        run_id = args.run_id or time.strftime("%Y%m%dT%H%M%S") + f".{os.getpid()}"
+        ckpt.append_metrics_log(store, run_id)
+        log_dir = os.path.join(args.checkpoint, "metrics_log")
+        n_log_runs = len(
+            [n for n in os.listdir(log_dir) if n.endswith(".jsonl")]
+        )
+        if n_log_runs > args.anomaly_min_history:
+            rep = ckpt.run_metric_anomaly_report(
+                spark, store, k=args.anomaly_k, min_history=args.anomaly_min_history
+            )
+            from pyspark.sql import functions as F
+
+            metric_anoms = [
+                r.asDict()
+                for r in rep.where("anomalous")
+                .orderBy(F.desc("abs_dev"), "part", "metric")
+                .limit(10)
+                .collect()
+            ]
+
     summary = {
+        "metrics_log_runs": n_log_runs,
+        "metric_anomalies_top": metric_anoms,
         "quarantined_rows": quarantined,
         "partitioning_audit": partitioning_audit,
         "snapshot_id": res.snapshot_id,
