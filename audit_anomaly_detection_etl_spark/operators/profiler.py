@@ -214,3 +214,45 @@ def spec_from_suggestions(
     if key is None:
         raise ValueError("no unique-key column suggested; pass key_col")
     return TableSchemaSpec(columns=specs, key_col=key, part_col=part_col)
+
+
+def suggestions_to_spec_doc(
+    rows: list,
+    *,
+    key_col: str | None = None,
+    part_col: str = "part",
+    margin: float = 0.0,
+    values: dict[str, list] | None = None,
+) -> dict:
+    """Render collected suggestion rows as the plain spec DOCUMENT
+    ``plans/spec.py:spec_from_dict`` loads — the file a human reviews and
+    checks in, closing the loop profile -> spec file -> ``validate --spec``.
+
+    ``margin`` widens each numeric [min, max] by that fraction of the
+    observed range on each side: the profiled data is a sample of the
+    process, and bounds pinned at the sample extremes flag the first
+    legitimately-larger value. ``values`` (col -> sorted list, e.g. from
+    ``allowed_values``) takes precedence over any profiled ``allowed_csv``.
+    """
+    cols, key = [], key_col
+    for r in rows:
+        if r["col"] == part_col:
+            continue
+        doc: dict = {"name": r["col"], "dtype": r["dtype"]}
+        if r["suggest_not_null"]:
+            doc["nullable"] = False
+        vals = (values or {}).get(r["col"])
+        if vals is None and r["allowed_csv"]:
+            vals = r["allowed_csv"].split(",")
+        if vals is not None:
+            doc["allowed"] = list(vals)
+        if r["min_num"] is not None and r["max_num"] is not None:
+            pad = margin * (r["max_num"] - r["min_num"])
+            doc["min_value"] = r["min_num"] - pad
+            doc["max_value"] = r["max_num"] + pad
+        cols.append(doc)
+        if key is None and r["suggest_unique_key"]:
+            key = r["col"]
+    if key is None:
+        raise ValueError("no unique-key column suggested; pass key_col")
+    return {"schema": {"columns": cols, "key_col": key, "part_col": part_col}}

@@ -106,3 +106,66 @@ def test_approx_tier_counts_within_rsd(clips):
     }
     for c in ex:
         assert abs(ap[c] - ex[c]) <= max(3, 0.15 * ex[c])
+
+
+def test_suggestions_to_spec_doc_loads_and_widens(profile):
+    from audit_anomaly_detection_etl_spark.plans.spec import spec_from_dict
+
+    by_col = {r["col"]: r for r in profile}
+    doc = profiler.suggestions_to_spec_doc(
+        profile, key_col="clip_id", margin=0.1,
+        values={"codec": by_col["codec"]["allowed_csv"].split(",")},
+    )
+    spec = spec_from_dict(doc)  # the written file must always load
+    cols = {c.name: c for c in spec.schema_spec.columns}
+    assert spec.schema_spec.key_col == "clip_id"
+    assert "part" not in cols
+    assert cols["codec"].allowed == by_col["codec"]["allowed_csv"].split(",")
+    # margin widens the observed range by 10% of the range on each side
+    lo, hi = by_col["sr_hz"]["min_num"], by_col["sr_hz"]["max_num"]
+    assert cols["sr_hz"].min_value == pytest.approx(lo - 0.1 * (hi - lo))
+    assert cols["sr_hz"].max_value == pytest.approx(hi + 0.1 * (hi - lo))
+    assert cols["transcript"].nullable  # planted NULLs -> stays nullable
+
+
+def test_suggestions_to_spec_doc_requires_key(profile):
+    # synth plants duplicate clip_ids, so nothing is suggested as a key
+    with pytest.raises(ValueError):
+        profiler.suggestions_to_spec_doc(profile)
+
+
+def test_suggest_spec_job_end_to_end(clip_dir, tmp_path):
+    """jobs/suggest_spec.py writes a spec file that jobs/validate.py --spec
+    runs cleanly: the schema_constraint family is empty by construction on
+    the profiled data (domain/range/null suggestions describe it exactly)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec_path = str(tmp_path / "spec.json")
+    r = subprocess.run(
+        [
+            sys.executable, os.path.join(repo, "jobs", "suggest_spec.py"),
+            "--data", f"{clip_dir}/clips", "--out", spec_path,
+            "--key-col", "clip_id", "--master", "local[4]",
+        ],
+        capture_output=True, text=True, check=True,
+    )
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["key_col"] == "clip_id" and summary["n_columns"] >= 5
+    v = subprocess.run(
+        [
+            sys.executable, os.path.join(repo, "jobs", "validate.py"),
+            "--data", f"{clip_dir}/clips", "--ref", f"{clip_dir}/clips_ref",
+            "--hist-ref", f"{clip_dir}/hist_ref.parquet",
+            "--spec", spec_path, "--checkpoint", str(tmp_path / "ck"),
+            "--master", "local[4]",
+        ],
+        capture_output=True, text=True, check=True,
+    )
+    out = json.loads(v.stdout.strip().splitlines()[-1])
+    assert "schema_constraint" not in out["violations_by_check"]
+    # the content checks still fire on the planted corruption
+    assert out["violations_by_check"].get("uniqueness", 0) > 0
