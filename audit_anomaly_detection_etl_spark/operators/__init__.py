@@ -29,3 +29,35 @@ VIOLATION_SCHEMA = StructType(
 )
 
 VIOLATION_COLS = [f.name for f in VIOLATION_SCHEMA.fields]
+
+
+def remap_key_part(df, key_col: str, part_col: str):
+    """Map a spec's custom key/part columns onto the ``clip_id``/``part``
+    names the media/payload internals hardcode — via a single ``select``,
+    not ``withColumnRenamed``: the rename silently no-ops on a misspelled
+    column (surfacing later as UNRESOLVED_COLUMN blaming the wrong name)
+    and DUPLICATES the name when the table already carries a different
+    ``clip_id``/``part`` column (AMBIGUOUS_REFERENCE downstream). Here a
+    missing column fails fast by name, and a pre-existing column under the
+    target name is shadowed out (the downstream operator must see the
+    spec's key, not a same-named bystander)."""
+    if key_col == "clip_id" and part_col == "part":
+        return df
+    from pyspark.sql import functions as F
+
+    missing = {key_col, part_col} - set(df.columns)
+    if missing:
+        raise ValueError(f"remap_key_part: column(s) {sorted(missing)} not in table")
+    cols = []
+    for c in df.columns:
+        if c == key_col:
+            cols.append(F.col(c).alias("clip_id"))
+        elif c == part_col:
+            cols.append(F.col(c).alias("part"))
+        elif (c == "clip_id" and key_col != "clip_id") or (
+            c == "part" and part_col != "part"
+        ):
+            continue
+        else:
+            cols.append(F.col(c))
+    return df.select(*cols)

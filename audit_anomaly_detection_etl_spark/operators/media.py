@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import codecs
+from . import remap_key_part
 
 AUDIO_FEATURES_SCHEMA = (
     "clip_id string, part int, decode_ok boolean, n_samples long, "
@@ -818,11 +819,7 @@ def loudness_violations(
     # audio_features/loudness_audit hardcode clip_id/part internally — map a
     # custom key/part column onto those names first, so a spec with e.g.
     # key_col="utt_id" resolves instead of failing UNRESOLVED_COLUMN
-    src = clips
-    if key_col != "clip_id":
-        src = src.withColumnRenamed(key_col, "clip_id")
-    if part_col != "part":
-        src = src.withColumnRenamed(part_col, "part")
+    src = remap_key_part(clips, key_col, part_col)
     audit = loudness_audit(audio_features(src), target_dbfs, tolerance_db)
     bad = audit.where(F.col("verdict") == "boost_clips")
     return bad.select(
@@ -1149,11 +1146,7 @@ def dropout_violations(
     SKIPS the payload check, or accept a second decode of the wave (the
     waves are checkpoint-bounded either way).
     """
-    src = clips
-    if key_col != "clip_id":
-        src = src.withColumnRenamed(key_col, "clip_id")
-    if part_col != "part":
-        src = src.withColumnRenamed(part_col, "part")
+    src = remap_key_part(clips, key_col, part_col)
     audit = dropout_audit(src, min_run_ms=min_run_ms)
     bad = audit.where(F.col("n_dropouts") > 0)
     return bad.select(
@@ -1191,6 +1184,10 @@ _TONAL_FLATNESS_THRESHOLD = 2e-3
 # below this many decoded samples the spectrum is too coarse for a stable
 # flatness estimate -> NaN, never flagged (40 ms at 8 kHz = 320 samples)
 _TONAL_MIN_SAMPLES = 256
+# batched-FFT rows are processed in chunks of ~this many float64 elements
+# (~32 MB per temporary; with the gather + window + complex output the
+# transient peak stays ~150 MB per task instead of scaling with batch size)
+_FFT_CHUNK_ELEMS = 4_000_000
 
 
 def tonal_audit(
@@ -1198,6 +1195,7 @@ def tonal_audit(
     flatness_threshold: float = _TONAL_FLATNESS_THRESHOLD,
     max_samples: int = 8192,
     min_samples: int = _TONAL_MIN_SAMPLES,
+    fft_chunk_elems: int = _FFT_CHUNK_ELEMS,
 ) -> DataFrame:
     """Synthetic-tone detection: flag clips whose content is a narrowband
     machine-generated signal (test tones, IVR beeps, DTMF, hold music,
@@ -1289,18 +1287,27 @@ def tonal_audit(
                 m_full = int(max_samples)
                 full = np.flatnonzero(lens >= m_full)
                 if full.size:
-                    # every capped clip analyzes exactly max_samples: one
+                    # every capped clip analyzes exactly max_samples: a
                     # batched 2-D rfft replaces the per-clip Python loop —
                     # at corpus-typical durations (>= ~1 s) this path
-                    # carries nearly all clips
-                    offs = seg[full][:, None] + np.arange(m_full)
-                    X = pcm[offs]
+                    # carries nearly all clips. Rows are processed in
+                    # chunks bounded at _FFT_CHUNK_ELEMS elements: an
+                    # unchunked 10k-clip Arrow batch would materialize
+                    # ~650 MB per temporary (offsets, gather, window,
+                    # complex FFT output) and OOM executors the per-clip
+                    # paths handle fine (scoring.py _CHUNK_ELEMS pattern)
                     n_used[idx[full]] = m_full
-                    rowfin = np.isfinite(X).all(axis=1)
-                    if rowfin.any():
-                        Xf = X[rowfin] * np.hanning(m_full)
-                        P2 = np.abs(np.fft.rfft(Xf, axis=1)[:, 1:]) ** 2
-                        spectrum(P2, idx[full[rowfin]], m_full)
+                    win = np.hanning(m_full)
+                    rows_per = max(1, fft_chunk_elems // m_full)
+                    for s0 in range(0, full.size, rows_per):
+                        fc = full[s0 : s0 + rows_per]
+                        offs = seg[fc][:, None] + np.arange(m_full)
+                        X = pcm[offs]
+                        rowfin = np.isfinite(X).all(axis=1)
+                        if rowfin.any():
+                            Xf = X[rowfin] * win
+                            P2 = np.abs(np.fft.rfft(Xf, axis=1)[:, 1:]) ** 2
+                            spectrum(P2, idx[fc[rowfin]], m_full)
                 # variable-length tail: per-clip FFT (bounded by max_samples)
                 for j in np.flatnonzero(lens < m_full):
                     i = idx[j]
@@ -1346,11 +1353,7 @@ def tonal_violations(
     Cost note: runs its own audio decode pass (bounded at ``max_samples``
     per clip); ingest-audit tier like codec_sniff, not an every-run check.
     """
-    src = clips
-    if key_col != "clip_id":
-        src = src.withColumnRenamed(key_col, "clip_id")
-    if part_col != "part":
-        src = src.withColumnRenamed(part_col, "part")
+    src = remap_key_part(clips, key_col, part_col)
     audit = tonal_audit(src, flatness_threshold=flatness_threshold)
     bad = audit.where(F.col("tonal"))
     return bad.select(
@@ -1498,11 +1501,7 @@ def stutter_violations(
     Cost note: own decode pass — pair with a suite that skips payload, or
     accept the second decode of the wave.
     """
-    src = clips
-    if key_col != "clip_id":
-        src = src.withColumnRenamed(key_col, "clip_id")
-    if part_col != "part":
-        src = src.withColumnRenamed(part_col, "part")
+    src = remap_key_part(clips, key_col, part_col)
     audit = stutter_audit(src, frame_ms=frame_ms, min_repeats=min_repeats)
     bad = audit.where(F.col("n_stutters") > 0)
     return bad.select(

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import codecs
-from . import VIOLATION_COLS
+from . import VIOLATION_COLS, remap_key_part
 
 SNR_THRESHOLD_DB = 30.0
 
@@ -483,11 +483,7 @@ def codec_sniff_violations(
     the wave); enable for ingest audits of untrusted producers rather than
     every run.
     """
-    src = clips
-    if key_col != "clip_id":
-        src = src.withColumnRenamed(key_col, "clip_id")
-    if part_col != "part":
-        src = src.withColumnRenamed(part_col, "part")
+    src = remap_key_part(clips, key_col, part_col)
     audit = codec_sniff_audit(src, ratio_threshold=ratio_threshold)
     bad = audit.where(F.col("suspect_codec"))
     return bad.select(

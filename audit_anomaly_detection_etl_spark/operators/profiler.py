@@ -67,8 +67,10 @@ def suggest_constraints(
     - ``suggest_unique_key``: non-null and fully distinct.
     - ``is_categorical``: string column with 1..allowed_max distinct values.
     - ``allowed_csv``: the sorted distinct values joined with ``,`` — only
-      for columns in ``value_cols`` that also pass ``is_categorical``
-      (see the module docstring for why this is opt-in).
+      for columns in ``value_cols`` that also pass ``is_categorical`` (see
+      the module docstring for why this is opt-in), and only when no value
+      itself contains ``,`` (the rendering is lossy there; use
+      ``allowed_values`` for the authoritative list).
     """
     fields = {f.name: f.dataType for f in df.schema.fields}
     names = list(cols) if cols is not None else list(fields)
@@ -101,6 +103,11 @@ def suggest_constraints(
             if not isinstance(dt, StringType):
                 raise ValueError(f"value_cols entry {c!r} is not a string column")
             add(F.array_join(F.sort_array(F.collect_set(col)), ","), f"{c}__vals")
+            # the csv rendering is LOSSY for values containing the join
+            # char: 'red,green' would split into phantom domain values and
+            # break the closure property — withhold the csv and leave
+            # ``allowed_values`` (a real list, no encoding) as the path
+            add(F.max(F.col(c).contains(",").cast("int")), f"{c}__comma")
 
     wide = df.agg(*aggs)
 
@@ -123,12 +130,13 @@ def suggest_constraints(
                 (F.col(f"{c}__mxts") if have("mxts") else null_s).alias("mxts"),
                 (F.col(f"{c}__mnl") if have("mnl") else null_l).alias("mnl"),
                 (F.col(f"{c}__mxl") if have("mxl") else null_l).alias("mxl"),
-                # the non-foldable cardinality guard doubles as the
-                # nullability strip: array_join is NOT NULL, and stack()
+                # the non-foldable cardinality + no-comma guard doubles as
+                # the nullability strip: array_join is NOT NULL, and stack()
                 # requires every column's struct to have the identical type
                 (
                     F.when(
-                        F.col(f"{c}__nd") <= F.lit(allowed_max),
+                        (F.col(f"{c}__nd") <= F.lit(allowed_max))
+                        & (F.coalesce(F.col(f"{c}__comma"), F.lit(0)) == 0),
                         F.col(f"{c}__vals"),
                     )
                     if have("vals")

@@ -271,10 +271,16 @@ def metrics_history(spark, store: "CheckpointStore"):
     (run, part, metric, value) — the input shape
     ``operators/metric_history.metric_anomalies`` screens. Explicit schema:
     no inference pass over the log files."""
+    schema = "run string, part int, metric string, value double"
     d = os.path.join(store.root, "metrics_log")
-    return spark.read.schema("run string, part int, metric string, value double").json(
-        os.path.join(d, "*.jsonl")
+    files = (
+        [os.path.join(d, n) for n in sorted(os.listdir(d)) if n.endswith(".jsonl")]
+        if os.path.isdir(d)
+        else []
     )
+    if not files:  # no log yet (fresh checkpoint / --no-metrics-log runs)
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)
 
 
 def run_metric_anomaly_report(

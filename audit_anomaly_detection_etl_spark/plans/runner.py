@@ -608,6 +608,13 @@ def quarantine_rows(
     table fan out intentionally: BOTH copies of a duplicated clip belong in
     quarantine. Reference-side orphan keys have no detail row and don't
     appear here — the ranked violation table remains the complete record.
+
+    CAP INTERACTION: when the violations sink was written with
+    ``spec.max_violation_rows_per_check`` set, a series that hit the cap is
+    missing keys here too (the sink keeps top-N example rows; verdict
+    counts stay exact). jobs/validate.py detects saturation from the
+    verdicts and reports ``quarantine_complete`` — a complete kill-list
+    requires ``max_violation_rows_per_check: null``.
     """
     # the violations frame ALWAYS names its partition column 'part'
     # (VIOLATION_SCHEMA); part_col applies only to the clips side of the join

@@ -5584,8 +5584,12 @@ def _suggest_sql(col: str, dtype: str, kind: str, with_vals: bool = False) -> st
     )
     min_len = f"CAST(MIN(LENGTH({col})) AS BIGINT)" if kind == "str" else "CAST(NULL AS BIGINT)"
     max_len = f"CAST(MAX(LENGTH({col})) AS BIGINT)" if kind == "str" else "CAST(NULL AS BIGINT)"
+    # mirror profiler.py: the csv rendering is withheld when any value
+    # contains the join char (lossy; phantom domain values otherwise)
     vals = (
-        f"""CASE WHEN {is_cat} THEN
+        f"""CASE WHEN {is_cat}
+                 AND MAX(CASE WHEN {col} LIKE '%,%' THEN 1 ELSE 0 END) = 0
+            THEN
               (SELECT string_agg(v, ',' ORDER BY v)
                FROM (SELECT DISTINCT {col} AS v FROM orders
                      WHERE {col} IS NOT NULL) sub)

@@ -44,7 +44,13 @@ _NUM_RE = re.compile(r"^-?(\d+\.?\d*|\.\d+)([eE][-+]?\d+)?$")
 # SpreadsheetML's own convention (ECMA-376 §22.9.2.19, what Excel writes) is
 # the _xHHHH_ escape. Literal '_xHHHH_'-shaped text must itself be escaped
 # as _x005F_xHHHH_ so the round trip is lossless.
-_XML_ILLEGAL_RE = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
+# \r is XML-legal but parsers MUST normalize it to \n (XML 1.0 §2.11), so a
+# raw CR silently corrupts the round trip — Excel escapes it as _x000D_ for
+# exactly this reason. U+FFFE/U+FFFF and lone surrogates are not XML chars
+# at all: expat rejects a file carrying them raw.
+_XML_ILLEGAL_RE = re.compile(
+    "[\x00-\x08\x0b-\x0c\x0d\x0e-\x1f\ud800-\udfff\ufffe\uffff]"
+)
 _X_ESCAPE_RE = re.compile(r"_x([0-9A-Fa-f]{4})_")
 # escape-side match is a LOOKAHEAD on the leading underscore: tokens can
 # OVERLAP (the trailing '_' of '_x005F_' is the lead of a following
@@ -57,7 +63,8 @@ _X_ESCAPE_RE = re.compile(r"_x([0-9A-Fa-f]{4})_")
 # completes the spurious token (literal '_x0041'+\\x01 would decode as
 # 'A'+...), so the lookahead accepts 'closing _ OR illegal char' there.
 _X_LEAD_RE = re.compile(
-    r"_(?=x[0-9A-Fa-f]{4}(?:_|[\x00-\x08\x0b\x0c\x0e-\x1f]))"
+    "_(?=x[0-9A-Fa-f]{4}"
+    "(?:_|[\x00-\x08\x0b-\x1f\ud800-\udfff\ufffe\uffff]))"
 )
 
 

@@ -164,10 +164,41 @@ def main(argv: list[str] | None = None) -> dict:
             spark, res.violations_path, res.global_violations_path
         ).limit(args.top).collect()
     ]
-    quarantined = None
+    quarantined, quarantine_complete, capped_series = None, None, []
     if args.quarantine:
         from audit_anomaly_detection_etl_spark.sources import tableio
 
+        # The violations SINK is example-bounded (spec.max_violation_rows_
+        # per_check, top-N per (part, check)) while verdict COUNTS stay
+        # exact — so a saturated series means the sink, and therefore the
+        # quarantine key set built from it, is missing violating keys.
+        # Saturation is exactly detectable from the verdicts; surface it
+        # rather than silently under-quarantining (re-run with
+        # max_violation_rows_per_check: null for a complete kill-list).
+        cap = spec.max_violation_rows_per_check
+        if cap is not None:
+            for pv in res.verdicts.values():
+                for c, n in pv.violations_by_check.items():
+                    if n > cap:
+                        capped_series.append(
+                            {"part": pv.part, "check": c, "n_violations": n}
+                        )
+            for c, n in (res.global_violations_by_check or {}).items():
+                # global counts are cross-part aggregates: > cap means the
+                # sink MAY be truncated (conservative, never false-clean)
+                if n > cap:
+                    capped_series.append(
+                        {"part": None, "check": c, "n_violations": n}
+                    )
+        quarantine_complete = not capped_series
+        if capped_series:
+            print(
+                f"WARNING: {len(capped_series)} violation series hit the "
+                f"{cap}-row sink cap; quarantine is missing keys for them. "
+                "Re-run with max_violation_rows_per_check: null to "
+                "quarantine completely.",
+                file=sys.stderr,
+            )
         # ranked_violations handles a None violations_path (clean table)
         v = ranked_violations(spark, res.violations_path, res.global_violations_path)
         qdf = quarantine_rows(
@@ -219,6 +250,8 @@ def main(argv: list[str] | None = None) -> dict:
         "metrics_log_runs": n_log_runs,
         "metric_anomalies_top": metric_anoms,
         "quarantined_rows": quarantined,
+        "quarantine_complete": quarantine_complete,
+        "capped_violation_series": capped_series or None,
         "partitioning_audit": partitioning_audit,
         "snapshot_id": res.snapshot_id,
         "spec_hash": res.spec_hash,

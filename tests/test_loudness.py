@@ -141,3 +141,31 @@ def test_spec_loader_accepts_loudness(tmp_path):
     assert spec.loudness_bounds == (-18.0, 2.0)
     # bounds participate in the lineage hash
     assert spec.spec_hash() != SuiteSpec(checks=("schema", "loudness")).spec_hash()
+
+
+def test_custom_key_with_bystander_clip_id(spark):
+    """A spec key_col != clip_id over a table that ALSO carries a clip_id
+    column (e.g. a foreign-key reference): the remap must shadow the
+    bystander, not duplicate the name (AMBIGUOUS_REFERENCE), and a
+    misspelled key must fail fast by name."""
+    # quiet floor + one large spike: gain to -20 dBFS far exceeds headroom
+    pcm = np.full(1600, 0.001, dtype=np.float32)
+    pcm[100] = 0.5
+    raw = codecs.encode(pcm, "pcm_s16le")
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "utt_id": ["u1"],
+                "clip_id": ["bystander-fk"],  # different meaning entirely
+                "bytes": [raw],
+                "sr_hz": [16000],
+                "dur_ms": [100],
+                "codec": ["pcm_s16le"],
+                "part": [0],
+            }
+        )
+    )
+    out = media.loudness_violations(df, key_col="utt_id").collect()
+    assert [r["key"] for r in out] == ["u1"]  # quiet clip -> boost_clips
+    with pytest.raises(ValueError, match="no_such"):
+        media.loudness_violations(df, key_col="no_such")

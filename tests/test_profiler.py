@@ -84,6 +84,18 @@ def test_allowed_values_bounds(clips):
         profiler.allowed_values(clips, "clip_id", allowed_max=5)
 
 
+def test_comma_values_withhold_csv(spark):
+    """A categorical value containing the csv join char would split into
+    phantom domain values and break the closure property — the csv is
+    withheld; allowed_values stays the authoritative (list) path."""
+    df = spark.createDataFrame(
+        [("red,green",), ("blue",), ("red,green",)], "c string"
+    )
+    r = profiler.suggest_constraints(df, ["c"], value_cols=("c",)).collect()[0]
+    assert r["is_categorical"] and r["allowed_csv"] is None
+    assert profiler.allowed_values(df, "c") == ["blue", "red,green"]
+
+
 def test_empty_table_suggests_nothing(spark):
     empty = spark.createDataFrame([], "a string, b int")
     rows = profiler.suggest_constraints(empty).collect()

@@ -95,3 +95,27 @@ def test_quarantine_empty_violations_is_empty(spark):
         [], "key string, check string, detail string, part int, severity double"
     )
     assert quarantine_rows(clips, viols).count() == 0
+
+
+def test_quarantine_cap_saturation_is_surfaced(spark, tmp_path):
+    """With the violations sink capped below a series' exact count, the
+    quarantine key set is incomplete — the summary must say so instead of
+    silently under-quarantining (the cap keeps example rows; verdict counts
+    stay exact, so saturation is exactly detectable)."""
+    import json
+
+    import jobs.validate as job
+
+    spec_path = str(tmp_path / "spec.json")
+    with open(spec_path, "w") as f:
+        json.dump({"max_violation_rows_per_check": 1}, f)
+    summary = job.main(
+        [
+            "--synth", "400", "--checkpoint", str(tmp_path / "ck"),
+            "--quarantine", str(tmp_path / "quar"), "--spec", spec_path,
+            "--top", "1",
+        ]
+    )
+    assert summary["quarantine_complete"] is False
+    sat = summary["capped_violation_series"]
+    assert sat and all(s["n_violations"] > 1 for s in sat)

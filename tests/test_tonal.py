@@ -238,3 +238,20 @@ def test_batched_fft_path_matches_reference_kernel(spark):
         assert g["spectral_flatness"] == pytest.approx(want_flat, rel=1e-9), cid
         assert g["dominant_hz"] == pytest.approx(b * SR / m, rel=1e-12), cid
         assert g["dominant_share"] == pytest.approx(p1[b - 1] / tot, rel=1e-9), cid
+
+
+def test_chunked_batched_fft_matches_unchunked(spark):
+    """The batched-FFT path is memory-bounded by processing rows in
+    _FFT_CHUNK_ELEMS chunks; forcing many tiny chunks must not change any
+    verdict or spectral value vs one big chunk (the kernel is per-row)."""
+    rows = []
+    for i in range(7):
+        tone = i % 2 == 0
+        pcm = _sine(12000, 440.0 + 10 * i, noise=0.0 if tone else 0.5, seed=i)
+        rows.append(_clip(f"c{i}", pcm))
+    base = _audit(spark, rows, max_samples=4096)
+    # 2 rows per chunk -> 4 chunks over the 7 clips (param, not a module
+    # global: executor processes re-import the module and would not see a
+    # monkeypatched value)
+    chunked = _audit(spark, rows, max_samples=4096, fft_chunk_elems=4096 * 2)
+    pd.testing.assert_frame_equal(base, chunked)

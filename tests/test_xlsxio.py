@@ -132,6 +132,23 @@ def test_control_chars_roundtrip_via_x_escape(spark, tmp_path):
     assert back[3] == "plain"
 
 
+def test_cr_and_noncharacters_roundtrip(spark, tmp_path):
+    """\\r is XML-legal but parsers MUST normalize it to \\n (XML 1.0
+    §2.11) — carried raw it silently corrupts; U+FFFE/U+FFFF are not XML
+    chars at all — carried raw the engine writes a file expat refuses to
+    parse. Both must ride the _xHHHH_ escape (Excel writes _x000D_ too)."""
+    df = spark.createDataFrame(
+        [(1, "a\rb"), (2, "crlf\r\nkept"), (3, "non￾char￿")],
+        "id long, t string",
+    )
+    p = str(tmp_path / "cr.xlsx")
+    xlsxio.write_xlsx(df, p)
+    back = {r["id"]: r["t"] for r in xlsxio.read_xlsx(spark, p).collect()}
+    assert back[1] == "a\rb"
+    assert back[2] == "crlf\r\nkept"
+    assert back[3] == "non￾char￿"
+
+
 # --- property fuzz: the SpreadsheetML _xHHHH_ escape layer ---------------
 
 from hypothesis import given, settings
