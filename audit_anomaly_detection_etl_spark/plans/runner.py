@@ -111,7 +111,26 @@ def wave_violations(
             )
         )
     if "payload" in checks and ref_df is not None:
-        parts.append(payload.payload_violations(payload.payload_report(wave_df, ref_df)))
+        src = wave_df
+        if spec.payload_sample is not None:
+            # deterministic key-hash sample for the decode-dominated pass
+            # (spec.payload_sample doc): independent of the table's crc32
+            # partition layout, stable across runs for a fixed salt, and
+            # pushed below the join so the ref side prunes with it
+            frac, salt = spec.payload_sample
+            src = wave_df.where(
+                F.pmod(
+                    F.xxhash64(
+                        F.concat(
+                            F.col(spec.schema_spec.key_col).cast("string"),
+                            F.lit(str(salt)),
+                        )
+                    ),
+                    F.lit(1_000_000),
+                )
+                < F.lit(int(round(frac * 1_000_000)))
+            )
+        parts.append(payload.payload_violations(payload.payload_report(src, ref_df)))
     if "speaking_rate" in checks:
         lo, hi = spec.speaking_rate_bounds
         parts.append(

@@ -90,6 +90,19 @@ class SuiteSpec:
     # frames of frame_ms each); opt-in via checks=(..., "stutter") — see
     # media.stutter_violations. Own decode pass, same cost note as dropout.
     stutter_params: tuple = (20.0, 3)
+    # payload-check COST tier: the reference-comparison pass (decode + SNR
+    # + transcript equality — the one check whose cost is dominated by
+    # decoding bytes) runs on a deterministic hash-sample of keys when set:
+    # (fraction, salt) -> keep keys with pmod(xxhash64(key || salt), 1e6)
+    # < fraction*1e6. At 10^12 clips this is the knob that turns an
+    # every-run decode of the corpus into a bounded screen; byte_length +
+    # encoding stay full-coverage (pure metadata/codegen). Verdict counts
+    # are exact OVER THE SAMPLE, and "passed" means "no violation found in
+    # the sample" — the sample is part of the spec hash, so changing
+    # fraction or salt (e.g. rotating salt to sweep coverage across runs)
+    # deliberately invalidates prior partition verdicts: a different
+    # evidence basis is a different verdict. None = full coverage.
+    payload_sample: tuple | None = None
     # partitioning contract: when the table is bucket-partitioned by
     # hash(key) (Iceberg bucket(clip_id) / our crc32 synth), uniqueness and
     # referential checks decompose per-partition and resume safely. If False
@@ -145,6 +158,7 @@ _SPEC_KEYS = {
     "uniqueness_salts", "speaking_rate_bounds", "loudness_bounds",
     "dropout_min_run_ms", "codec_sniff_ratio", "tonal_flatness_threshold",
     "stutter_params", "encoding_text_col", "max_violation_rows_per_check",
+    "payload_sample",
 }
 
 # every check name the runner understands — the default SuiteSpec.checks
@@ -234,6 +248,16 @@ def spec_from_dict(doc: dict) -> SuiteSpec:
         kwargs["key_partitioned"] = bool(doc["key_partitioned"])
     if "uniqueness_salts" in doc:
         kwargs["uniqueness_salts"] = int(doc["uniqueness_salts"])
+    if "payload_sample" in doc:
+        ps = doc["payload_sample"]
+        if ps is not None:
+            if not (isinstance(ps, (list, tuple)) and len(ps) == 2):
+                raise ValueError("payload_sample must be [fraction, salt] or null")
+            frac = float(ps[0])
+            if not (0.0 < frac <= 1.0):
+                raise ValueError("payload_sample fraction must be in (0, 1]")
+            ps = (frac, str(ps[1]))
+        kwargs["payload_sample"] = ps
     if "max_violation_rows_per_check" in doc:
         cap = doc["max_violation_rows_per_check"]
         if cap is not None:
