@@ -528,6 +528,33 @@ RULES = [
         and "BatchEvalPython" not in p
         and "CartesianProduct" not in p,
     ),
+    (
+        "q139_constraint_suggestion",
+        "constraint-suggestion profile is ONE aggregate over ONE scan of the "
+        "table (multi-column exact distinct plans through Expand — the "
+        "documented exact-tier cost; exact=False removes it); the per-column "
+        "reshape is a stack projection, never a second scan, a join, a "
+        "window, or Python",
+        lambda p: _nodes(p, "Scan parquet") == 1
+        and "Expand" in p
+        and "Join" not in p
+        and _nodes(p, "Window") == 0
+        and "BatchEvalPython" not in p
+        and "ArrowEvalPython" not in p
+        and "CartesianProduct" not in p,
+    ),
+    (
+        "q140_metric_regression",
+        "metric-history screen: the latest-run marker is a broadcast 1-row "
+        "agg (BNLJ of one row, the q08/q75 totals pattern — NOT a data-scale "
+        "cartesian); both median passes and the join back are hash/sort "
+        "equi-joins at metric grain; no Python, no unpartitioned window",
+        lambda p: "CartesianProduct" not in p
+        and "BatchEvalPython" not in p
+        and "ArrowEvalPython" not in p
+        and _nodes(p, "Window") == 0
+        and ("SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p),
+    ),
 ] + [
     (
         qname,
