@@ -5,11 +5,13 @@ deployment shape ships to the cluster:
     spark-submit --py-files dist/engine.zip jobs/validate.py ...
 
 The archive is DETERMINISTIC: entries are walked in sorted order, bytecode
-caches are excluded, and every ZipInfo carries a zeroed timestamp and fixed
-permissions — the same source tree always produces the same sha256. That
-makes the artifact itself pinnable in checkpoint lineage: a resume can
-assert it is running the same code that wrote the verdicts it is skipping
-(the spec-hash already pins the CONFIG; this pins the CODE).
+caches are excluded, entries are STORED (uncompressed — immune to
+zlib-version DEFLATE drift), and every ZipInfo carries a zeroed timestamp
+and fixed permissions — the same source tree always produces the same
+sha256 on any Python/zlib build. That makes the artifact itself pinnable in
+checkpoint lineage across heterogeneous machines: a resume can assert it is
+running the same code that wrote the verdicts it is skipping (the spec-hash
+already pins the CONFIG; this pins the CODE).
 
 The package is zipimport-safe: no module reads data files via ``__file__``
 (``session.ship_package`` is the one ``__file__`` consumer and it no-ops
@@ -44,11 +46,13 @@ def build(out_path: str, repo: str = REPO) -> dict:
             entries.append((full, arc.replace(os.sep, "/")))
     out_path = os.path.abspath(out_path)
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
-    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_STORED) as zf:
         for full, arc in entries:
             info = zipfile.ZipInfo(arc, date_time=(1980, 1, 1, 0, 0, 0))
-            info.compress_type = zipfile.ZIP_DEFLATED
-            info.external_attr = 0o644 << 16
+            info.compress_type = zipfile.ZIP_STORED
+            # S_IFREG | 0644 — some extractors infer entry type from the
+            # high (file-type) bits, not just the permission bits.
+            info.external_attr = 0o100644 << 16
             with open(full, "rb") as f:
                 zf.writestr(info, f.read())
     h = hashlib.sha256()
@@ -59,7 +63,9 @@ def build(out_path: str, repo: str = REPO) -> dict:
 
 
 def main(argv: list[str] | None = None) -> dict:
-    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap = argparse.ArgumentParser(
+        description=(__doc__ or "Build the --py-files dist archive").splitlines()[0]
+    )
     ap.add_argument("--out", default=os.path.join(REPO, "dist", "engine.zip"))
     args = ap.parse_args(argv)
     meta = build(args.out)

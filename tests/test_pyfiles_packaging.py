@@ -61,6 +61,30 @@ def test_spark_submit_pyfiles_zip_runs_validate(tmp_path):
 
     env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
     env["SPARK_DRIVER_MEMORY"] = "2g"
+
+    # Provenance pre-checks: with PYTHONPATH stripped and cwd=tmp_path the
+    # bare import must FAIL (the package is not pip-installed into
+    # site-packages — otherwise the zip-only claim is silently weakened),
+    # and with only the zip on sys.path it must resolve FROM the zip.
+    probe = subprocess.run(
+        ["python", "-c", "import audit_anomaly_detection_etl_spark"],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+    )
+    assert probe.returncode != 0, (
+        "package importable without the zip (site-packages install?) — "
+        "the --py-files-only proof would be vacuous"
+    )
+    probe = subprocess.run(
+        [
+            "python", "-c",
+            "import sys; sys.path.insert(0, sys.argv[1]); "
+            "import audit_anomaly_detection_etl_spark as p; print(p.__file__)",
+            z,
+        ],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+    )
+    assert probe.returncode == 0, probe.stderr[-2000:]
+    assert "engine.zip" in probe.stdout, probe.stdout
     proc = subprocess.run(
         [
             "spark-submit",
