@@ -43,6 +43,81 @@ from pyspark.sql import DataFrame, SparkSession
 _PART_RE = re.compile(r"^part=(\d+)$")
 
 
+def session_table_of(spark: SparkSession, location: str) -> bool:
+    """True when ``location`` names a table in the SESSION catalog (e.g. a
+    bucketed table written by :func:`write_bucketed`) rather than a
+    filesystem path or an Iceberg-catalog table. Path-like strings and
+    existing paths can never be misrouted — same guard shape as
+    :func:`iceberg_catalog_of`."""
+    if not location or "/" in location or os.path.sep in location:
+        return False
+    if os.path.exists(location) or iceberg_catalog_of(spark, location):
+        return False
+    try:
+        return bool(spark.catalog.tableExists(location))
+    except Exception:
+        return False
+
+
+def _fs_root(spark: SparkSession | None, root: str) -> str:
+    """Resolve a location to the filesystem directory holding its
+    ``part=K`` dirs. Session-catalog tables resolve through the catalog's
+    recorded Location, so the manifest-digest lineage (list_partitions /
+    snapshot_id / partition_fingerprints) works identically for bucketed
+    tables and plain parquet roots."""
+    if spark is not None and session_table_of(spark, root):
+        for r in spark.sql(f"DESCRIBE FORMATTED {root}").collect():
+            if r["col_name"] == "Location":
+                loc = r["data_type"]
+                return loc[len("file:"):] if loc.startswith("file:") else loc
+        raise ValueError(f"session table {root!r} has no Location")
+    return root
+
+
+def write_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int,
+    key_col: str = "clip_id",
+    part_col: str | None = "part",
+) -> None:
+    """Write ``df`` as a bucketed (and optionally hive-partitioned) table —
+    the storage layout that ELIDES the engine's one table-scale shuffle.
+
+    The payload ref-comparison join (operators/payload.py) is key-equi on
+    ``clip_id`` with BOTH sides at table scale; over plain parquet roots it
+    shuffles both sides every wave — the single biggest shuffle in the
+    default suite at 10^12 clips. When clips and clips_ref are written
+    bucketed by ``clip_id`` with the SAME bucket count, each scan reports
+    ``HashPartitioning(clip_id, n)`` and the sort-merge join needs NO
+    Exchange on either side: the join runs scan→sort→merge with zero
+    network movement of the audio payloads (locked by the
+    ``bucketed payload join`` plan-audit rule in scripts/audit_plans.py).
+    This is the parquet-session-catalog rendering of an Iceberg
+    storage-partitioned join: on a real deployment, write both tables with
+    a ``bucket(N, clip_id)`` partition transform and enable
+    ``spark.sql.sources.v2.bucketing.enabled`` — same plan shape, zero code
+    changes here.
+
+    Written as an EXTERNAL table (explicit ``path``) so the files land in
+    caller-controlled storage and the checkpoint/lineage fingerprints keep
+    reading the same hive-layout directories as plain roots. Bucket file
+    names carry the bucket id; fingerprints digest (name, size) as always.
+    """
+    w = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", os.path.abspath(path))
+        .bucketBy(n_buckets, key_col)
+        .sortBy(key_col)
+    )
+    if part_col is not None:
+        w = w.partitionBy(part_col)
+    w.saveAsTable(table)
+
+
 def iceberg_catalog_of(spark: SparkSession, location: str) -> str | None:
     """Catalog name when ``location`` names a table through a configured
     ``spark.sql.catalog.<name>``; None for filesystem paths. A location is
@@ -102,6 +177,7 @@ def list_partitions(root: str, spark: SparkSession | None = None) -> list[Partit
             (PartitionInfo(int(r["part"]), int(r["n"]), int(r["b"])) for r in rows),
             key=lambda p: p.part,
         )
+    root = _fs_root(spark, root)
     out = []
     for name in sorted(os.listdir(root)):
         m = _PART_RE.match(name)
@@ -133,6 +209,7 @@ def snapshot_id(root: str, spark: SparkSession | None = None) -> str:
             .collect()
         )
         return str(row[0]["snapshot_id"]) if row else "empty-table"
+    root = _fs_root(spark, root)
     h = hashlib.sha256()
     for dirpath, _dirnames, filenames in sorted(os.walk(root)):
         for f in sorted(filenames):
@@ -179,6 +256,7 @@ def partition_fingerprints(root: str, spark: SparkSession | None = None) -> dict
                 h.update(str(e["sz"]).encode())
             out[int(r["part"])] = h.hexdigest()[:16]
         return out
+    root = _fs_root(spark, root)
     out = {}
     for name in sorted(os.listdir(root)):
         m = _PART_RE.match(name)
@@ -195,7 +273,10 @@ def partition_fingerprints(root: str, spark: SparkSession | None = None) -> dict
 
 
 def read_table(spark: SparkSession, root: str) -> DataFrame:
-    if iceberg_catalog_of(spark, root):
+    # session-catalog (bucketed) tables MUST read via spark.table — a path
+    # read of the same files would drop the bucket spec and reintroduce the
+    # payload-join shuffle the bucketed layout exists to elide
+    if iceberg_catalog_of(spark, root) or session_table_of(spark, root):
         return spark.table(root)
     return spark.read.parquet(root)
 
@@ -268,6 +349,7 @@ def partition_health(
 
     import pyarrow.parquet as pq
 
+    root = _fs_root(spark, root)
     rows = []
     for info in list_partitions(root):
         pdir = os.path.join(root, f"part={info.part}")

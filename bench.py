@@ -69,6 +69,23 @@ def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def host_probe(reps: int = 25) -> dict:
+    """~5 s pure-numpy 12-process host-quality probe (no Spark): fixed work
+    per process, ideal scaling keeps wall flat from 1 to 12 procs. Recorded
+    before AND after the suite so every BENCH_rN.json is self-describing —
+    cross-round comparisons can see whether a slow number was the engine or
+    a stolen host window (BENCH.md: host throughput swings up to 15x), with
+    no separate same-window A/B needed to adjudicate."""
+    from scripts.bench_scaling import cpu_probe
+
+    p = cpu_probe(levels=(1, 12), reps=reps)
+    return {
+        "procs1_sec": p[1]["sec"],
+        "procs12_sec": p[12]["sec"],
+        "efficiency_vs_1": p[12]["efficiency_vs_1"],
+    }
+
+
 def _warmup(spark, sf_dir: str) -> None:
     """Steady-state warmup so per-query timings measure the query, not the
     harness: file listing + schema inference per table, whole-stage codegen
@@ -174,6 +191,7 @@ def main() -> None:
     cpu: dict[str, float] = {}
     clips_info: dict = {}
     workdir = tempfile.mkdtemp(prefix="bench_clips_")
+    probe_pre = host_probe()
     try:
         if mode in ("all", "queries"):
             timings, cpu = bench_queries(spark, sf_dir)
@@ -181,6 +199,7 @@ def main() -> None:
             clips_info = bench_clips(spark, n_clips, n_parts=max(16, cpus), workdir=workdir)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+    probe_post = host_probe()
 
     total = round(sum(timings.values()) + clips_info.get("suite_sec", 0.0), 3)
     out = {
@@ -191,6 +210,11 @@ def main() -> None:
         "queries_cpu_sec": cpu,
         "sf": sf,
         "cpus": cpus,
+        # same-window no-Spark host quality, before/after the suite: read
+        # raw numbers against these (a probe efficiency well under 0.8
+        # means the window was stolen, not the engine slow)
+        "host_probe_pre": probe_pre,
+        "host_probe_post": probe_post,
     }
     out.update(clips_info)
     print(json.dumps(out))

@@ -565,6 +565,69 @@ RULES = [
 ]
 
 
+def bucketed_payload_plans(spark) -> dict[str, str]:
+    """Build the payload ref-comparison join over (a) clip_id-bucketed
+    session-catalog tables and (b) the same data as plain parquet roots,
+    with broadcast disabled (at 10^12 clips neither side broadcasts), and
+    return both formatted plans. The EXTRA_RULES below lock the engine's
+    biggest-shuffle elision: bucketed layout => sort-merge join with ZERO
+    Exchange on either side; the parquet control keeps the rule honest
+    (same join, >=2 Exchanges without the bucket spec)."""
+    import shutil
+    import tempfile
+
+    from audit_anomaly_detection_etl_spark.operators import payload
+    from audit_anomaly_detection_etl_spark.sources import synth, tableio
+
+    tmp = tempfile.mkdtemp(prefix="plan_bucketed_")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        t = synth.generate_clips(n_clips=200, n_parts=4, seed=7)
+        synth.write_clip_tables(t, tmp)
+        clips = spark.read.parquet(t.paths["clips"])
+        ref = spark.read.parquet(t.paths["clips_ref"])
+        tableio.write_bucketed(
+            spark, clips, "plan_audit_clips_b", f"{tmp}/clips_b", 8
+        )
+        tableio.write_bucketed(
+            spark, ref, "plan_audit_ref_b", f"{tmp}/ref_b", 8
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bucketed = plan_of(
+            payload.payload_report(
+                tableio.read_table(spark, "plan_audit_clips_b"),
+                tableio.read_table(spark, "plan_audit_ref_b"),
+            )
+        )
+        parquet = plan_of(payload.payload_report(clips, ref))
+        return {"bucketed": bucketed, "parquet": parquet}
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS plan_audit_clips_b")
+        spark.sql("DROP TABLE IF EXISTS plan_audit_ref_b")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# rules over bucketed_payload_plans output (keyed plans, not queries())
+EXTRA_RULES = [
+    (
+        "bucketed",
+        "payload ref-join over bucketed tables: sort-merge with ZERO "
+        "Exchange on either side (the 100 TB shuffle elided by layout)",
+        lambda p: _nodes(p, "Exchange") == 0 and _nodes(p, "SortMergeJoin") == 1,
+    ),
+    (
+        "parquet",
+        "control: identical join over plain parquet shuffles both sides "
+        "(proves the bucketed rule is non-vacuous)",
+        lambda p: _nodes(p, "Exchange") >= 2 and _nodes(p, "SortMergeJoin") == 1,
+    ),
+]
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
@@ -586,6 +649,16 @@ def main() -> int:
         except Exception:
             ok = False
         print(f"{'PASS' if ok else 'FAIL'}  {qname}: {rule}")
+        if not ok:
+            failures += 1
+    extra_plans = bucketed_payload_plans(spark)
+    for key, rule, pred in EXTRA_RULES:
+        ok = False
+        try:
+            ok = bool(pred(extra_plans[key]))
+        except Exception:
+            ok = False
+        print(f"{'PASS' if ok else 'FAIL'}  payload_bucketed[{key}]: {rule}")
         if not ok:
             failures += 1
     if failures:

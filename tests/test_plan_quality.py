@@ -7,7 +7,7 @@ import sys
 
 import pytest
 
-from scripts.audit_plans import RULES, plan_of
+from scripts.audit_plans import EXTRA_RULES, RULES, bucketed_payload_plans, plan_of
 
 import __spark_entry__ as entry_mod
 
@@ -28,3 +28,16 @@ def plans(spark, sf001):
 def test_plan_rule(plans, qname, rule, pred):
     plan = plans[qname]
     assert pred(plan), f"{qname}: {rule}\n--- plan ---\n{plan[:4000]}"
+
+
+@pytest.fixture(scope="module")
+def bucketed_plans(spark):
+    return bucketed_payload_plans(spark)
+
+
+@pytest.mark.parametrize(
+    "key,rule,pred", EXTRA_RULES, ids=[f"payload_bucketed[{k}]" for k, _r, _p in EXTRA_RULES]
+)
+def test_bucketed_payload_join_rule(bucketed_plans, key, rule, pred):
+    plan = bucketed_plans[key]
+    assert pred(plan), f"payload_bucketed[{key}]: {rule}\n--- plan ---\n{plan[:4000]}"
