@@ -81,6 +81,10 @@ class _Tree:
     left: np.ndarray  # int32
     right: np.ndarray  # int32
     adjust: np.ndarray  # float64; leaves only: depth + c(n_node_samples)
+    # per-node fit-sample row count (root = psi). Scoring never reads it;
+    # exact path-dependent TreeSHAP (operators/treeshap.py) weights cold
+    # branches by cover ratios. None on pre-r5 pickles (treeshap raises).
+    cover: np.ndarray | None = None
 
 
 @dataclass
@@ -100,7 +104,7 @@ class NumpyIsolationForest:
 
     def _build_tree(self, X: np.ndarray, rng: np.random.Generator) -> _Tree:
         depth_limit = int(np.ceil(np.log2(max(len(X), 2))))
-        feature, threshold, left, right, adjust = [], [], [], [], []
+        feature, threshold, left, right, adjust, cover = [], [], [], [], [], []
         # stack of (row-index-array, depth, parent_slot, is_left)
         stack = [(np.arange(len(X)), 0, -1, False)]
         while stack:
@@ -108,6 +112,7 @@ class NumpyIsolationForest:
             node = len(feature)
             if parent >= 0:
                 (left if is_left else right)[parent] = node
+            cover.append(len(idx))
             sub = X[idx]
             lo, hi = sub.min(axis=0), sub.max(axis=0)
             splittable = np.flatnonzero(hi > lo)
@@ -135,6 +140,7 @@ class NumpyIsolationForest:
             np.asarray(left, np.int32),
             np.asarray(right, np.int32),
             np.asarray(adjust, np.float64),
+            np.asarray(cover, np.int64),
         )
 
     def fit(self, X: np.ndarray) -> "NumpyIsolationForest":

@@ -5711,3 +5711,27 @@ def q140(spark, sf_dir):
         hist, run_col="run", key_cols=("series",), metric_col="metric",
         value_col="value", k=4.0,
     )
+
+
+# ===========================================================================
+# Exact TreeSHAP attribution (round 5 — the reference's SHAP step made exact)
+# ===========================================================================
+
+@q("q141_shap_attribution")
+def q141(spark, sf_dir):
+    """Exact path-dependent TreeSHAP for the primary IsolationForest
+    (operators/treeshap.py) — the reference's shap.TreeExplainer step
+    (model_output/nodes.py:116-125) computed exactly, replacing q51's
+    ablation analogue. Attribution is scoped to the vote-FLAGGED rows (the
+    reference applies SHAP to its anomaly output; at scale attribution is
+    interpretation-grade, so the contamination-sized subset is the bound).
+    Forest evaluation is not SQL-expressible -> rows-only driver check;
+    tests/test_treeshap.py holds the brute-force-Shapley and additivity
+    oracles."""
+    from .operators import treeshap
+
+    feats, model = fit_user_ensemble(spark, sf_dir)
+    att = treeshap.shap_attribution(
+        feats, model, id_col="user_id", top_k=2, flagged_only=True
+    )
+    return att.select("user_id", "rank", "feature", F.round("phi", 6).alias("phi"))

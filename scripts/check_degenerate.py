@@ -39,6 +39,7 @@ SRC = "/root/testdata/sf0.001"
 EXPECTED_LOUD = {
     "q49_anomaly_ensemble": "ValueError",
     "q51_anomaly_attribution": "ValueError",
+    "q141_shap_attribution": "ValueError",  # same fit_ensemble empty-fit contract
     "q55_rest_api_scan": "AssertionError",
 }
 

@@ -113,6 +113,7 @@ def test_every_query_runs(spark, sf001):
         "q135_codec_sniff",
         "q136_tonal_audit",
         "q138_stutter_audit",
+        "q141_shap_attribution",
     }
     for name in missing_oracle:
         out = entry_mod.queries()[name](spark, sf001)
