@@ -211,17 +211,29 @@ def image_features(
     images: DataFrame,
     id_col: str = "image_id",
     bytes_col: str = "bytes",
-    decoder: str = "stub",
+    decoder: str = "png",
 ) -> DataFrame:
-    """Pixel-level features. ``decoder='stub'`` raises on executors (Pillow
-    et al. are not in this container — STUB, clearly marked); ``'fake'`` is a
-    deterministic pure-numpy pixel source keyed on the payload digest so the
-    full Spark path (schema, batching, nullability) is testable end to end.
+    """Pixel-level features.
+
+    - ``decoder='png'`` (default since round 5): REAL pixel decode for PNG
+      payloads via the stdlib codec (functions/png.py — zlib inflate +
+      numpy unfiltering, CRC-verified); ``mean_lum`` is Rec.601 luma
+      (0.299R+0.587G+0.114B, alpha ignored) over [0,1]-scaled pixels.
+      Non-PNG and malformed/out-of-scope payloads get ``decode_ok=False``
+      — never an exception, never wrong pixels (fuzz-tested over mutated
+      IDAT streams, tests/test_png.py).
+    - ``decoder='stub'`` raises on executors — the honest marker for
+      formats whose codec library is absent here (JPEG).
+    - ``decoder='fake'`` is a deterministic pure-numpy pixel source keyed
+      on the payload digest so the full Spark path (schema, batching,
+      nullability) is testable independent of any codec.
     """
-    if decoder not in ("stub", "fake"):
+    if decoder not in ("png", "stub", "fake"):
         raise ValueError(f"unknown decoder: {decoder!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.png import PngError, decode_png
+
         for pdf in it:
             raws = pdf[bytes_col].to_numpy()
             ok = np.zeros(len(pdf), dtype=bool)
@@ -234,8 +246,26 @@ def image_features(
                 if decoder == "stub":
                     raise NotImplementedError(
                         "pixel decode requires an image codec library not present "
-                        "in this environment; use decoder='fake' for plumbing tests"
+                        "in this environment; use decoder='png' for PNG payloads "
+                        "or decoder='fake' for plumbing tests"
                     )
+                if decoder == "png":
+                    try:
+                        px = decode_png(bytes(raw))
+                    except PngError:
+                        continue  # decode_ok stays False
+                    hh, ww, ch = px.shape
+                    ok[i], w[i], h[i] = True, ww, hh
+                    if ch >= 3:
+                        rgb = px[:, :, :3].astype(np.float64) / 255.0
+                        lum[i] = float(
+                            rgb[:, :, 0].mean() * 0.299
+                            + rgb[:, :, 1].mean() * 0.587
+                            + rgb[:, :, 2].mean() * 0.114
+                        )
+                    else:
+                        lum[i] = float(px[:, :, 0].mean() / 255.0)
+                    continue
                 # deterministic fake: pixels from a seeded generator keyed on
                 # the payload bytes (stable across executors/runs)
                 seed = np.frombuffer(raw[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
