@@ -65,6 +65,8 @@ def cramers_v(
     ct = cells.groupBy("__b").agg(F.sum("n").alias("ct"))
     tot = cells.agg(
         F.sum("n").cast("double").alias("tot"),
+        # distinct grain: over AGGREGATE-grain contingency cells (category
+        # cardinality, never detail rows) — exact by design
         F.countDistinct("__a").cast("int").alias("n_a"),
         F.countDistinct("__b").cast("int").alias("n_b"),
     )

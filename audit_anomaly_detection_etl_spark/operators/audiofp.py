@@ -175,6 +175,7 @@ def neardup_pairs(
 
     hot = (
         fp.groupBy("h")
+        # distinct grain: per fingerprint hash (keyed agg, hot hashes capped)
         .agg(F.countDistinct("clip_id").alias("n_clips"))
         .where(F.col("n_clips") > max_bucket)
         .select("h")
@@ -193,6 +194,8 @@ def neardup_pairs(
     # MUCH of the timeline aligns, not how rich one shared spectrum is
     by_offset = cand.groupBy(
         "clip_a", "clip_b", (F.col("t_a") - F.col("t_b")).alias("offset")
+    # distinct grain: per candidate PAIR over in-clip anchor times (bounded
+    # by clip duration / hop) — keyed agg
     ).agg(F.countDistinct("t_a").alias("n"))
     # +-1-frame smoothing: resampling/noise jitters true-match anchors by a
     # frame, splitting their votes across adjacent offsets; random

@@ -357,6 +357,7 @@ def granularity_audit(
             F.sum((x % 10 == 0).cast("long")).alias("m10"),
             F.sum((x % 100 == 0).cast("long")).alias("m100"),
             F.sum((x % 1000 == 0).cast("long")).alias("m1000"),
+            # distinct grain: residue domain <= 100 values — exact is free
             F.countDistinct(x % 100).cast("long").alias("n_res_100"),
         )
     )

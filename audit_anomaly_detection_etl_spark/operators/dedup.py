@@ -325,6 +325,7 @@ def ngram_contamination(
     if max_df is not None:
         hot = (
             bench.groupBy("g")
+            # distinct grain: per gram over the BENCH side (broadcast-small)
             .agg(F.countDistinct("bench_id").alias("df"))
             .where(F.col("df") > max_df)
             .select("g")
@@ -336,6 +337,8 @@ def ngram_contamination(
     )
     hits = cg.join(F.broadcast(bench), "g")
     return hits.groupBy("doc_id").agg(
+        # distinct grain: per corpus doc over matched bench grams/ids —
+        # bounded by the broadcast kill-list size, never corpus-cardinality
         F.countDistinct("g").alias("matched_grams"),
         F.countDistinct("bench_id").alias("bench_docs"),
     )

@@ -58,6 +58,8 @@ def fd_audit(
     per_lhs = counts.groupBy(*lhs).agg(
         F.sum("__c").cast("long").alias("n_rows"),
         F.max("__c").cast("long").alias("__maxc"),
+        # distinct grain: per LHS group over AGGREGATE-grain (lhs, rhs) cells
+        # (the detail table was already reduced above) — exact by design
         F.countDistinct("__rv").cast("int").alias("n_rhs_values"),
     ).localCheckpoint(eager=False)
     dominant = (

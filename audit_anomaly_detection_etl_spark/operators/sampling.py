@@ -178,6 +178,8 @@ def split_leakage(
         )
         .groupBy("text_md5")
         .agg(
+            # distinct grain: per text_md5 over the SPLIT label domain
+            # (<= #splits, a handful) — exact is free
             F.countDistinct("split").cast("long").alias("n_splits"),
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.array_join(F.array_sort(F.collect_set("split")), ",").alias("splits"),

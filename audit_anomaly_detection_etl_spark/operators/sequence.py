@@ -89,6 +89,8 @@ def sequence_gaps(
             F.min(id_col).cast("long").alias("first_id"),
             F.max(id_col).cast("long").alias("last_id"),
             F.count(F.lit(1)).alias("n_present"),
+            # distinct grain: per id_bucket, cardinality <= bucket_size by
+            # construction — exact stays cheap at any table size
             F.countDistinct(id_col).alias("n_distinct"),
         )
     )

@@ -152,6 +152,7 @@ def transcript_reuse(
         pairs.groupBy("transcript_md5")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
+            # distinct grain: per transcript_md5 group (keyed agg)
             F.countDistinct("audio_md5").cast("long").alias("n_audio_variants"),
         )
         .where(F.col("n_audio_variants") > 1)
@@ -182,6 +183,7 @@ def label_conflicts(
         pairs.groupBy("audio_md5")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
+            # distinct grain: per audio_md5 group (keyed agg)
             F.countDistinct("transcript_md5").cast("long").alias("n_transcripts"),
         )
         .where(F.col("n_transcripts") > 1)

@@ -3968,6 +3968,7 @@ def q79(spark, sf_dir):
     clips = spark.createDataFrame(t.clips.to_pandas())
     segs = media.slice_segments(clips, window_ms=1_000, hop_ms=500)
     return segs.groupBy("part").agg(
+        # distinct grain: per PARTITION, bounded by rows-per-part (keyed agg)
         F.countDistinct("clip_id").alias("n_clips"),
         F.sum(F.col("slice_ok").cast("long")).alias("n_segs"),
         F.sum(F.when(F.col("slice_ok"), F.col("n_bytes")).otherwise(F.lit(0))).alias(
@@ -5696,6 +5697,9 @@ def q140(spark, sf_dir):
         F.col("event_type").alias("series"),
     ).agg(
         F.count(F.lit(1)).cast("double").alias("n_events"),
+        # distinct grain: per (run, series) group — keyed two-phase agg; swap
+        # approx_count_distinct for a cheaper metric at 10^12 rows if 1-2%
+        # error is acceptable for the screen (vocab.py tier pattern)
         F.countDistinct("user_id").cast("double").alias("n_users"),
     )
     hist = g.select(
