@@ -18,13 +18,25 @@ written by Excel/openpyxl round-trip as well.
 Typing across the trip: numbers are written without a type attribute
 (SpreadsheetML's numeric default) and strings as ``t="inlineStr"``. The
 reader rebuilds a column as long/double when EVERY populated cell in it is
-numeric, else string — same inference grain as the CSV scan. Timestamps and
-binary are out of scope (stringify upstream); Excel has no faithful
-representation of either.
+numeric, else string — same inference grain as the CSV scan.
+
+Dates/timestamps (round 5 — the reference's features/report outputs carry
+submission datetimes): written as ECMA-376 native date cells — ``t="d"``
+with an ISO-8601 literal (§18.17.4.1 date1904=false semantics; the
+spec-blessed lossless form, no styles part needed). The reader recognizes
+BOTH that form and what Excel itself writes (numeric serials styled with a
+date number format): when a ``styles.xml`` is present, cells whose xf
+points at a built-in date numFmtId (14-22, 45-47) or a custom format whose
+code contains date tokens are converted from the 1899-12-30 serial epoch
+(including the deliberate Lotus leap-year-bug offset for serials >= 60,
+which the epoch choice absorbs). A column whose populated cells are all
+dates comes back as ``timestamp`` (``date`` when no cell carries a time
+part). Binary stays out of scope (stringify upstream).
 """
 
 from __future__ import annotations
 
+import datetime as _dt
 import os
 import re
 import zipfile
@@ -121,6 +133,11 @@ def _cell_xml(ref: str, v) -> str:
         return ""
     if isinstance(v, bool):
         return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+    if isinstance(v, _dt.datetime):
+        # ECMA-376 native date cell; naive ISO-8601 (session tz is UTC)
+        return f'<c r="{ref}" t="d"><v>{v.replace(tzinfo=None).isoformat()}</v></c>'
+    if isinstance(v, _dt.date):
+        return f'<c r="{ref}" t="d"><v>{v.isoformat()}</v></c>'
     if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
         # SpreadsheetML numeric cells cannot carry NaN/Infinity (Excel would
         # reject the file, and 'nan' text would silently demote the whole
@@ -183,6 +200,65 @@ def _cell_ref_to_col(ref: str) -> int:
     return i - 1
 
 
+# Built-in ECMA-376 date/time number formats (§18.8.30) + the token test
+# for custom formats: any of y/d/h/s, or 'm' (month/minute), outside
+# bracketed color/locale sections and quoted literals.
+_BUILTIN_DATE_FMT_IDS = set(range(14, 23)) | {45, 46, 47}
+_DATE_TOKEN_RE = re.compile(r"[ymdhs]", re.IGNORECASE)
+
+
+def _strip_fmt_literals(code: str) -> str:
+    return re.sub(r'"[^"]*"|\[[^\]]*\]|\\.', "", code)
+
+
+def _date_style_indexes(z: zipfile.ZipFile) -> set[int]:
+    """Indexes into cellXfs whose numFmt renders as a date/time — the set a
+    serial-number cell's ``s=`` attribute is tested against."""
+    if "xl/styles.xml" not in z.namelist():
+        return set()
+    root = ET.fromstring(z.read("xl/styles.xml"))
+    custom_date_ids = set()
+    for nf in root.iter(f"{_NS}numFmt"):
+        code = _strip_fmt_literals(nf.get("formatCode") or "")
+        if _DATE_TOKEN_RE.search(code):
+            custom_date_ids.add(int(nf.get("numFmtId")))
+    out = set()
+    cellxfs = root.find(f"{_NS}cellXfs")
+    if cellxfs is None:
+        return out
+    for i, xf in enumerate(cellxfs.findall(f"{_NS}xf")):
+        fmt = int(xf.get("numFmtId") or 0)
+        if fmt in _BUILTIN_DATE_FMT_IDS or fmt in custom_date_ids:
+            out.add(i)
+    return out
+
+
+# serial 0 == 1899-12-30 in the date1900 system: Lotus counted from
+# 1900-01-00 AND invented 1900-02-29 (serial 60); for every real date past
+# that phantom day (serial >= 61, i.e. all of 1900-03-01 onward) the -2-day
+# epoch shift gives the correct calendar date, and pre-1900 serials never
+# occur in practice (Excel cannot even enter them).
+_SERIAL_EPOCH = _dt.datetime(1899, 12, 30)
+
+
+def _from_serial(text: str) -> _dt.datetime:
+    # round to whole seconds: serials carry ~microsecond float noise
+    return _SERIAL_EPOCH + _dt.timedelta(
+        seconds=round(float(text) * 86400.0)
+    )
+
+
+def _parse_iso_cell(text: str):
+    t = text.strip()
+    try:
+        if "T" in t or ":" in t:
+            return _dt.datetime.fromisoformat(t.rstrip("Z"))
+        d = _dt.date.fromisoformat(t)
+        return _dt.datetime(d.year, d.month, d.day)
+    except ValueError:
+        return None
+
+
 def _read_rows(path: str) -> list[list]:
     with zipfile.ZipFile(path) as z:
         shared: list[str] = []
@@ -190,6 +266,7 @@ def _read_rows(path: str) -> list[list]:
             root = ET.fromstring(z.read("xl/sharedStrings.xml"))
             for si in root.iter(f"{_NS}si"):
                 shared.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
+        date_styles = _date_style_indexes(z)
         sheet = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
     out = []
     for row in sheet.iter(f"{_NS}row"):
@@ -210,6 +287,18 @@ def _read_rows(path: str) -> list[list]:
                 cells[idx] = _x_unescape(shared[int(v.text)])
             elif t == "b":
                 cells[idx] = v.text == "1"
+            elif t == "d":
+                # ECMA-376 native ISO-8601 date cell (what write_xlsx emits);
+                # an unparseable literal degrades to string, never a crash
+                cells[idx] = _parse_iso_cell(v.text) or v.text
+            elif (
+                t is None
+                and date_styles
+                and int(c.get("s") or -1) in date_styles
+                and _NUM_RE.match(v.text or "")
+            ):
+                # Excel-written serial with a date style
+                cells[idx] = _from_serial(v.text)
             else:
                 cells[idx] = v.text  # numeric text; typed per-column below
         width = max(cells) + 1 if cells else 0
@@ -241,6 +330,13 @@ def read_xlsx(spark: SparkSession, path: str) -> DataFrame:
         vals = [r[i] for r in body if r[i] is not None]
         if vals and all(isinstance(v, bool) for v in vals):
             types.append("boolean")
+        elif vals and all(isinstance(v, _dt.datetime) for v in vals):
+            # all-midnight columns round-trip as DATE, else TIMESTAMP
+            types.append(
+                "date"
+                if all(v.time() == _dt.time(0, 0) for v in vals)
+                else "timestamp"
+            )
         elif vals and all(
             isinstance(v, str) and _INT_RE.match(v) for v in vals
         ):
@@ -261,6 +357,10 @@ def read_xlsx(spark: SparkSession, path: str) -> DataFrame:
                 rr.append(None)
             elif t == "boolean":
                 rr.append(bool(v))
+            elif t == "timestamp":
+                rr.append(v)
+            elif t == "date":
+                rr.append(v.date())
             else:
                 rr.append(conv[t](v))
         typed.append(tuple(rr))

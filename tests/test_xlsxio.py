@@ -197,3 +197,86 @@ def test_literal_escape_text_survives(spark, tmp_path):
     xlsxio.write_xlsx(df, p)
     got = sorted(r["s"] for r in xlsxio.read_xlsx(spark, p).collect())
     assert got == ["_x0041_", "_x005F_x0041_"]
+
+
+def test_datetime_and_date_roundtrip(spark, tmp_path):
+    """Round 5 (verdict item 8): timestamps/dates written as ECMA-376
+    native ``t="d"`` ISO-8601 cells come back typed — timestamp when any
+    cell carries a time part, date when all are midnight; sub-second
+    precision survives."""
+    import datetime as dt
+
+    from audit_anomaly_detection_etl_spark.sources import xlsxio
+
+    p = str(tmp_path / "dt.xlsx")
+    rows = [
+        (dt.datetime(2024, 3, 1, 14, 30, 5, 250000), dt.date(2024, 3, 1), "a"),
+        (dt.datetime(1999, 12, 31, 23, 59, 59), dt.date(1900, 3, 1), "b"),
+        (None, None, None),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, d date, s string")
+    xlsxio.write_xlsx(df, p)
+    back = xlsxio.read_xlsx(spark, p)
+    assert dict(back.dtypes) == {"ts": "timestamp", "d": "date", "s": "string"}
+    got = sorted(back.collect(), key=lambda r: (r["s"] is None, r["s"] or ""))
+    exp = sorted(rows, key=lambda r: (r[2] is None, r[2] or ""))
+    for g, e in zip(got, exp):
+        assert (g["ts"], g["d"], g["s"]) == e
+
+
+def test_excel_style_serial_dates_recognized(spark, tmp_path):
+    """A file the way EXCEL writes dates — numeric serials + a date style in
+    styles.xml — reads back as timestamps, including the post-1900-02-28
+    Lotus offset; unstyled numbers in the same sheet stay numeric."""
+    import datetime as dt
+    import struct  # noqa: F401
+    import zipfile
+
+    from audit_anomaly_detection_etl_spark.sources import xlsxio
+    from audit_anomaly_detection_etl_spark.sources.xlsxio import (
+        _CONTENT_TYPES,
+        _ROOT_RELS,
+        _WORKBOOK,
+        _WORKBOOK_RELS,
+    )
+
+    styles = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        '<numFmts count="1"><numFmt numFmtId="164" formatCode="yyyy\\-mm\\-dd hh:mm"/></numFmts>'
+        "<cellXfs count=\"3\">"
+        '<xf numFmtId="0"/><xf numFmtId="14"/><xf numFmtId="164"/>'
+        "</cellXfs></styleSheet>"
+    )
+    # serial 45355 = 2024-03-04; 45355.5 adds 12h; 61 = 1900-03-01
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>when</t></is></c>'
+        '<c r="B1" t="inlineStr"><is><t>n</t></is></c></row>'
+        '<row r="2"><c r="A2" s="1"><v>45355</v></c><c r="B2"><v>45355</v></c></row>'
+        '<row r="3"><c r="A3" s="2"><v>45355.5</v></c><c r="B3"><v>7</v></c></row>'
+        '<row r="4"><c r="A4" s="1"><v>61</v></c><c r="B4"><v>0</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    p = str(tmp_path / "excel_serial.xlsx")
+    ct = _CONTENT_TYPES.replace(
+        "</Types>",
+        '<Override PartName="/xl/styles.xml" ContentType="application/vnd.'
+        'openxmlformats-officedocument.spreadsheetml.styles+xml"/></Types>',
+    )
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("[Content_Types].xml", ct)
+        z.writestr("_rels/.rels", _ROOT_RELS)
+        z.writestr("xl/workbook.xml", _WORKBOOK)
+        z.writestr("xl/_rels/workbook.xml.rels", _WORKBOOK_RELS)
+        z.writestr("xl/styles.xml", styles)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    back = xlsxio.read_xlsx(spark, p)
+    assert dict(back.dtypes) == {"when": "timestamp", "n": "bigint"}
+    got = sorted(r["when"] for r in back.collect())
+    assert got == [
+        dt.datetime(1900, 3, 1),
+        dt.datetime(2024, 3, 4),
+        dt.datetime(2024, 3, 4, 12, 0),
+    ]
