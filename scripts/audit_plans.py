@@ -593,14 +593,29 @@ def bucketed_payload_plans(spark) -> dict[str, str]:
             spark, ref, "plan_audit_ref_b", f"{tmp}/ref_b", 8
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        bucketed = plan_of(
-            payload.payload_report(
-                tableio.read_table(spark, "plan_audit_clips_b"),
-                tableio.read_table(spark, "plan_audit_ref_b"),
-            )
-        )
+        cb = tableio.read_table(spark, "plan_audit_clips_b")
+        rb = tableio.read_table(spark, "plan_audit_ref_b")
+        bucketed = plan_of(payload.payload_report(cb, rb))
         parquet = plan_of(payload.payload_report(clips, ref))
-        return {"bucketed": bucketed, "parquet": parquet}
+
+        # the WHOLE per-wave violations plan (schema + salted uniqueness +
+        # referential anti-joins + payload + byte_length + encoding composed
+        # over one scan): HashPartitioning(clip_id) from the bucketed scans
+        # satisfies the clustering requirement of every agg and join in it
+        from audit_anomaly_detection_etl_spark.plans.runner import (
+            wave_violations,
+        )
+        from audit_anomaly_detection_etl_spark.plans.spec import SuiteSpec
+
+        spec = SuiteSpec()
+        wave_b = plan_of(wave_violations(cb, rb, spec, spec.checks))
+        wave_p = plan_of(wave_violations(clips, ref, spec, spec.checks))
+        return {
+            "bucketed": bucketed,
+            "parquet": parquet,
+            "wave_bucketed": wave_b,
+            "wave_parquet": wave_p,
+        }
     finally:
         if old is None:
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
@@ -624,6 +639,20 @@ EXTRA_RULES = [
         "control: identical join over plain parquet shuffles both sides "
         "(proves the bucketed rule is non-vacuous)",
         lambda p: _nodes(p, "Exchange") >= 2 and _nodes(p, "SortMergeJoin") == 1,
+    ),
+    (
+        "wave_bucketed",
+        "ENTIRE default per-wave violations plan over bucketed tables "
+        "(schema+uniqueness+referential+payload+byte_length+encoding): ZERO "
+        "shuffle Exchanges — only the broadcast of the tiny dup-key set",
+        lambda p: _nodes(p, "Exchange") == 0
+        and _nodes(p, "BroadcastExchange") >= 1,
+    ),
+    (
+        "wave_parquet",
+        "control: the same wave plan over plain parquet shuffles many times "
+        "(proves the wave_bucketed rule is non-vacuous)",
+        lambda p: _nodes(p, "Exchange") >= 6,
     ),
 ]
 
