@@ -64,6 +64,9 @@ def test_bucketed_join_elides_exchange(spark, bucketed_env):
         )
         pw = plan_of(wave)
         assert _nodes(pw, "Exchange") == 0, pw[:4000]
+        # catalog-table reads keep hive-style partition pruning too: the
+        # wave's IN-filter must reach the scan as a PartitionFilter
+        assert "PartitionFilters: [part" in pw, pw[:4000]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
