@@ -118,6 +118,52 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def register_bucketed(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    n_buckets: int,
+    key_col: str = "clip_id",
+    part_col: str | None = "part",
+) -> None:
+    """Re-attach an EXISTING :func:`write_bucketed` directory as a bucketed
+    session-catalog table — the resume path. Session-catalog tables die
+    with the Spark session; re-WRITING them on every job start would change
+    the file manifest and void every checkpoint fingerprint. This DDL
+    (CREATE TABLE ... USING PARQUET CLUSTERED BY ... LOCATION + partition
+    recovery) re-declares the bucket spec over the same files, so the
+    fingerprints — and therefore ``plan_resume``'s skip decisions — are
+    byte-identical across restarts.
+
+    CORRECTNESS CAVEAT (same as Hive's): the declaration is trusted, not
+    verified — Spark assigns files to buckets by the bucket id in the FILE
+    NAME. Only point this at directories produced by :func:`write_bucketed`
+    (or another writer with the same bucket count and key); a mismatched
+    declaration silently mis-buckets the join.
+    """
+    path = os.path.abspath(path)
+    df = spark.read.parquet(path)
+    data_cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != part_col
+    )
+    ddl = f"CREATE TABLE {table} ({data_cols}"
+    if part_col is not None:
+        part_type = df.schema[part_col].dataType.simpleString()
+        ddl += f", `{part_col}` {part_type}"
+    ddl += ") USING PARQUET "
+    if part_col is not None:
+        ddl += f"PARTITIONED BY (`{part_col}`) "
+    ddl += (
+        f"CLUSTERED BY (`{key_col}`) SORTED BY (`{key_col}`) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+    )
+    spark.sql(ddl)
+    if part_col is not None:
+        spark.sql(f"ALTER TABLE {table} RECOVER PARTITIONS")
+
+
 def iceberg_catalog_of(spark: SparkSession, location: str) -> str | None:
     """Catalog name when ``location`` names a table through a configured
     ``spark.sql.catalog.<name>``; None for filesystem paths. A location is

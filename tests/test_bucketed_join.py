@@ -196,3 +196,49 @@ def test_aqe_splits_planted_skew_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_validate_job_bucketize_run_and_resume(tmp_path):
+    """jobs/validate.py --bucketize N end-to-end, twice: the first run
+    materializes the bucketed layout and validates it; the second run
+    re-attaches the SAME files via DDL (register_bucketed), so every
+    partition fingerprint matches its checkpoint marker and the resume
+    skips all partitions. Subprocess-driven — the real spark-submit shape,
+    fresh session each time (which is exactly what makes re-attachment
+    necessary)."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ck = str(tmp_path / "ck")
+
+    def run():
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(repo, "jobs", "validate.py"),
+                "--synth", "400",
+                "--checkpoint", ck,
+                "--master", "local[2]",
+                "--bucketize", "8",
+                "--no-metrics-log",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    first = run()
+    assert first["bucketized"] == 8
+    assert first["parts_ran"] == first["parts_total"] > 0
+    assert sum(first["violations_by_check"].values()) > 0
+    assert os.path.isdir(os.path.join(ck, "bucketed", "clips"))
+
+    second = run()
+    assert second["bucketized"] == 8
+    assert second["parts_ran"] == 0, "re-attached layout must resume-skip"
+    assert second["parts_resumed_skip"] == first["parts_total"]
+    assert second["violations_by_check"] == first["violations_by_check"]
