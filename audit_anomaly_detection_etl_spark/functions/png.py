@@ -65,10 +65,23 @@ def _chunks(raw: bytes):
     raise PngError("no IEND")
 
 
-def decode_png(raw: bytes) -> np.ndarray:
+#: Decode refusal threshold: h*w above this raises PngError instead of
+#: allocating (64 Mpx ~= 256 MB RGBA — far above any validation-report
+#: image, far below an executor-OOM allocation). Untrusted payloads must
+#: degrade to decode_ok=False, never take the worker down.
+MAX_PIXELS = 1 << 26
+
+
+def decode_png(raw: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
     """PNG bytes -> uint8 array of shape (height, width, channels);
     channels per color type (palette expands to 3). Raises PngError on
-    anything malformed or out of scope."""
+    anything malformed or out of scope.
+
+    Bomb-safe by construction: the claimed dimensions are capped at
+    ``max_pixels`` BEFORE any allocation, and the IDAT inflate is bounded
+    at the exact byte count the IHDR implies — a decompression bomb stops
+    at that bound (``decompressobj`` + ``max_length``) and is refused; it
+    is never materialized."""
     ihdr = None
     plte = None
     idat = []
@@ -92,17 +105,24 @@ def decode_png(raw: bytes) -> np.ndarray:
         raise PngError("interlaced (Adam7) not supported")
     if w == 0 or h == 0:
         raise PngError("zero dimension")
+    if w * h > max_pixels:
+        raise PngError(f"image {w}x{h} exceeds max_pixels={max_pixels}")
     if not idat:
         raise PngError("no IDAT")
-    try:
-        stream = zlib.decompress(b"".join(idat))
-    except zlib.error as e:
-        raise PngError(f"IDAT inflate failed: {e}") from None
     bpp = _CHANNELS[ctype_i]  # bytes per pixel (8-bit depth)
     stride = w * bpp
-    if len(stream) != h * (stride + 1):
+    expected = h * (stride + 1)
+    dec = zlib.decompressobj()
+    try:
+        # inflate at most expected+1 bytes: a bomb is detected one byte
+        # past the IHDR-implied size without ever being materialized
+        stream = dec.decompress(b"".join(idat), expected + 1)
+    except zlib.error as e:
+        raise PngError(f"IDAT inflate failed: {e}") from None
+    if len(stream) != expected:
         raise PngError(
-            f"pixel stream is {len(stream)} bytes, expected {h * (stride + 1)}"
+            f"pixel stream is {'>' if len(stream) > expected else ''}"
+            f"{len(stream)} bytes, expected {expected}"
         )
     flt = np.frombuffer(stream, dtype=np.uint8).reshape(h, stride + 1)
     filters = flt[:, 0]

@@ -145,6 +145,44 @@ def test_wrong_stream_length_rejected():
         decode_png(raw)
 
 
+def test_decompression_bomb_refused_without_inflating():
+    """IDAT that inflates far past the IHDR-implied byte count must be
+    refused at the bound (expected+1 bytes), never materialized: 1x1 gray
+    claims 2 stream bytes, the IDAT holds 64 MB of zeros (compresses to
+    ~64 KB). A full inflate would allocate 64 MB; the bounded path stops
+    at 3 bytes."""
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    bomb = zlib.compress(bytes(64 * 1024 * 1024), 9)
+    raw = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", bomb)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngError, match="pixel stream"):
+        decode_png(raw)
+
+
+def test_oversized_dimensions_refused_before_allocation():
+    """IHDR claiming dimensions past max_pixels raises before any
+    pixel-buffer allocation or inflate (a 2^31-pixel claim with a 4-byte
+    IDAT would otherwise drive the expected-size bound itself huge)."""
+    ihdr = struct.pack(">IIBBBBB", 1 << 16, 1 << 15, 8, 0, 0, 0, 0)
+    raw = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(4)))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngError, match="max_pixels"):
+        decode_png(raw)
+    # and the cap is a parameter, not a constant: a tiny image refuses too
+    ok = encode_png(np.zeros((4, 4), np.uint8))
+    with pytest.raises(PngError, match="max_pixels"):
+        decode_png(ok, max_pixels=8)
+    assert decode_png(ok, max_pixels=16).shape == (4, 4, 1)
+
+
 def test_fuzz_mutations_never_crash_or_lie():
     """Byte flips and truncations anywhere in a valid PNG must yield either
     a PngError or (only when the mutation misses every verified byte) the
