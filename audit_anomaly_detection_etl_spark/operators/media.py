@@ -211,28 +211,45 @@ def image_features(
     images: DataFrame,
     id_col: str = "image_id",
     bytes_col: str = "bytes",
-    decoder: str = "png",
+    decoder: str = "auto",
 ) -> DataFrame:
     """Pixel-level features.
 
-    - ``decoder='png'`` (default since round 5): REAL pixel decode for PNG
-      payloads via the stdlib codec (functions/png.py — zlib inflate +
-      numpy unfiltering, CRC-verified); ``mean_lum`` is Rec.601 luma
+    - ``decoder='auto'`` (default): REAL pixel decode, dispatched by
+      container magic — PNG via the stdlib codec (functions/png.py, zlib
+      inflate + numpy unfiltering, CRC-verified) and baseline JPEG via the
+      stdlib codec (functions/jpeg.py, Huffman + batched einsum IDCT).
+      ``'png'`` / ``'jpeg'`` force one codec. ``mean_lum`` is Rec.601 luma
       (0.299R+0.587G+0.114B, alpha ignored) over [0,1]-scaled pixels.
-      Non-PNG and malformed/out-of-scope payloads get ``decode_ok=False``
-      — never an exception, never wrong pixels (fuzz-tested over mutated
-      IDAT streams, tests/test_png.py).
-    - ``decoder='stub'`` raises on executors — the honest marker for
-      formats whose codec library is absent here (JPEG).
+      Unrecognized, malformed and out-of-scope payloads (e.g. progressive
+      JPEG) get ``decode_ok=False`` — never an exception, never wrong
+      pixels (fuzz-tested over mutated streams, tests/test_png.py and
+      tests/test_jpeg.py; both codecs refuse decompression bombs at an
+      IHDR/SOF-derived bound before allocating).
+    - ``decoder='stub'`` raises on executors — the honest marker for the
+      one decode left without a public stdlib-expressible codec here
+      (video frames; see frame_sample_plan).
     - ``decoder='fake'`` is a deterministic pure-numpy pixel source keyed
       on the payload digest so the full Spark path (schema, batching,
       nullability) is testable independent of any codec.
     """
-    if decoder not in ("png", "stub", "fake"):
+    if decoder not in ("auto", "png", "jpeg", "stub", "fake"):
         raise ValueError(f"unknown decoder: {decoder!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.jpeg import JpegError, decode_jpeg
         from ..functions.png import PngError, decode_png
+
+        def _route(raw: bytes):
+            if decoder == "png" or (
+                decoder == "auto" and raw.startswith(_PNG_MAGIC)
+            ):
+                return decode_png(raw)
+            if decoder == "jpeg" or (
+                decoder == "auto" and raw.startswith(_JPEG_MAGIC)
+            ):
+                return decode_jpeg(raw)
+            return None  # auto: unrecognized container
 
         for pdf in it:
             raws = pdf[bytes_col].to_numpy()
@@ -245,15 +262,17 @@ def image_features(
                     continue
                 if decoder == "stub":
                     raise NotImplementedError(
-                        "pixel decode requires an image codec library not present "
-                        "in this environment; use decoder='png' for PNG payloads "
-                        "or decoder='fake' for plumbing tests"
+                        "pixel decode requires a codec library not present in "
+                        "this environment; PNG/JPEG decode natively via "
+                        "decoder='auto', use decoder='fake' for plumbing tests"
                     )
-                if decoder == "png":
+                if decoder != "fake":
                     try:
-                        px = decode_png(bytes(raw))
-                    except PngError:
+                        px = _route(bytes(raw))
+                    except (PngError, JpegError):
                         continue  # decode_ok stays False
+                    if px is None:
+                        continue
                     hh, ww, ch = px.shape
                     ok[i], w[i], h[i] = True, ww, hh
                     if ch >= 3:

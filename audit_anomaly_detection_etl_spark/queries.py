@@ -5739,3 +5739,53 @@ def q141(spark, sf_dir):
         feats, model, id_col="user_id", top_k=2, flagged_only=True
     )
     return att.select("user_id", "rank", "feature", F.round("phi", 6).alias("phi"))
+
+
+# ===========================================================================
+# Real image pixel decode QA (round 5 — PNG + baseline JPEG, stdlib codecs)
+# ===========================================================================
+
+@q("q142_image_decode_qa")
+def q142(spark, sf_dir):
+    """Pixel-decode QA over a mixed PNG/JPEG/corrupt image table
+    (operators/media.image_features, decoder='auto'): REAL decodes via the
+    stdlib codecs (functions/png.py, functions/jpeg.py — both bomb-safe,
+    refusing at a header-derived bound before allocating), container
+    sniffed per payload, malformed bytes degrading to decode_ok=False.
+    Aggregates decode rate + mean Rec.601 luma per container format.
+    Binary pixel decode is not SQL-expressible -> rows-only driver check;
+    exact pixel/luma oracles live in tests/test_jpeg.py and
+    tests/test_png.py."""
+    import numpy as np
+
+    from .functions.jpeg import encode_jpeg
+    from .functions.png import encode_png
+    from .operators import media
+
+    rng = np.random.default_rng(142)
+    rows = []
+    for i in range(24):
+        h, w = 8 + int(rng.integers(0, 24)), 8 + int(rng.integers(0, 24))
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        if i % 3 == 0:
+            raw = encode_png(px, filter_type=int(rng.integers(0, 5)))
+        elif i % 3 == 1:
+            raw = encode_jpeg(px, quality=90, subsample=bool(i % 2))
+        else:  # corrupt: truncated JPEG
+            raw = encode_jpeg(px, quality=90)[: 40 + int(rng.integers(0, 40))]
+        rows.append((f"img-{i:03d}", bytearray(raw)))
+    imgs = spark.createDataFrame(rows, "image_id string, bytes binary")
+    feats = media.image_features(imgs, decoder="auto")
+    meta = media.image_metadata(imgs).select("image_id", "format")
+    return (
+        feats.join(F.broadcast(meta), "image_id")
+        .groupBy("format")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("decode_ok").cast("long")).alias("n_decoded"),
+            F.round(F.avg(F.when(F.col("decode_ok"), F.col("mean_lum"))), 4).alias(
+                "mean_lum"
+            ),
+        )
+        .orderBy("format")
+    )

@@ -114,6 +114,7 @@ def test_every_query_runs(spark, sf001):
         "q136_tonal_audit",
         "q138_stutter_audit",
         "q141_shap_attribution",
+        "q142_image_decode_qa",
     }
     for name in missing_oracle:
         out = entry_mod.queries()[name](spark, sf001)
