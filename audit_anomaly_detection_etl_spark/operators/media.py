@@ -310,6 +310,66 @@ def image_features(
 # video
 # ---------------------------------------------------------------------------
 
+VIDEO_METADATA_SCHEMA = (
+    "video_id string, container_ok boolean, brand string, dur_ms double, "
+    "n_tracks int, has_video boolean, has_audio boolean, width double, "
+    "height double, parse_error string"
+)
+
+
+def video_metadata(
+    videos: DataFrame, id_col: str = "video_id", bytes_col: str = "bytes"
+) -> DataFrame:
+    """REAL ISO-BMFF (MP4/MOV) container-layer parse over a binary video
+    column (functions/mp4.py: box walk, brand, mvhd duration, per-trak
+    handler types, tkhd video dimensions) — the video analogue of the WAV
+    container check: producer-side container damage (truncated boxes,
+    missing moov, zero timescale) surfaces as ``container_ok=False`` +
+    ``parse_error`` without any codec library. Frame *decode* remains the
+    one stubbed step (see image_features / frame_sample_plan)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.mp4 import Mp4Error, parse_mp4
+
+        for pdf in it:
+            out = {
+                "video_id": pdf[id_col].to_numpy(),
+                "container_ok": [],
+                "brand": [],
+                "dur_ms": [],
+                "n_tracks": [],
+                "has_video": [],
+                "has_audio": [],
+                "width": [],
+                "height": [],
+                "parse_error": [],
+            }
+            for raw in pdf[bytes_col].to_numpy():
+                try:
+                    if raw is None:
+                        raise Mp4Error("null payload")
+                    m = parse_mp4(bytes(raw))
+                    vals = (True, m["brand"], m["duration_ms"], m["n_tracks"],
+                            m["has_video"], m["has_audio"], m["width"],
+                            m["height"], None)
+                except Mp4Error as e:
+                    vals = (False, None, None, None, None, None, None, None,
+                            str(e))
+                for k, v in zip(
+                    ("container_ok", "brand", "dur_ms", "n_tracks",
+                     "has_video", "has_audio", "width", "height",
+                     "parse_error"),
+                    vals,
+                ):
+                    out[k].append(v)
+            out["n_tracks"] = pd.array(out["n_tracks"], dtype="Int32")
+            yield pd.DataFrame(out)
+
+    return videos.select(id_col, bytes_col).mapInPandas(
+        batches, schema=VIDEO_METADATA_SCHEMA
+    )
+
+
 FRAME_PLAN_SCHEMA = "video_id string, frame_idx int, ts_ms double"
 
 

@@ -5789,3 +5789,42 @@ def q142(spark, sf_dir):
         )
         .orderBy("format")
     )
+
+
+@q("q143_video_container_audit")
+def q143(spark, sf_dir):
+    """Video container audit (operators/media.video_metadata): REAL
+    ISO-BMFF box-walk parse (functions/mp4.py — brand, mvhd duration,
+    trak handler types, tkhd dimensions; no codec library), malformed
+    containers degrading to container_ok=False. Aggregated per brand:
+    parse rate, video-track presence, mean duration. Binary container
+    parse is not SQL-expressible -> rows-only driver check; exact field
+    and aggregate oracles in tests/test_mp4.py."""
+    from .functions.mp4 import build_minimal_mp4
+    from .operators import media
+
+    rows = []
+    for i in range(18):
+        if i % 3 == 0:
+            raw = build_minimal_mp4(
+                duration_ms=1000.0 + 250.0 * i, width=640, height=360
+            )
+        elif i % 3 == 1:
+            raw = build_minimal_mp4(
+                duration_ms=500.0 + 100.0 * i, width=None, brand=b"mp42"
+            )
+        else:  # corrupt: truncated mid-moov
+            raw = build_minimal_mp4(duration_ms=1000.0)[: 40 + i]
+        rows.append((f"vid-{i:03d}", bytearray(raw)))
+    videos = spark.createDataFrame(rows, "video_id string, bytes binary")
+    return (
+        media.video_metadata(videos)
+        .groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("container_ok").cast("long")).alias("n_ok"),
+            F.sum(F.col("has_video").cast("long")).alias("n_video"),
+            F.round(F.avg("dur_ms"), 2).alias("mean_dur_ms"),
+        )
+        .orderBy("brand")
+    )

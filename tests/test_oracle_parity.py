@@ -115,6 +115,7 @@ def test_every_query_runs(spark, sf001):
         "q138_stutter_audit",
         "q141_shap_attribution",
         "q142_image_decode_qa",
+        "q143_video_container_audit",
     }
     for name in missing_oracle:
         out = entry_mod.queries()[name](spark, sf001)
