@@ -44,8 +44,14 @@ import struct
 
 import numpy as np
 
-#: Decode refusal threshold, same rationale as functions/png.py.
-MAX_PIXELS = 1 << 26
+#: Decode refusal threshold — tighter than functions/png.py because JPEG
+#: decode holds coefficient + IDCT + color intermediates (~16-20 bytes per
+#: sample with the int32/float32 pipeline, vs PNG's filter buffers): 16 Mpx
+#: (4096x4096) keeps peak decode memory under ~1 GB per payload, well
+#: inside a fair executor-task share, while still covering any
+#: report/thumbnail/frame-grab scale image. A crafted SOF claiming more is
+#: refused BEFORE the coefficient store is allocated.
+MAX_PIXELS = 1 << 24
 
 
 class JpegError(ValueError):
@@ -368,6 +374,16 @@ def _decode_scan(raw, pos, sos, frame, quant, huffs, dri):
             raise JpegError("component references a missing quant table")
         order.append((idx, hi, vi, tq, huffs[(0, td)], huffs[(1, ta)]))
 
+    if ns == 1:
+        # T.81 A.2: a single-component scan is NON-interleaved — one data
+        # unit per MCU in raster order over ceil(w/8) x ceil(h/8) blocks.
+        # The frame's sampling factors are meaningless with no other
+        # component to be relative to; honoring them here would tile the
+        # blocks in interleaved-MCU order and scramble valid grayscale
+        # files whose SOF kept e.g. 2x2 luma factors.
+        i0, _hi, _vi, tq, dct, act = order[0]
+        order = [(i0, 1, 1, tq, dct, act)]
+
     hmax = max(o[1] for o in order)
     vmax = max(o[2] for o in order)
     mcus_x = -(-w // (8 * hmax))
@@ -375,9 +391,13 @@ def _decode_scan(raw, pos, sos, frame, quant, huffs, dri):
     n_mcus = mcus_x * mcus_y
 
     segs, _end = _split_entropy(raw, pos)
-    # coefficient store per component, zigzag order, block-grid raster
+    # coefficient store per component, zigzag order, block-grid raster.
+    # int32 (quantized baseline coefficients are < 2^12): together with the
+    # float32 back half this keeps peak decode memory ~8 bytes/sample so
+    # the max_pixels bound stays a real executor-memory bound, not just a
+    # pixel-count bound.
     zz = [
-        np.zeros((mcus_y * vi * mcus_x * hi, 64), dtype=np.int64)
+        np.zeros((mcus_y * vi * mcus_x * hi, 64), dtype=np.int32)
         for (_i, hi, vi, _t, _d, _a) in order
     ]
     grid_w = [hi * mcus_x for (_i, hi, _v, _t, _d, _a) in order]
@@ -397,7 +417,7 @@ def _decode_scan(raw, pos, sos, frame, quant, huffs, dri):
         for s, (_idx, hi, vi, _tq, dct, act) in enumerate(order):
             for by in range(vi):
                 for bx in range(hi):
-                    blk = np.zeros(64, dtype=np.int64)
+                    blk = np.zeros(64, dtype=np.int32)
                     t = reader.huff(dct)
                     if t > 15:
                         raise JpegError("DC category out of range")
@@ -420,14 +440,17 @@ def _decode_scan(raw, pos, sos, frame, quant, huffs, dri):
                     gy, gx = my * vi + by, mx * hi + bx
                     zz[s][gy * grid_w[s] + gx] = blk
 
-    # vectorized back half: dequant -> dezigzag -> IDCT -> planes -> color
+    # vectorized back half: dequant -> dezigzag -> IDCT -> planes -> color,
+    # all float32 (8-bit output needs ~0.5 absolute accuracy; float32 dot
+    # products over 8 terms are exact to ~1e-2 at baseline magnitudes)
+    m32 = _DCT_M.astype(np.float32)
     planes = []
     for s, (_idx, hi, vi, tq, _d, _a) in enumerate(order):
-        deq = (zz[s] * quant[tq][None, :]).astype(np.float64)
+        deq = zz[s].astype(np.float32) * quant[tq].astype(np.float32)[None, :]
         blocks = np.empty_like(deq)
         blocks[:, _ZIG] = deq
         blocks = blocks.reshape(-1, 8, 8)
-        spatial = np.einsum("xu,nuv,vy->nxy", _DCT_M, blocks, _DCT_M.T) + 128.0
+        spatial = np.einsum("xu,nuv,vy->nxy", m32, blocks, m32.T) + np.float32(128.0)
         bh, bw = mcus_y * vi, mcus_x * hi
         plane = (
             spatial.reshape(bh, bw, 8, 8)

@@ -131,11 +131,16 @@ def parse_mp4(raw: bytes) -> dict:
                     raise Mp4Error("video trak without tkhd")
                 kb, ke = tkhd
                 v = raw[kb]
-                # 16.16 fixed-point width/height are the LAST 8 body bytes
-                # in both tkhd versions
-                if ke - kb < (84 if v == 0 else 96):
+                # 16.16 fixed-point width/height at FIXED spec offsets
+                # (v0 body: 4 ver/flags + 72 = 76; v1: +12) — never
+                # relative to the box END, which would read garbage from
+                # any muxer's trailing padding while container_ok=True
+                off = 76 if v == 0 else 88
+                if v > 1:
+                    raise Mp4Error(f"tkhd version {v}")
+                if ke - kb < off + 8:
                     raise Mp4Error("short tkhd")
-                w_fx, h_fx = struct.unpack(">II", raw[ke - 8 : ke])
+                w_fx, h_fx = struct.unpack(">II", raw[kb + off : kb + off + 8])
                 width, height = w_fx / 65536.0, h_fx / 65536.0
     return {
         "brand": brand,

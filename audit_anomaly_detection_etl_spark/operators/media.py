@@ -3,23 +3,27 @@
 Training-data pipelines treat media as opaque ``binary`` columns with typed
 metadata (the clips table IS that pattern for audio). This module gives each
 modality a feature-extraction operator with REAL Spark plumbing — schema,
-Arrow batching, partition preservation — while gating decoders that need
-external libraries behind deterministic stubs:
+Arrow batching, partition preservation — and, since round 5, real stdlib
+codecs for every byte layer a public spec makes expressible without an
+external library:
 
 - audio: fully real — decode via functions/codecs.py (pure numpy), then
   per-clip RMS / peak / zero-crossing-rate / duration, batch-vectorized with
   ``np.add.reduceat`` like operators/payload.py.
-- image: header sniff (PNG/JPEG magic + dimensions from the container
-  headers — pure bytes, no codec lib) is real; pixel decode + resize are
-  stubs (Pillow is absent in this sandbox) raising ``NotImplementedError``
-  unless the deterministic fake decoder is requested.
-- video: container sniff + frame-sampling OFFSET computation are real
-  (sampling plan is arithmetic over metadata); frame decode is stubbed the
-  same way.
-
-The stubs keep the Spark-side contract (mapInPandas signature, output
-schema, batch shape) fully exercised by tests, so swapping a real codec in
-is a one-function change on executors that already receive correct batches.
+- image: fully real for PNG and baseline JPEG — header sniff plus pixel
+  decode via functions/png.py (zlib inflate + numpy unfiltering) and
+  functions/jpeg.py (Huffman + batched einsum IDCT), both bomb-safe,
+  dispatched by container magic (``decoder='auto'``); malformed payloads
+  degrade to ``decode_ok=False``.
+- video: container metadata is real — ISO-BMFF box walk via
+  functions/mp4.py (brand, duration, track types, dimensions) and the
+  frame-sampling OFFSET plan (arithmetic over metadata). Frame decode is
+  the ONE remaining deterministic stub: H.264-class codecs have no public
+  stdlib-expressible decode, so ``decoder='stub'`` raises
+  ``NotImplementedError`` honestly and ``decoder='fake'`` keeps the Spark
+  contract (mapInPandas signature, output schema, batch shape) fully
+  exercised by tests — swapping a real codec in is a one-function change
+  on executors that already receive correct batches.
 """
 
 from __future__ import annotations

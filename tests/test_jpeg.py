@@ -253,3 +253,20 @@ def test_q142_image_decode_qa_exact_oracle(spark):
         assert got[fmt]["mean_lum"] == pytest.approx(
             round(float(np.mean(lum[fmt])), 4), abs=1e-4
         )
+
+
+def test_grayscale_scan_ignores_frame_sampling_factors():
+    """T.81 A.2: an Ns=1 scan is non-interleaved — raster block order —
+    whatever sampling factors the SOF kept. A grayscale file patched to
+    claim 2x2 luma factors must decode to the identical pixels (a 32x32
+    multiple-of-16 image would decode scrambled-but-shaped under the
+    interleaved geometry, and a 24x40 one would be spuriously refused)."""
+    for shape in ((32, 32, 1), (24, 40, 1)):
+        px = _smooth(*shape, seed=13)
+        raw = bytearray(encode_jpeg(px, quality=95))
+        i = raw.find(b"\xff\xc0")
+        assert raw[i + 11] == 0x11  # encoder wrote 1x1
+        raw[i + 11] = 0x22
+        np.testing.assert_array_equal(
+            decode_jpeg(bytes(raw)), decode_jpeg(encode_jpeg(px, quality=95))
+        )
