@@ -555,6 +555,28 @@ RULES = [
         and _nodes(p, "Window") == 0
         and ("SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p),
     ),
+    (
+        "q142_image_decode_qa",
+        "image decode QA: exactly two Arrow-batched mapInPandas passes "
+        "(pixel features + header metadata), the metadata side joined by "
+        "BROADCAST (tiny per-image rows vs the decode side), no "
+        "row-at-a-time Python, no cartesian",
+        lambda p: _nodes(p, "MapInPandas") == 2
+        and "BroadcastHashJoin" in p
+        and "BatchEvalPython" not in p
+        and "CartesianProduct" not in p,
+    ),
+    (
+        "q143_video_container_audit",
+        "video container audit: ONE Arrow-batched mapInPandas parse pass "
+        "feeding a partial (map-side combine) hash aggregate at brand "
+        "grain; no row-at-a-time Python, no join, no cartesian",
+        lambda p: _nodes(p, "MapInPandas") == 1
+        and "HashAggregate" in p
+        and "BatchEvalPython" not in p
+        and "Join" not in p
+        and "CartesianProduct" not in p,
+    ),
 ] + [
     (
         qname,
