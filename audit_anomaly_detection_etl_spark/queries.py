@@ -5774,7 +5774,10 @@ def q142(spark, sf_dir):
         else:  # corrupt: truncated JPEG
             raw = encode_jpeg(px, quality=90)[: 40 + int(rng.integers(0, 40))]
         rows.append((f"img-{i:03d}", bytearray(raw)))
-    imgs = spark.createDataFrame(rows, "image_id string, bytes binary")
+    # coalesce: 24 fixture rows across default parallelism would spin ~32
+    # Arrow python workers PER mapInPandas pass — worker startup, not
+    # decode, would dominate the measured CPU (catalog-scaling audit)
+    imgs = spark.createDataFrame(rows, "image_id string, bytes binary").coalesce(2)
     feats = media.image_features(imgs, decoder="auto")
     meta = media.image_metadata(imgs).select("image_id", "format")
     return (
@@ -5816,7 +5819,8 @@ def q143(spark, sf_dir):
         else:  # corrupt: truncated mid-moov
             raw = build_minimal_mp4(duration_ms=1000.0)[: 40 + i]
         rows.append((f"vid-{i:03d}", bytearray(raw)))
-    videos = spark.createDataFrame(rows, "video_id string, bytes binary")
+    # coalesce: see q142 — bound Arrow worker startup on the tiny fixture
+    videos = spark.createDataFrame(rows, "video_id string, bytes binary").coalesce(2)
     return (
         media.video_metadata(videos)
         .groupBy("brand")
